@@ -1,0 +1,264 @@
+"""Tests for JaggedTensor / KeyedJaggedTensor / KeyedTensor.
+
+Mirrors the reference's torchrec/sparse/tests/test_jagged_tensor.py coverage:
+construction, derived fields, split/permute/concat/to_dict, padded-dense
+round-trips, pytree/jit transparency, zero-batch, validator.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchrec_tpu.sparse import (
+    JaggedTensor,
+    KeyedJaggedTensor,
+    KeyedTensor,
+    jagged_to_padded_dense,
+    validate_keyed_jagged_tensor,
+)
+from tests.utils import make_numpy_kjt, to_kjt
+
+
+def simple_kjt(weighted=False, capacity=None):
+    # f0: [[1,2],[3]], f1: [[],[4,5,6]]
+    values = [1, 2, 3, 4, 5, 6]
+    lengths = np.array([[2, 1], [0, 3]], dtype=np.int32)
+    cap = capacity or 8
+    vals = np.zeros(cap, dtype=np.int32)
+    vals[:6] = values
+    w = None
+    if weighted:
+        w = np.ones(cap, dtype=np.float32)
+        w[:6] = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6]
+    return KeyedJaggedTensor(
+        keys=["f0", "f1"],
+        values=jnp.asarray(vals),
+        lengths=jnp.asarray(lengths),
+        weights=jnp.asarray(w) if w is not None else None,
+    )
+
+
+class TestJaggedTensor:
+    def test_offsets_from_lengths(self):
+        jt = JaggedTensor(
+            values=jnp.arange(6), lengths=jnp.array([2, 1, 3], dtype=jnp.int32)
+        )
+        np.testing.assert_array_equal(jt.offsets(), [0, 2, 3, 6])
+
+    def test_lengths_from_offsets(self):
+        jt = JaggedTensor(
+            values=jnp.arange(6), offsets=jnp.array([0, 2, 3, 6], dtype=jnp.int32)
+        )
+        np.testing.assert_array_equal(jt.lengths(), [2, 1, 3])
+
+    def test_padded_dense_roundtrip(self):
+        lengths = jnp.array([2, 0, 3], dtype=jnp.int32)
+        vals = jnp.arange(1, 9, dtype=jnp.float32)  # capacity 8, 5 real
+        jt = JaggedTensor(values=vals, lengths=lengths)
+        dense = jt.to_padded_dense(max_length=4, padding_value=0.0)
+        np.testing.assert_allclose(
+            dense,
+            [[1, 2, 0, 0], [0, 0, 0, 0], [3, 4, 5, 0]],
+        )
+        jt2 = JaggedTensor.from_dense_lengths(dense, lengths, capacity=8)
+        np.testing.assert_allclose(jt2.values()[:5], vals[:5])
+
+    def test_padded_dense_2d_values(self):
+        vals = jnp.arange(12, dtype=jnp.float32).reshape(6, 2)
+        offsets = jnp.array([0, 1, 4], dtype=jnp.int32)
+        dense = jagged_to_padded_dense(vals, offsets, max_length=3)
+        assert dense.shape == (2, 3, 2)
+        np.testing.assert_allclose(dense[0, 0], [0, 1])
+        np.testing.assert_allclose(dense[0, 1], [0, 0])
+        np.testing.assert_allclose(dense[1], [[2, 3], [4, 5], [6, 7]])
+
+    def test_row_ids_and_mask(self):
+        jt = JaggedTensor(
+            values=jnp.zeros(8, jnp.int32),
+            lengths=jnp.array([2, 1, 3], dtype=jnp.int32),
+        )
+        np.testing.assert_array_equal(jt.row_ids(), [0, 0, 1, 2, 2, 2, 3, 3])
+        np.testing.assert_array_equal(
+            jt.valid_mask(), [1, 1, 1, 1, 1, 1, 0, 0]
+        )
+
+    def test_jit_transparency(self):
+        jt = JaggedTensor(
+            values=jnp.arange(6.0), lengths=jnp.array([2, 4], dtype=jnp.int32)
+        )
+
+        @jax.jit
+        def f(t):
+            return JaggedTensor(values=t.values() * 2, lengths=t.lengths())
+
+        out = f(jt)
+        np.testing.assert_allclose(out.values(), jt.values() * 2)
+
+
+class TestKeyedJaggedTensor:
+    def test_basic_accessors(self):
+        kjt = simple_kjt()
+        assert kjt.keys() == ["f0", "f1"]
+        assert kjt.stride() == 2
+        np.testing.assert_array_equal(kjt.lengths(), [[2, 1], [0, 3]])
+        np.testing.assert_array_equal(kjt.length_per_key(), [3, 3])
+        np.testing.assert_array_equal(kjt.offset_per_key(), [0, 3, 6])
+        np.testing.assert_array_equal(kjt.offsets(), [0, 2, 3, 3, 6])
+
+    def test_segment_ids(self):
+        kjt = simple_kjt()
+        # f0b0 f0b0 f0b1 f1b1 f1b1 f1b1 pad pad -> seg 0 0 1 3 3 3 oob oob
+        np.testing.assert_array_equal(
+            kjt.segment_ids(), [0, 0, 1, 3, 3, 3, 4, 4]
+        )
+        np.testing.assert_array_equal(
+            kjt.valid_mask(), [1, 1, 1, 1, 1, 1, 0, 0]
+        )
+
+    def test_split(self):
+        kjt = simple_kjt()
+        a, b = kjt.split([1, 1])
+        assert a.keys() == ["f0"] and b.keys() == ["f1"]
+        np.testing.assert_array_equal(a.lengths(), [[2, 1]])
+        np.testing.assert_array_equal(b.lengths(), [[0, 3]])
+        # zero-copy: same buffer, segment ids select the right subsets
+        np.testing.assert_array_equal(
+            a.segment_ids(), [0, 0, 1, 2, 2, 2, 2, 2]
+        )
+        np.testing.assert_array_equal(
+            b.segment_ids(), [2, 2, 2, 1, 1, 1, 2, 2]
+        )
+
+    def test_split_empty_segment(self):
+        kjt = simple_kjt()
+        a, empty, b = kjt.split([1, 0, 1])
+        assert empty.keys() == []
+        assert a.keys() == ["f0"] and b.keys() == ["f1"]
+
+    def test_permute(self):
+        kjt = simple_kjt()
+        p = kjt.permute([1, 0])
+        assert p.keys() == ["f1", "f0"]
+        np.testing.assert_array_equal(p.lengths(), [[0, 3], [2, 1]])
+        np.testing.assert_array_equal(p.length_per_key(), [3, 3])
+        # f1 now logical key 0: its slots get segments 0*B+b
+        np.testing.assert_array_equal(
+            p.segment_ids(), [2, 2, 3, 1, 1, 1, 4, 4]
+        )
+
+    def test_permute_with_duplicates(self):
+        kjt = simple_kjt()
+        p = kjt.permute([0, 1, 0])
+        assert p.keys() == ["f0", "f1", "f0"]
+
+    def test_materialize_identity(self):
+        kjt = simple_kjt()
+        assert kjt.materialize() is kjt
+
+    def test_materialize_permuted(self):
+        kjt = simple_kjt(weighted=True)
+        p = kjt.permute([1, 0]).materialize()
+        assert p.keys() == ["f1", "f0"]
+        np.testing.assert_array_equal(p.values()[:6], [4, 5, 6, 1, 2, 3])
+        np.testing.assert_allclose(
+            p.weights()[:6], [0.4, 0.5, 0.6, 0.1, 0.2, 0.3]
+        )
+
+    def test_to_dict(self):
+        kjt = simple_kjt()
+        d = kjt.to_dict()
+        assert set(d) == {"f0", "f1"}
+        np.testing.assert_array_equal(d["f0"].values()[:3], [1, 2, 3])
+        np.testing.assert_array_equal(d["f0"].lengths(), [2, 1])
+        np.testing.assert_array_equal(d["f1"].values()[:3], [4, 5, 6])
+        np.testing.assert_array_equal(d["f1"].lengths(), [0, 3])
+
+    def test_getitem(self):
+        kjt = simple_kjt()
+        jt = kjt["f1"]
+        np.testing.assert_array_equal(jt.values()[:3], [4, 5, 6])
+
+    def test_concat(self):
+        a, b = simple_kjt().split([1, 1])
+        merged = KeyedJaggedTensor.concat([b, a])
+        assert merged.keys() == ["f1", "f0"]
+        np.testing.assert_array_equal(merged.length_per_key(), [3, 3])
+        np.testing.assert_array_equal(merged.values()[:3], [4, 5, 6])
+
+    def test_select_keys(self):
+        kjt = simple_kjt()
+        sub = kjt.select_keys(["f1"])
+        assert sub.keys() == ["f1"]
+
+    def test_zero_batch(self):
+        kjt = KeyedJaggedTensor.empty(["f0"], stride=4, capacity=2)
+        np.testing.assert_array_equal(kjt.length_per_key(), [0])
+        np.testing.assert_array_equal(kjt.segment_ids(), [4, 4])
+
+    def test_jit_and_pytree(self):
+        kjt = simple_kjt(weighted=True)
+        leaves, treedef = jax.tree_util.tree_flatten(kjt)
+        kjt2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        assert kjt2.keys() == kjt.keys()
+
+        @jax.jit
+        def f(k):
+            return k.permute([1, 0]).segment_ids()
+
+        np.testing.assert_array_equal(f(kjt), kjt.permute([1, 0]).segment_ids())
+
+    def test_vmap_compatible_shapes(self):
+        # static capacity means stacked batches work
+        kjts = [simple_kjt(), simple_kjt()]
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *kjts)
+        assert stacked.values().shape == (2, 8)
+
+    def test_random_roundtrip_oracle(self):
+        rng = np.random.default_rng(0)
+        nk = make_numpy_kjt(
+            rng, ["a", "b", "c"], batch_size=5, num_embeddings={"a": 10, "b": 20, "c": 30}
+        )
+        kjt = to_kjt(nk, capacity=256)
+        assert kjt.keys() == ["a", "b", "c"]
+        for f, key in enumerate(nk.keys):
+            np.testing.assert_array_equal(
+                kjt.lengths()[f], [len(x) for x in nk.ids[key]]
+            )
+        validate_keyed_jagged_tensor(
+            kjt, num_embeddings_per_key={"a": 10, "b": 20, "c": 30}
+        )
+
+    def test_validator_rejects_oob_ids(self):
+        kjt = simple_kjt()
+        with pytest.raises(ValueError):
+            validate_keyed_jagged_tensor(kjt, num_embeddings_per_key={"f1": 2})
+
+
+class TestKeyedTensor:
+    def test_basic(self):
+        kt = KeyedTensor(
+            keys=["a", "b"],
+            length_per_key=[2, 3],
+            values=jnp.arange(10.0).reshape(2, 5),
+        )
+        np.testing.assert_allclose(kt["a"], [[0, 1], [5, 6]])
+        np.testing.assert_allclose(kt["b"], [[2, 3, 4], [7, 8, 9]])
+        assert kt.offset_per_key() == [0, 2, 5]
+
+    def test_regroup(self):
+        kt1 = KeyedTensor(["a", "b"], [1, 2], jnp.ones((2, 3)))
+        kt2 = KeyedTensor(["c"], [2], jnp.full((2, 2), 2.0))
+        groups = KeyedTensor.regroup([kt1, kt2], [["a", "c"], ["b"]])
+        assert groups[0].shape == (2, 3)
+        np.testing.assert_allclose(groups[0][:, 1:], 2.0)
+        assert groups[1].shape == (2, 2)
+
+    def test_pytree(self):
+        kt = KeyedTensor(["a"], [4], jnp.ones((2, 4)))
+
+        @jax.jit
+        def f(t):
+            return t["a"] * 3
+
+        np.testing.assert_allclose(f(kt), 3.0)
