@@ -1,0 +1,419 @@
+"""EmbeddingBagCollection / EmbeddingCollection — the authoring modules.
+
+Capability parity with torchrec/modules/embedding_modules.py
+(EmbeddingBagCollection:129 — forward(KJT) -> KeyedTensor;
+EmbeddingCollection:367 — forward(KJT) -> Dict[str, JaggedTensor]).
+
+TPU-first design differences from the reference:
+
+* **Functional**: ``init(key) -> params`` / ``apply(params, kjt)``. Params
+  are a flat dict of arrays, directly shardable/checkpointable.
+
+* **Table-batched from day one**: tables of the same (dim, dtype) are
+  stacked into one ``[sum_rows, dim]`` group buffer at init — the layout
+  FBGEMM TBE uses *after* sharding (batched_embedding_kernel.py:3725) is
+  our native unsharded layout too, so the single-chip path already runs one
+  fused gather+pool per group instead of one kernel per table (the 13-23x
+  gap measured in reference benchmarks/README.md:44).
+
+* **No input permute kernels**: the module reorders the incoming KJT to its
+  feature order with a zero-copy key-selection view; per-slot destination
+  offsets/segments are computed from static metadata + the KJT's lengths.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torchrec_tpu.modules.embedding_configs import (
+    BaseEmbeddingConfig,
+    EmbeddingBagConfig,
+    EmbeddingConfig,
+)
+from torchrec_tpu.ops.fused_optim import EmbeddingOptimizer
+from torchrec_tpu.ops.lookup import (
+    dedup_rows,
+    grad_rows,
+    pooled_lookup,
+    sequence_lookup,
+)
+from torchrec_tpu.sparse import JaggedTensor, KeyedJaggedTensor, KeyedTensor
+from torchrec_tpu.types import DataType, PoolingType
+
+__all__ = [
+    "EmbeddingBagCollection",
+    "EmbeddingCollection",
+    "TableGroup",
+]
+
+Params = Dict[str, jnp.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class TableGroup:
+    """Static layout of one stacked same-(dim,dtype) table group."""
+
+    key: str  # param-dict key
+    dim: int
+    data_type: DataType
+    table_names: Tuple[str, ...]
+    table_rows: Tuple[int, ...]  # rows per table, stacking order
+    row_offsets: Tuple[int, ...]  # start row of each table in the stack
+
+    @property
+    def total_rows(self) -> int:
+        return self.row_offsets[-1] + self.table_rows[-1]
+
+
+class _EmbeddingCollectionBase:
+    """Shared grouping/layout logic for EBC and EC."""
+
+    def __init__(self, tables: Sequence[BaseEmbeddingConfig]):
+        if not tables:
+            raise ValueError("at least one table config required")
+        seen = set()
+        for t in tables:
+            if not t.name:
+                raise ValueError("every table needs a name")
+            if t.name in seen:
+                raise ValueError(f"duplicate table name {t.name!r}")
+            seen.add(t.name)
+        self._tables: List[BaseEmbeddingConfig] = list(tables)
+
+        # feature order = concatenation of each table's feature_names
+        # (reference embedding_modules.py construction order)
+        self._feature_names: List[str] = []
+        self._feature_table: List[int] = []  # feature -> table idx
+        for ti, t in enumerate(tables):
+            for f in t.feature_names:
+                if f in self._feature_names:
+                    raise ValueError(f"duplicate feature name {f!r}")
+                self._feature_names.append(f)
+                self._feature_table.append(ti)
+
+        # group tables by (dim, data_type)
+        group_map: Dict[Tuple[int, DataType], List[int]] = {}
+        for ti, t in enumerate(tables):
+            group_map.setdefault((t.embedding_dim, t.data_type), []).append(ti)
+        self._groups: List[TableGroup] = []
+        self._table_group: Dict[int, Tuple[int, int]] = {}  # table idx -> (group idx, row off)
+        for (dim, dt), tids in sorted(
+            group_map.items(), key=lambda kv: (kv[0][0], kv[0][1].value)
+        ):
+            offsets, rows = [], []
+            off = 0
+            for ti in tids:
+                offsets.append(off)
+                rows.append(tables[ti].num_embeddings)
+                off += tables[ti].num_embeddings
+            g = TableGroup(
+                key=f"group_d{dim}_{dt.value.lower()}",
+                dim=dim,
+                data_type=dt,
+                table_names=tuple(tables[ti].name for ti in tids),
+                table_rows=tuple(rows),
+                row_offsets=tuple(offsets),
+            )
+            gi = len(self._groups)
+            self._groups.append(g)
+            for ti, row_off in zip(tids, offsets):
+                self._table_group[ti] = (gi, row_off)
+
+        # per-group static per-feature metadata (as numpy; becomes jit consts)
+        f_count = len(self._feature_names)
+        self._group_feature_pos: List[np.ndarray] = []  # [F+1]: pos in group or -1
+        self._group_row_offset: List[np.ndarray] = []  # [F+1]: stack row offset
+        self._group_features: List[List[int]] = []  # logical feature idxs per group
+        for gi in range(len(self._groups)):
+            pos = np.full(f_count + 1, -1, dtype=np.int32)
+            roff = np.zeros(f_count + 1, dtype=np.int32)
+            feats: List[int] = []
+            for fi in range(f_count):
+                g_of_table, row_off = self._table_group[self._feature_table[fi]]
+                if g_of_table == gi:
+                    pos[fi] = len(feats)
+                    roff[fi] = row_off
+                    feats.append(fi)
+            self._group_feature_pos.append(pos)
+            self._group_row_offset.append(roff)
+            self._group_features.append(feats)
+
+    # -- public structural accessors (reference parity) -----------------------
+    def feature_names(self) -> List[str]:
+        return list(self._feature_names)
+
+    @property
+    def groups(self) -> List[TableGroup]:
+        return list(self._groups)
+
+    def init(self, key: jax.Array) -> Params:
+        """Initialize group-stacked table params.
+
+        Each table's rows are initialized with its own init_fn on its own
+        PRNG fold, so grouping does not change numerics vs per-table init.
+        """
+        params: Params = {}
+        for g in self._groups:
+            dtype = g.data_type.as_jnp()
+            parts = []
+            for tname, rows in zip(g.table_names, g.table_rows):
+                t = next(t for t in self._tables if t.name == tname)
+                sub = jax.random.fold_in(key, hash(tname) % (2**31))
+                parts.append(t.get_weight_init_fn()(sub, (rows, g.dim), dtype))
+            params[g.key] = jnp.concatenate(parts, axis=0)
+        return params
+
+    def table_slice(self, params: Params, table_name: str) -> jnp.ndarray:
+        """View of one table's rows inside its group stack (for state_dict
+        naming / checkpoint parity with per-table FQNs)."""
+        for gi, g in enumerate(self._groups):
+            if table_name in g.table_names:
+                i = g.table_names.index(table_name)
+                off, rows = g.row_offsets[i], g.table_rows[i]
+                return params[g.key][off : off + rows]
+        raise KeyError(table_name)
+
+    def split_params(self, params: Params) -> Dict[str, jnp.ndarray]:
+        """Per-table FQN -> weight views (state_dict analog)."""
+        return {t.name: self.table_slice(params, t.name) for t in self._tables}
+
+    def _prep(self, kjt: KeyedJaggedTensor):
+        """Align the KJT to this module's feature order; compute shared
+        slot-level index arrays."""
+        kjt = kjt.select_keys(self._feature_names)
+        b = kjt.stride()
+        f = len(self._feature_names)
+        seg = kjt.segment_ids()  # [cap], OOB = f*b
+        slot_feature = jnp.minimum(seg // b, f)  # [cap], pad -> f
+        slot_batch = seg % jnp.int32(b)
+        return kjt, b, f, seg, slot_feature, slot_batch
+
+    def _group_indices(self, gi, values, seg, slot_feature, slot_batch, b):
+        """Per-slot (ids, segments) for group gi; non-member slots -> OOB."""
+        n_gf = len(self._group_features[gi])
+        pos = jnp.asarray(self._group_feature_pos[gi])  # [F+1]
+        roff = jnp.asarray(self._group_row_offset[gi])  # [F+1]
+        slot_pos = jnp.take(pos, slot_feature)  # [cap]
+        in_group = slot_pos >= 0
+        ids_g = values + jnp.take(roff, slot_feature)
+        seg_g = jnp.where(in_group, slot_pos * b + slot_batch, n_gf * b)
+        return ids_g, seg_g, in_group, n_gf
+
+
+class EmbeddingBagCollection(_EmbeddingCollectionBase):
+    """Pooled lookups: ``apply(params, KJT) -> KeyedTensor``.
+
+    Reference: torchrec/modules/embedding_modules.py:129. Weighted EBCs
+    (per-id weights, e.g. from feature processors) require a weighted KJT
+    and force SUM pooling, matching nn.EmbeddingBag semantics.
+    """
+
+    def __init__(
+        self,
+        tables: Sequence[EmbeddingBagConfig],
+        is_weighted: bool = False,
+    ):
+        super().__init__(tables)
+        self._is_weighted = is_weighted
+        self._poolings: List[PoolingType] = [
+            tables[self._feature_table[fi]].pooling
+            for fi in range(len(self._feature_names))
+        ]
+
+    def is_weighted(self) -> bool:
+        return self._is_weighted
+
+    def embedding_bag_configs(self) -> List[EmbeddingBagConfig]:
+        return list(self._tables)  # type: ignore[return-value]
+
+    def embedding_dims(self) -> List[int]:
+        return [
+            self._tables[self._feature_table[fi]].embedding_dim
+            for fi in range(len(self._feature_names))
+        ]
+
+    def apply(self, params: Params, kjt: KeyedJaggedTensor) -> KeyedTensor:
+        kjt, b, f, seg, slot_feature, slot_batch = self._prep(kjt)
+        values = kjt.values()
+        weights = kjt.weights() if self._is_weighted else None
+        lengths = kjt.lengths()  # [F, B]
+
+        # one fused gather+pool per group
+        per_feature: List[Optional[jnp.ndarray]] = [None] * f
+        for gi, g in enumerate(self._groups):
+            ids_g, seg_g, _, n_gf = self._group_indices(
+                gi, values, seg, slot_feature, slot_batch, b
+            )
+            if n_gf == 0:
+                continue
+            pooled = pooled_lookup(
+                params[g.key].astype(jnp.float32)
+                if g.data_type != DataType.FP32
+                else params[g.key],
+                ids_g,
+                seg_g,
+                n_gf * b,
+                weights,
+            )  # [n_gf*B, dim]
+            pooled = pooled.reshape(n_gf, b, g.dim)
+            for local, fi in enumerate(self._group_features[gi]):
+                out = pooled[local]
+                if self._poolings[fi] == PoolingType.MEAN and not self._is_weighted:
+                    denom = jnp.maximum(lengths[fi].astype(out.dtype), 1.0)
+                    out = out / denom[:, None]
+                per_feature[fi] = out
+
+        dims = self.embedding_dims()
+        vals = jnp.concatenate(
+            [per_feature[fi] for fi in range(f)], axis=1
+        )
+        return KeyedTensor(
+            keys=self._feature_names, length_per_key=dims, values=vals
+        )
+
+    # -- fused in-backward optimizer path -------------------------------------
+    def init_optimizer(
+        self, params: Params, optimizer: EmbeddingOptimizer
+    ) -> Dict[str, Dict[str, jnp.ndarray]]:
+        """Per-group optimizer state (TBE-internal state analog,
+        batched_embedding_kernel.py:1215)."""
+        return {g.key: optimizer.init(params[g.key]) for g in self._groups}
+
+    def sparse_grads(
+        self, kjt: KeyedJaggedTensor, kt_grad: jnp.ndarray
+    ) -> Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Transpose of :meth:`apply`: cotangent of the KeyedTensor values
+        ``[B, sum(dims)]`` -> per-group deduped sparse row gradients
+        ``{group_key: (unique_ids, unique_grads)}``.
+
+        This is the reference's TBE backward (a2a'd gradient -> exact
+        per-row gradient) without ever materializing a dense table grad.
+        """
+        kjt, b, f, seg, slot_feature, slot_batch = self._prep(kjt)
+        values = kjt.values()
+        weights = kjt.weights() if self._is_weighted else None
+        lengths = kjt.lengths()
+        dims = self.embedding_dims()
+        dim_offsets = np.concatenate([[0], np.cumsum(dims)])
+
+        out: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+        for gi, g in enumerate(self._groups):
+            feats = self._group_features[gi]
+            if not feats:
+                continue
+            ids_g, seg_g, in_group, n_gf = self._group_indices(
+                gi, values, seg, slot_feature, slot_batch, b
+            )
+            # [n_gf*B, dim] pooled-output grads for this group's features
+            parts = []
+            for fi in feats:
+                gslice = kt_grad[:, dim_offsets[fi] : dim_offsets[fi + 1]]
+                if self._poolings[fi] == PoolingType.MEAN and not self._is_weighted:
+                    denom = jnp.maximum(lengths[fi].astype(gslice.dtype), 1.0)
+                    gslice = gslice / denom[:, None]
+                parts.append(gslice)
+            pooled_grad = jnp.concatenate(parts, axis=0)  # [n_gf*B, dim]
+            g_slots = grad_rows(pooled_grad, seg_g, n_gf * b, weights)
+            uniq_ids, uniq_grads = dedup_rows(
+                ids_g, g_slots, in_group, g.total_rows
+            )
+            out[g.key] = (uniq_ids, uniq_grads)
+        return out
+
+    def apply_gradients(
+        self,
+        params: Params,
+        opt_states: Dict[str, Dict[str, jnp.ndarray]],
+        optimizer: EmbeddingOptimizer,
+        kjt: KeyedJaggedTensor,
+        kt_grad: jnp.ndarray,
+        lr: Optional[jnp.ndarray] = None,
+    ) -> Tuple[Params, Dict[str, Dict[str, jnp.ndarray]]]:
+        """Fused backward + optimizer step on the touched rows only.
+
+        Under ``jit`` with ``params``/``opt_states`` donated this updates the
+        tables in-place in HBM — the reference's
+        apply_optimizer_in_backward + TBE fused update
+        (examples/golden_training/train_dlrm.py:114-118).
+        """
+        grads = self.sparse_grads(kjt, kt_grad)
+        new_params = dict(params)
+        new_states = dict(opt_states)
+        for g in self._groups:
+            if g.key not in grads:
+                continue
+            uids, ugrads = grads[g.key]
+            new_params[g.key], new_states[g.key] = optimizer.update(
+                params[g.key], opt_states[g.key], uids, ugrads, lr=lr
+            )
+        return new_params, new_states
+
+
+class EmbeddingCollection(_EmbeddingCollectionBase):
+    """Unpooled lookups: ``apply(params, KJT) -> Dict[str, JaggedTensor]``
+    of per-id embedding rows.
+
+    Reference: torchrec/modules/embedding_modules.py:367.
+    """
+
+    def __init__(self, tables: Sequence[EmbeddingConfig]):
+        super().__init__(tables)
+
+    def embedding_configs(self) -> List[EmbeddingConfig]:
+        return list(self._tables)  # type: ignore[return-value]
+
+    def embedding_dim(self) -> int:
+        dims = {t.embedding_dim for t in self._tables}
+        if len(dims) != 1:
+            raise ValueError("mixed dims; use embedding_dims()")
+        return next(iter(dims))
+
+    def apply(
+        self, params: Params, kjt: KeyedJaggedTensor
+    ) -> Dict[str, JaggedTensor]:
+        kjt, b, f, _, _, _ = self._prep(kjt)
+        kjt_mat = kjt.materialize()  # per-key contiguity for the output JTs
+        offsets_pk = kjt_mat.offset_per_key()
+        lengths = kjt_mat.lengths()
+
+        # [cap, dim] embedding rows aligned with the (materialized) stream
+        out: Dict[str, JaggedTensor] = {}
+        for gi, g in enumerate(self._groups):
+            ids_g, seg_g, in_group, n_gf = self._group_indices(
+                gi,
+                kjt_mat.values(),
+                kjt_mat.segment_ids(),
+                jnp.minimum(kjt_mat.segment_ids() // b, f),
+                kjt_mat.segment_ids() % jnp.int32(b),
+                b,
+            )
+            if n_gf == 0:
+                continue
+            emb = sequence_lookup(
+                params[g.key].astype(jnp.float32)
+                if g.data_type != DataType.FP32
+                else params[g.key],
+                ids_g,
+                valid=in_group & kjt_mat.valid_mask(),
+            )  # [cap, dim]
+            for fi in self._group_features[gi]:
+                start = offsets_pk[fi]
+                rolled = _roll_rows(emb, start)
+                w = kjt_mat.weights_or_none()
+                out[self._feature_names[fi]] = JaggedTensor(
+                    values=rolled,
+                    lengths=lengths[fi],
+                    weights=_roll_rows(w, start) if w is not None else None,
+                )
+        return out
+
+
+def _roll_rows(x: jnp.ndarray, shift) -> jnp.ndarray:
+    n = x.shape[0]
+    idx = (jnp.arange(n, dtype=jnp.int32) + jnp.asarray(shift, jnp.int32)) % n
+    return jnp.take(x, idx, axis=0)

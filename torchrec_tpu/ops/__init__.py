@@ -1,0 +1,27 @@
+from torchrec_tpu.ops.fused_optim import (
+    Adam,
+    EmbeddingOptimizer,
+    PartialRowWiseAdam,
+    RowWiseAdagrad,
+    SGD,
+    make_optimizer,
+)
+from torchrec_tpu.ops.lookup import (
+    dedup_rows,
+    grad_rows,
+    pooled_lookup,
+    sequence_lookup,
+)
+
+__all__ = [
+    "Adam",
+    "EmbeddingOptimizer",
+    "PartialRowWiseAdam",
+    "RowWiseAdagrad",
+    "SGD",
+    "make_optimizer",
+    "dedup_rows",
+    "grad_rows",
+    "pooled_lookup",
+    "sequence_lookup",
+]

@@ -1,0 +1,219 @@
+"""Fused sparse-embedding optimizers: update only the touched rows.
+
+Reference: FBGEMM's fused-in-backward optimizers wrapped by
+torchrec/distributed/batched_embedding_kernel.py (OptimType enum at
+torchrec/distributed/embedding_types.py:67 — EXACT_SGD,
+EXACT_ROWWISE_ADAGRAD, ADAM, PARTIAL_ROWWISE_ADAM, LAMB,
+PARTIAL_ROWWISE_LAMB) and the eager reference torchrec/optim/
+rowwise_adagrad.py:22.
+
+TPU-first design: a pure function ``(table, state, unique_ids,
+unique_grads) -> (table, state)`` built from XLA one-hot-free scatters with
+``mode='drop'`` sentinels. Under ``jit`` with donated buffers the update is
+in-place in HBM — no dense gradient, no optimizer-step materialization,
+which is exactly the property that makes FBGEMM's fused path 13-23x faster
+than eager nn.EmbeddingBag (reference benchmarks/README.md:44).
+
+``unique_ids/unique_grads`` come from :func:`torchrec_tpu.ops.lookup.dedup_rows`
+(duplicates pre-combined), so every optimizer here is EXACT: one state
+update per touched row per step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "EmbeddingOptimizer",
+    "RowWiseAdagrad",
+    "SGD",
+    "Adam",
+    "PartialRowWiseAdam",
+    "make_optimizer",
+]
+
+Params = Dict[str, jnp.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class EmbeddingOptimizer:
+    """Base: stateless config; state lives in an explicit pytree."""
+
+    learning_rate: float = 0.01
+
+    def init(self, table: jnp.ndarray) -> Params:
+        raise NotImplementedError
+
+    def update(
+        self,
+        table: jnp.ndarray,
+        state: Params,
+        unique_ids: jnp.ndarray,
+        unique_grads: jnp.ndarray,
+        lr: jnp.ndarray | float | None = None,
+    ) -> Tuple[jnp.ndarray, Params]:
+        raise NotImplementedError
+
+    def _lr(self, lr):
+        return self.learning_rate if lr is None else lr
+
+
+@dataclasses.dataclass(frozen=True)
+class SGD(EmbeddingOptimizer):
+    """EXACT_SGD: T[r] -= lr * G[r]."""
+
+    weight_decay: float = 0.0
+
+    def init(self, table: jnp.ndarray) -> Params:
+        return {}
+
+    def update(self, table, state, unique_ids, unique_grads, lr=None):
+        lr = self._lr(lr)
+        g = unique_grads.astype(jnp.float32)
+        if self.weight_decay:
+            rows = jnp.take(table, unique_ids, axis=0, mode="fill", fill_value=0)
+            g = g + self.weight_decay * rows.astype(jnp.float32)
+        new_table = table.at[unique_ids].add(
+            (-lr * g).astype(table.dtype), mode="drop"
+        )
+        return new_table, state
+
+
+@dataclasses.dataclass(frozen=True)
+class RowWiseAdagrad(EmbeddingOptimizer):
+    """EXACT_ROWWISE_ADAGRAD (fbgemm semantics; eager reference
+    torchrec/optim/rowwise_adagrad.py:22):
+
+        G_r    = sum of the row's gradients this step (pre-deduped)
+        s_r   += mean(G_r ** 2)            # one fp32 scalar per row
+        T_r   -= lr * G_r / (sqrt(s_r) + eps)
+
+    State is [R] fp32 — 1/D of Adagrad's memory, the recsys default.
+    """
+
+    eps: float = 1e-8
+    weight_decay: float = 0.0
+    initial_accumulator_value: float = 0.0
+
+    def init(self, table: jnp.ndarray) -> Params:
+        return {
+            "momentum": jnp.full(
+                (table.shape[0],), self.initial_accumulator_value, jnp.float32
+            )
+        }
+
+    def update(self, table, state, unique_ids, unique_grads, lr=None):
+        lr = self._lr(lr)
+        g = unique_grads.astype(jnp.float32)
+        if self.weight_decay:
+            rows = jnp.take(table, unique_ids, axis=0, mode="fill", fill_value=0)
+            g = g + self.weight_decay * rows.astype(jnp.float32)
+        gsq = jnp.mean(g * g, axis=1)  # [N]
+        mom = state["momentum"].at[unique_ids].add(gsq, mode="drop")
+        mom_rows = jnp.take(
+            mom, unique_ids, axis=0, mode="fill", fill_value=1.0
+        )
+        delta = -lr * g / (jnp.sqrt(mom_rows)[:, None] + self.eps)
+        new_table = table.at[unique_ids].add(delta.astype(table.dtype), mode="drop")
+        return new_table, {"momentum": mom}
+
+
+@dataclasses.dataclass(frozen=True)
+class Adam(EmbeddingOptimizer):
+    """ADAM with full [R, D] first+second moments (sparse row updates).
+
+    Bias correction uses a per-row step count (rows update at different
+    rates in sparse training; global-step bias correction would over-damp
+    rarely-seen rows).
+    """
+
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-8
+    weight_decay: float = 0.0
+
+    def init(self, table: jnp.ndarray) -> Params:
+        return {
+            "m": jnp.zeros_like(table, jnp.float32),
+            "v": jnp.zeros_like(table, jnp.float32),
+            "steps": jnp.zeros((table.shape[0],), jnp.int32),
+        }
+
+    def update(self, table, state, unique_ids, unique_grads, lr=None):
+        lr = self._lr(lr)
+        g = unique_grads.astype(jnp.float32)
+        if self.weight_decay:
+            rows = jnp.take(table, unique_ids, axis=0, mode="fill", fill_value=0)
+            g = g + self.weight_decay * rows.astype(jnp.float32)
+        steps = state["steps"].at[unique_ids].add(1, mode="drop")
+        t = jnp.take(steps, unique_ids, mode="fill", fill_value=1).astype(jnp.float32)
+        m_rows = jnp.take(state["m"], unique_ids, axis=0, mode="fill", fill_value=0)
+        v_rows = jnp.take(state["v"], unique_ids, axis=0, mode="fill", fill_value=0)
+        m_new = self.beta1 * m_rows + (1 - self.beta1) * g
+        v_new = self.beta2 * v_rows + (1 - self.beta2) * g * g
+        m = state["m"].at[unique_ids].set(m_new, mode="drop")
+        v = state["v"].at[unique_ids].set(v_new, mode="drop")
+        m_hat = m_new / (1 - self.beta1 ** t)[:, None]
+        v_hat = v_new / (1 - self.beta2 ** t)[:, None]
+        delta = -lr * m_hat / (jnp.sqrt(v_hat) + self.eps)
+        new_table = table.at[unique_ids].add(delta.astype(table.dtype), mode="drop")
+        return new_table, {"m": m, "v": v, "steps": steps}
+
+
+@dataclasses.dataclass(frozen=True)
+class PartialRowWiseAdam(EmbeddingOptimizer):
+    """PARTIAL_ROWWISE_ADAM: full [R, D] first moment, row-wise [R] second
+    moment (fbgemm's memory compromise for wide tables)."""
+
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-8
+
+    def init(self, table: jnp.ndarray) -> Params:
+        return {
+            "m": jnp.zeros_like(table, jnp.float32),
+            "v": jnp.zeros((table.shape[0],), jnp.float32),
+            "steps": jnp.zeros((table.shape[0],), jnp.int32),
+        }
+
+    def update(self, table, state, unique_ids, unique_grads, lr=None):
+        lr = self._lr(lr)
+        g = unique_grads.astype(jnp.float32)
+        steps = state["steps"].at[unique_ids].add(1, mode="drop")
+        t = jnp.take(steps, unique_ids, mode="fill", fill_value=1).astype(jnp.float32)
+        m_rows = jnp.take(state["m"], unique_ids, axis=0, mode="fill", fill_value=0)
+        v_rows = jnp.take(state["v"], unique_ids, mode="fill", fill_value=0)
+        m_new = self.beta1 * m_rows + (1 - self.beta1) * g
+        v_new = self.beta2 * v_rows + (1 - self.beta2) * jnp.mean(g * g, axis=1)
+        m = state["m"].at[unique_ids].set(m_new, mode="drop")
+        v = state["v"].at[unique_ids].set(v_new, mode="drop")
+        m_hat = m_new / (1 - self.beta1 ** t)[:, None]
+        v_hat = v_new / (1 - self.beta2 ** t)
+        delta = -lr * m_hat / (jnp.sqrt(v_hat)[:, None] + self.eps)
+        new_table = table.at[unique_ids].add(delta.astype(table.dtype), mode="drop")
+        return new_table, {"m": m, "v": v, "steps": steps}
+
+
+_REGISTRY = {
+    "sgd": SGD,
+    "exact_sgd": SGD,
+    "rowwise_adagrad": RowWiseAdagrad,
+    "exact_rowwise_adagrad": RowWiseAdagrad,
+    "adam": Adam,
+    "partial_rowwise_adam": PartialRowWiseAdam,
+}
+
+
+def make_optimizer(name: str, **kwargs: Any) -> EmbeddingOptimizer:
+    """Build a fused embedding optimizer by name (the ``fused_params``
+    plumbing analog, torchrec/distributed/fused_params.py:120)."""
+    key = name.lower()
+    if key not in _REGISTRY:
+        raise ValueError(
+            f"unknown embedding optimizer {name!r}; have {sorted(_REGISTRY)}"
+        )
+    return _REGISTRY[key](**kwargs)
