@@ -1,0 +1,141 @@
+"""Headline benchmark: fused table-batched embedding training epoch.
+
+Mirrors the reference's benchmarks/ebc_benchmarks.py FusedEBC workload
+(reference result: 0.019 s/epoch on 8x V100 16GB, benchmarks/README.md:51):
+  * 26 MLPerf-DLRM tables, dim 128, rows / 128 (largest 45.8M -> 358k)
+  * batch 64, fixed pooling factor 64 ids/feature, 10 batches per epoch
+  * forward pooled lookup -> sum().backward() -> fused SGD (lr 0.02)
+
+TPU-native execution: the 10-step epoch is ONE lax.scan inside ONE jitted,
+buffer-donated program — tables update in place in HBM.
+
+Prints one JSON line: {"metric", "value" (s/epoch), "unit", "vs_baseline"}.
+vs_baseline > 1 means faster than the reference's 8-GPU number on our single
+chip.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# MLPerf DLRM criteo-1TB table sizes (reference benchmarks/README.md:14-16)
+MLPERF_ROWS = [
+    45833188, 36746, 17245, 7413, 20243, 3, 7114, 1441, 62, 29275261,
+    1572176, 345138, 10, 2209, 11267, 128, 4, 974, 14, 48937457,
+    11316796, 40094537, 452104, 12606, 104, 35,
+]
+BASELINE_S_PER_EPOCH = 0.019  # FusedEBC, 8x V100 (benchmarks/README.md:51)
+
+SCALE = 128  # the headline config divides the 5 largest tables' rows by 128
+BATCH = 64
+IDS_PER_FEATURE = 64
+BATCHES_PER_EPOCH = 10
+DIM = 128
+LR = 0.02
+
+
+def build():
+    from torchrec_tpu.modules import EmbeddingBagCollection, EmbeddingBagConfig
+    from torchrec_tpu.ops import SGD
+
+    rows = [max(r // SCALE, 4) for r in MLPERF_ROWS]
+    tables = [
+        EmbeddingBagConfig(
+            name=f"t{i}",
+            num_embeddings=r,
+            embedding_dim=DIM,
+            feature_names=[f"f{i}"],
+        )
+        for i, r in enumerate(rows)
+    ]
+    ebc = EmbeddingBagCollection(tables)
+    params = ebc.init(jax.random.key(0))
+    opt = SGD(learning_rate=LR)
+    states = ebc.init_optimizer(params, opt)
+    return ebc, params, opt, states, rows
+
+
+def make_epoch_batches(rows, seed=0):
+    """Stacked [N_BATCH, ...] epoch data: ids + fixed lengths."""
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+
+    rng = np.random.default_rng(seed)
+    f = len(rows)
+    cap = f * BATCH * IDS_PER_FEATURE
+    all_values = np.zeros((BATCHES_PER_EPOCH, cap), dtype=np.int32)
+    for bi in range(BATCHES_PER_EPOCH):
+        pos = 0
+        for fi, r in enumerate(rows):
+            n = BATCH * IDS_PER_FEATURE
+            all_values[bi, pos : pos + n] = rng.integers(0, r, size=n)
+            pos += n
+    lengths = np.full((f, BATCH), IDS_PER_FEATURE, dtype=np.int32)
+    keys = [f"f{i}" for i in range(f)]
+    kjt_proto = KeyedJaggedTensor(
+        keys=keys, values=jnp.zeros(cap, jnp.int32), lengths=jnp.asarray(lengths)
+    )
+    return jnp.asarray(all_values), kjt_proto
+
+
+def main():
+    ebc, params, opt, states, rows = build()
+    values_stack, kjt_proto = make_epoch_batches(rows)
+    total_dim = DIM * len(rows)
+
+    import dataclasses
+
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+
+    keys = kjt_proto.keys()
+    lengths_const = kjt_proto.lengths()
+
+    def one_step(carry, values):
+        params, states = carry
+        kjt = KeyedJaggedTensor(keys=keys, values=values, lengths=lengths_const)
+        # d(sum(pooled))/d(pooled) == ones: skip the forward+AD round trip
+        # the same way XLA would DCE it, but keep the forward live so the
+        # benchmark measures lookup + backward + update like the reference.
+        kt = ebc.apply(params, kjt)
+        cot = jnp.ones((BATCH, total_dim), kt.values().dtype) + 0.0 * kt.values()
+        params, states = ebc.apply_gradients(params, states, opt, kjt, cot)
+        return (params, states), kt.values()[0, 0]
+
+    @jax.jit
+    def epoch(params, states, values_stack):
+        (params, states), probe = jax.lax.scan(
+            one_step, (params, states), values_stack
+        )
+        return params, states, probe
+
+    epoch = jax.jit(epoch, donate_argnums=(0, 1))
+
+    # warmup / compile
+    params, states, probe = epoch(params, states, values_stack)
+    jax.block_until_ready(probe)
+
+    times = []
+    n_epochs = 20
+    for _ in range(n_epochs):
+        t0 = time.perf_counter()
+        params, states, probe = epoch(params, states, values_stack)
+        jax.block_until_ready(probe)
+        times.append(time.perf_counter() - t0)
+
+    value = float(np.mean(times))
+    print(
+        json.dumps(
+            {
+                "metric": "fused_ebc_train_s_per_epoch_mlperf_div128",
+                "value": value,
+                "unit": "s/epoch",
+                "vs_baseline": BASELINE_S_PER_EPOCH / value,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
