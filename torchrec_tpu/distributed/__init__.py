@@ -1,0 +1,33 @@
+from torchrec_tpu.distributed.embeddingbag import ShardedEmbeddingBagCollection
+from torchrec_tpu.distributed.sharding_plan import (
+    column_wise,
+    construct_module_sharding_plan,
+    data_parallel,
+    grid_shard,
+    row_wise,
+    table_row_wise,
+    table_wise,
+)
+from torchrec_tpu.distributed.types import (
+    EmbeddingModuleShardingPlan,
+    ParameterSharding,
+    Shard,
+    ShardingEnv,
+    ShardingPlan,
+)
+
+__all__ = [
+    "ShardedEmbeddingBagCollection",
+    "column_wise",
+    "construct_module_sharding_plan",
+    "data_parallel",
+    "grid_shard",
+    "row_wise",
+    "table_row_wise",
+    "table_wise",
+    "EmbeddingModuleShardingPlan",
+    "ParameterSharding",
+    "Shard",
+    "ShardingEnv",
+    "ShardingPlan",
+]

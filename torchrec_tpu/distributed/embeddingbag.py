@@ -1,0 +1,794 @@
+"""ShardedEmbeddingBagCollection — SPMD sharded pooled lookups.
+
+Capability parity with torchrec/distributed/embeddingbag.py
+(ShardedEmbeddingBagCollection:492: input_dist -> lookup -> output_dist) and
+the sharding strategies of torchrec/distributed/sharding/ (tw/rw/cw/twrw/
+grid, one file each) — re-designed as ONE uniform SPMD program:
+
+* Every sharding type is compiled to the same structure: each (table,
+  column-block) becomes a **virtual table** whose rows are range-assigned to
+  devices. TW = one range on one device; RW = ranges on all devices; CW =
+  blocks on different devices; TWRW/GRID = ranges within a host group. The
+  *placement* lives in data arrays ``id_lo/id_hi/blob_off[device, feature,
+  block]`` indexed by ``lax.axis_index`` at runtime, so the program is
+  identical on every device (SPMD), only the data differs.
+
+* Per width class, each device owns one packed ``[local_rows, width]`` blob
+  (one buffer per device like FBGEMM TBE's per-rank table pack). Lookup =
+  blocks-many gather+segment-sum passes over the id stream with non-local
+  slots masked to an out-of-range segment; partial pooled sums are combined
+  with ``psum_scatter`` over the shard axis, which simultaneously performs
+  the reference's output_dist (PooledEmbeddingsReduceScatter,
+  dist_data.py:1731) and hands each device its batch slice.
+
+* Backward is the exact transpose: ``all_gather`` the pooled-grad batch,
+  expand to per-slot gradient rows, dedup locally, and run the fused
+  optimizer on the local blob — no cross-device traffic for the update
+  itself (gradients for a row only exist on the row's owner).
+
+* DATA_PARALLEL tables keep a replicated buffer; their (dense) gradients are
+  psum'd before a replicated update — the reference's DENSE-kernel + DDP
+  allreduce path (sharding/dp_sharding.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torchrec_tpu.distributed.types import (
+    EmbeddingModuleShardingPlan,
+    ShardingEnv,
+)
+from torchrec_tpu.modules.embedding_modules import EmbeddingBagCollection
+from torchrec_tpu.ops.fused_optim import EmbeddingOptimizer
+from torchrec_tpu.ops.lookup import dedup_rows, grad_rows
+from torchrec_tpu.sparse import KeyedJaggedTensor, KeyedTensor
+from torchrec_tpu.types import DataType, PoolingType, ShardingType
+
+__all__ = ["ShardedEmbeddingBagCollection"]
+
+Params = Dict[str, jnp.ndarray]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class _WidthClass:
+    """Static layout of one width class of virtual tables."""
+
+    key: str
+    width: int
+    data_type: DataType
+    max_blocks: int
+    num_vf: int
+    local_rows: int  # padded uniform per-device blob rows
+    # static per-vf metadata
+    vf_feature: Tuple[int, ...]  # logical feature index per vf
+    vf_col_start: Tuple[int, ...]  # column start within the feature's dim
+    # static [F+1, max_blocks]: vf position of (feature, block) or -1
+    vf_pos: np.ndarray
+    # data [W, F+1, max_blocks]
+    id_lo: np.ndarray
+    id_hi: np.ndarray
+    blob_off: np.ndarray
+    # per-device packing for (un)shard: list over devices of
+    # (table_name, block_col_start, row_lo, row_hi, blob_row)
+    packing: Tuple[Tuple[Tuple[str, int, int, int, int], ...], ...]
+
+
+class ShardedEmbeddingBagCollection:
+    """Drop-in sharded version of EmbeddingBagCollection.
+
+    All ``*_local`` methods run INSIDE ``shard_map`` (they use
+    ``lax.axis_index``/``psum_scatter``/``all_gather`` on ``env.shard_axis``);
+    ``apply``/``apply_gradients`` are standalone wrappers that build the
+    shard_map themselves.
+    """
+
+    def __init__(
+        self,
+        ebc: EmbeddingBagCollection,
+        plan: EmbeddingModuleShardingPlan,
+        env: ShardingEnv,
+    ):
+        self._ebc = ebc
+        self._plan = plan
+        self._env = env
+        w = env.world_size
+        tables = {t.name: t for t in ebc._tables}
+        f_count = len(ebc._feature_names)
+
+        for name in tables:
+            if name not in plan:
+                raise ValueError(f"table {name!r} missing from plan")
+
+        # ---- DP tables keep the unsharded grouped layout -------------------
+        dp_names = [
+            n for n, ps in plan.items()
+            if ps.sharding_type == ShardingType.DATA_PARALLEL
+        ]
+        self._dp_ebc: Optional[EmbeddingBagCollection] = None
+        self._dp_feature_ids: List[int] = []
+        if dp_names:
+            dp_tables = [tables[n] for n in dp_names]
+            self._dp_ebc = EmbeddingBagCollection(
+                dp_tables, is_weighted=ebc.is_weighted()
+            )
+            dp_feats = set(self._dp_ebc.feature_names())
+            self._dp_feature_ids = [
+                i for i, f in enumerate(ebc._feature_names) if f in dp_feats
+            ]
+
+        # ---- sharded tables -> width classes -------------------------------
+        # width class key: (col_count, data_type)
+        class_specs: Dict[Tuple[int, DataType], Dict] = {}
+        for name, ps in plan.items():
+            if ps.sharding_type == ShardingType.DATA_PARALLEL:
+                continue
+            t = tables[name]
+            # distinct column blocks
+            blocks = sorted({(s.col_start, s.col_count) for s in ps.shards})
+            for col_start, col_count in blocks:
+                ck = (col_count, t.data_type)
+                spec = class_specs.setdefault(
+                    ck, {"tables": []}
+                )
+                row_shards = [
+                    s for s in ps.shards
+                    if s.col_start == col_start and s.col_count == col_count
+                ]
+                spec["tables"].append((name, col_start, row_shards))
+
+        self._classes: List[_WidthClass] = []
+        feature_table = {
+            i: tables[ebc._tables[ti].name]
+            for i, ti in enumerate(ebc._feature_table)
+        }
+        feat_of_table: Dict[str, List[int]] = {}
+        for i, ti in enumerate(ebc._feature_table):
+            feat_of_table.setdefault(ebc._tables[ti].name, []).append(i)
+
+        for (width, dt), spec in sorted(
+            class_specs.items(), key=lambda kv: (kv[0][0], kv[0][1].value)
+        ):
+            # vf list: for each (table, block) in class, one vf per feature
+            vf_feature: List[int] = []
+            vf_col_start: List[int] = []
+            # block index per table within THIS class
+            tbl_block_counter: Dict[str, int] = {}
+            entries = []  # (table, class-block-idx, col_start, row_shards)
+            for name, col_start, row_shards in spec["tables"]:
+                bi = tbl_block_counter.get(name, 0)
+                tbl_block_counter[name] = bi + 1
+                entries.append((name, bi, col_start, row_shards))
+            max_blocks = max(tbl_block_counter.values())
+            vf_pos = np.full((f_count + 1, max_blocks), -1, dtype=np.int32)
+            ent_vf_base: List[Dict[int, int]] = []  # per entry: feature->vf
+            for name, bi, col_start, row_shards in entries:
+                fmap = {}
+                for fi in feat_of_table[name]:
+                    vf_pos[fi, bi] = len(vf_feature)
+                    fmap[fi] = len(vf_feature)
+                    vf_feature.append(fi)
+                    vf_col_start.append(col_start)
+                ent_vf_base.append(fmap)
+
+            # per-device placement + packing
+            id_lo = np.zeros((w, f_count + 1, max_blocks), np.int32)
+            id_hi = np.zeros((w, f_count + 1, max_blocks), np.int32)
+            blob_off = np.zeros((w, f_count + 1, max_blocks), np.int32)
+            packing: List[List[Tuple[str, int, int, int, int]]] = [
+                [] for _ in range(w)
+            ]
+            dev_rows = [0] * w
+            for name, bi, col_start, row_shards in entries:
+                for s in row_shards:
+                    d = s.rank
+                    if d < 0 or d >= w:
+                        raise ValueError(f"shard rank {d} outside world {w}")
+                    for fi in feat_of_table[name]:
+                        id_lo[d, fi, bi] = s.row_start
+                        id_hi[d, fi, bi] = s.row_start + s.row_count
+                        blob_off[d, fi, bi] = dev_rows[d]
+                    packing[d].append(
+                        (
+                            name,
+                            col_start,
+                            s.row_start,
+                            s.row_start + s.row_count,
+                            dev_rows[d],
+                        )
+                    )
+                    dev_rows[d] += s.row_count
+            local_rows = _round_up(max(max(dev_rows), 1), 8)
+            self._classes.append(
+                _WidthClass(
+                    key=f"shard_w{width}_{dt.value.lower()}",
+                    width=width,
+                    data_type=dt,
+                    max_blocks=max_blocks,
+                    num_vf=len(vf_feature),
+                    local_rows=local_rows,
+                    vf_feature=tuple(vf_feature),
+                    vf_col_start=tuple(vf_col_start),
+                    vf_pos=vf_pos,
+                    id_lo=id_lo,
+                    id_hi=id_hi,
+                    blob_off=blob_off,
+                    packing=tuple(tuple(p) for p in packing),
+                )
+            )
+
+        # output column offsets per logical feature
+        dims = ebc.embedding_dims()
+        self._dims = dims
+        self._feature_col_off = np.concatenate([[0], np.cumsum(dims)])
+        self._total_dim = int(self._feature_col_off[-1])
+        self._poolings = [
+            ebc._tables[ebc._feature_table[i]].pooling
+            if hasattr(ebc._tables[ebc._feature_table[i]], "pooling")
+            else PoolingType.SUM
+            for i in range(f_count)
+        ]
+
+    # ------------------------------------------------------------------ util
+    @property
+    def env(self) -> ShardingEnv:
+        return self._env
+
+    @property
+    def unsharded(self) -> EmbeddingBagCollection:
+        return self._ebc
+
+    def feature_names(self) -> List[str]:
+        return self._ebc.feature_names()
+
+    def _sharding(self, *spec) -> jax.sharding.NamedSharding:
+        return jax.sharding.NamedSharding(
+            self._env.mesh, jax.sharding.PartitionSpec(*spec)
+        )
+
+    # -------------------------------------------------------------- params
+    def init(self, key: jax.Array) -> Params:
+        """Initialize sharded params directly (per-table init then placed)."""
+        return self.shard_params(self._ebc.init(key))
+
+    def shard_params(self, unsharded: Params) -> Params:
+        """Re-layout unsharded EBC group params into per-device blobs."""
+        per_table = {
+            t.name: np.asarray(self._ebc.table_slice(unsharded, t.name))
+            for t in self._ebc._tables
+        }
+        return self._shard_from_tables(per_table)
+
+    def _shard_from_tables(self, per_table: Dict[str, np.ndarray]) -> Params:
+        w = self._env.world_size
+        params: Params = {}
+        for c in self._classes:
+            blob = np.zeros((w, c.local_rows, c.width), dtype=np.float32)
+            for d in range(w):
+                for name, col_start, row_lo, row_hi, brow in c.packing[d]:
+                    blob[d, brow : brow + (row_hi - row_lo)] = per_table[name][
+                        row_lo:row_hi, col_start : col_start + c.width
+                    ]
+            params[c.key] = jax.device_put(
+                blob.astype(c.data_type.as_jnp()),
+                self._sharding(self._env.shard_axis, None, None),
+            )
+        if self._dp_ebc is not None:
+            dp_params = {}
+            for g in self._dp_ebc.groups:
+                parts = [per_table[n] for n in g.table_names]
+                dp_params[f"dp_{g.key}"] = jax.device_put(
+                    np.concatenate(parts, axis=0).astype(g.data_type.as_jnp()),
+                    self._sharding(),
+                )
+            params.update(dp_params)
+        return params
+
+    def unshard_params(self, params: Params) -> Dict[str, np.ndarray]:
+        """Gather per-table full weights (checkpoint/state_dict analog,
+        reference embeddingbag.py:1231 ShardedTensor views)."""
+        out: Dict[str, np.ndarray] = {}
+        for t in self._ebc._tables:
+            out[t.name] = np.zeros(
+                (t.num_embeddings, t.embedding_dim), np.float32
+            )
+        for c in self._classes:
+            blob = np.asarray(jax.device_get(params[c.key]), np.float32)
+            for d in range(self._env.world_size):
+                for name, col_start, row_lo, row_hi, brow in c.packing[d]:
+                    out[name][row_lo:row_hi, col_start : col_start + c.width] = (
+                        blob[d, brow : brow + (row_hi - row_lo)]
+                    )
+        if self._dp_ebc is not None:
+            for g in self._dp_ebc.groups:
+                stack = np.asarray(
+                    jax.device_get(params[f"dp_{g.key}"]), np.float32
+                )
+                for name, off, rows in zip(
+                    g.table_names, g.row_offsets, g.table_rows
+                ):
+                    out[name] = stack[off : off + rows]
+        return out
+
+    def init_optimizer(
+        self, params: Params, optimizer: EmbeddingOptimizer
+    ) -> Dict[str, Dict[str, jnp.ndarray]]:
+        states: Dict[str, Dict[str, jnp.ndarray]] = {}
+        for c in self._classes:
+            # per-device state: [W, local_rows, ...], sharded like the blob
+            proto = optimizer.init(jnp.zeros((c.local_rows, c.width), jnp.float32))
+            w = self._env.world_size
+            state = {
+                k: jax.device_put(
+                    jnp.broadcast_to(v[None], (w,) + v.shape),
+                    self._sharding(self._env.shard_axis, *([None] * v.ndim)),
+                )
+                for k, v in proto.items()
+            }
+            states[c.key] = state
+        if self._dp_ebc is not None:
+            for g in self._dp_ebc.groups:
+                states[f"dp_{g.key}"] = jax.tree_util.tree_map(
+                    lambda v: jax.device_put(v, self._sharding()),
+                    optimizer.init(params[f"dp_{g.key}"]),
+                )
+        return states
+
+    # ------------------------------------------------------------ SPMD core
+    def _slot_arrays(self, kjt: KeyedJaggedTensor):
+        kjt = kjt.select_keys(self._ebc._feature_names)
+        b = kjt.stride()
+        f = len(self._ebc._feature_names)
+        seg = kjt.segment_ids()
+        slot_feature = jnp.minimum(seg // b, f)
+        slot_batch = seg % jnp.int32(b)
+        return kjt, b, f, seg, slot_feature, slot_batch
+
+    def _class_pooled_local(
+        self,
+        c: _WidthClass,
+        blob: jnp.ndarray,  # [local_rows, width] local view
+        values: jnp.ndarray,
+        weights: Optional[jnp.ndarray],
+        slot_feature: jnp.ndarray,
+        slot_batch: jnp.ndarray,
+        b: int,
+        d: jnp.ndarray,  # device index along shard axis
+    ) -> jnp.ndarray:
+        """Local partial pooled sums [num_vf * B, width]."""
+        oob = c.num_vf * b
+        id_lo = jnp.asarray(c.id_lo)[d]  # [F+1, MB]
+        id_hi = jnp.asarray(c.id_hi)[d]
+        blob_off = jnp.asarray(c.blob_off)[d]
+        vf_pos = jnp.asarray(c.vf_pos)  # [F+1, MB]
+        table = blob.astype(jnp.float32) if c.data_type != DataType.FP32 else blob
+        pooled = jnp.zeros((oob, c.width), jnp.float32)
+        for blk in range(c.max_blocks):
+            lo = jnp.take(id_lo[:, blk], slot_feature)
+            hi = jnp.take(id_hi[:, blk], slot_feature)
+            off = jnp.take(blob_off[:, blk], slot_feature)
+            pos = jnp.take(vf_pos[:, blk], slot_feature)
+            valid = (pos >= 0) & (values >= lo) & (values < hi)
+            local_id = jnp.clip(values - lo + off, 0, c.local_rows - 1)
+            seg_blk = jnp.where(valid, pos * b + slot_batch, oob)
+            rows = jnp.take(table, local_id, axis=0)
+            if weights is not None:
+                rows = rows * weights[:, None].astype(rows.dtype)
+            pooled = pooled + jax.ops.segment_sum(
+                rows, seg_blk, num_segments=oob
+            )
+        return pooled
+
+    def _mean_scale(
+        self, c: _WidthClass, lengths: jnp.ndarray, b: int
+    ) -> Optional[jnp.ndarray]:
+        """[num_vf, B] 1/length scale for MEAN-pooled features (or None)."""
+        if self._ebc.is_weighted():
+            return None
+        mean_vfs = [
+            i for i, fi in enumerate(c.vf_feature)
+            if self._poolings[fi] == PoolingType.MEAN
+        ]
+        if not mean_vfs:
+            return None
+        scale = jnp.ones((c.num_vf, b), jnp.float32)
+        inv = 1.0 / jnp.maximum(lengths.astype(jnp.float32), 1.0)  # [F, B]
+        for i, fi in enumerate(c.vf_feature):
+            if self._poolings[fi] == PoolingType.MEAN:
+                scale = scale.at[i].set(inv[fi])
+        return scale
+
+    def apply_local(
+        self, params: Params, kjt: KeyedJaggedTensor
+    ) -> jnp.ndarray:
+        """Sharded forward (inside shard_map): global/replicated KJT in,
+        batch-sharded ``[B_local, total_dim]`` pooled values out."""
+        axis = self._env.shard_axis
+        w = self._env.world_size
+        d = jax.lax.axis_index(axis)
+        kjt, b, f, seg, slot_feature, slot_batch = self._slot_arrays(kjt)
+        if b % w:
+            raise ValueError(f"global batch {b} not divisible by world {w}")
+        b_local = b // w
+        values = kjt.values()
+        weights = kjt.weights() if self._ebc.is_weighted() else None
+        lengths = kjt.lengths()
+
+        out = jnp.zeros((b_local, self._total_dim), jnp.float32)
+        for c in self._classes:
+            blob = params[c.key]
+            blob = blob.reshape(blob.shape[-2], blob.shape[-1])  # [rows, w]
+            pooled = self._class_pooled_local(
+                c, blob, values, weights, slot_feature, slot_batch, b, d
+            )  # [num_vf*B, width]
+            scale = self._mean_scale(c, lengths, b)
+            pooled = pooled.reshape(c.num_vf, b, c.width)
+            if scale is not None:
+                pooled = pooled * scale[:, :, None]
+            # output dist: reduce-scatter over the batch dim
+            pooled = jnp.transpose(pooled, (1, 0, 2))  # [B, num_vf, width]
+            pooled = jax.lax.psum_scatter(
+                pooled, axis, scatter_dimension=0, tiled=True
+            )  # [B_local, num_vf, width]
+            for i, fi in enumerate(c.vf_feature):
+                col = int(self._feature_col_off[fi]) + c.vf_col_start[i]
+                out = jax.lax.dynamic_update_slice(
+                    out, pooled[:, i, :], (0, col)
+                )
+        if self._dp_ebc is not None:
+            dp_params = {
+                g.key: params[f"dp_{g.key}"] for g in self._dp_ebc.groups
+            }
+            # DP tables: lookup the local batch shard only
+            kjt_local = _kjt_batch_shard(kjt, d, w)
+            kt = self._dp_ebc.apply(dp_params, kjt_local)
+            dp_dims = dict(zip(kt.keys(), kt.length_per_key()))
+            off = 0
+            for key in kt.keys():
+                fi = self._ebc._feature_names.index(key)
+                col = int(self._feature_col_off[fi])
+                out = jax.lax.dynamic_update_slice(
+                    out,
+                    kt.values()[:, off : off + dp_dims[key]].astype(jnp.float32),
+                    (0, col),
+                )
+                off += dp_dims[key]
+        return out
+
+    def sparse_grads_local(
+        self, kjt: KeyedJaggedTensor, out_grad: jnp.ndarray
+    ) -> Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Transpose of apply_local: batch-sharded [B_local, total_dim]
+        cotangent -> per-class local (unique_ids, unique_grads)."""
+        axis = self._env.shard_axis
+        w = self._env.world_size
+        d = jax.lax.axis_index(axis)
+        kjt, b, f, seg, slot_feature, slot_batch = self._slot_arrays(kjt)
+        values = kjt.values()
+        weights = kjt.weights() if self._ebc.is_weighted() else None
+        lengths = kjt.lengths()
+        # transpose of psum_scatter = all_gather over batch
+        full_grad = jax.lax.all_gather(
+            out_grad, axis, axis=0, tiled=True
+        )  # [B, total_dim]
+
+        grads: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+        for c in self._classes:
+            oob = c.num_vf * b
+            # [num_vf, B, width] pooled-grad for this class
+            pg = jnp.stack(
+                [
+                    jax.lax.dynamic_slice(
+                        full_grad,
+                        (0, int(self._feature_col_off[fi]) + c.vf_col_start[i]),
+                        (b, c.width),
+                    )
+                    for i, fi in enumerate(c.vf_feature)
+                ],
+                axis=0,
+            )
+            scale = self._mean_scale(c, lengths, b)
+            if scale is not None:
+                pg = pg * scale[:, :, None]
+            pg_flat = pg.reshape(oob, c.width)
+
+            id_lo = jnp.asarray(c.id_lo)[d]
+            id_hi = jnp.asarray(c.id_hi)[d]
+            blob_off = jnp.asarray(c.blob_off)[d]
+            vf_pos = jnp.asarray(c.vf_pos)
+            n = values.shape[0]
+            all_ids = []
+            all_g = []
+            all_valid = []
+            for blk in range(c.max_blocks):
+                lo = jnp.take(id_lo[:, blk], slot_feature)
+                hi = jnp.take(id_hi[:, blk], slot_feature)
+                off = jnp.take(blob_off[:, blk], slot_feature)
+                pos = jnp.take(vf_pos[:, blk], slot_feature)
+                valid = (pos >= 0) & (values >= lo) & (values < hi)
+                local_id = jnp.clip(values - lo + off, 0, c.local_rows - 1)
+                seg_blk = jnp.where(valid, pos * b + slot_batch, oob)
+                g = grad_rows(pg_flat, seg_blk, oob, weights)
+                all_ids.append(local_id)
+                all_g.append(g)
+                all_valid.append(valid)
+            ids_cat = jnp.concatenate(all_ids)
+            g_cat = jnp.concatenate(all_g)
+            valid_cat = jnp.concatenate(all_valid)
+            uids, ugrads = dedup_rows(ids_cat, g_cat, valid_cat, c.local_rows)
+            grads[c.key] = (uids, ugrads)
+        return grads
+
+    def apply_gradients_local(
+        self,
+        params: Params,
+        opt_states: Dict[str, Dict[str, jnp.ndarray]],
+        optimizer: EmbeddingOptimizer,
+        kjt: KeyedJaggedTensor,
+        out_grad: jnp.ndarray,
+        lr=None,
+    ) -> Tuple[Params, Dict[str, Dict[str, jnp.ndarray]]]:
+        """Fused sparse update on local blobs (inside shard_map)."""
+        grads = self.sparse_grads_local(kjt, out_grad)
+        new_params = dict(params)
+        new_states = dict(opt_states)
+        for c in self._classes:
+            uids, ugrads = grads[c.key]
+            blob = params[c.key]
+            lead = blob.shape[0]  # 1 inside shard_map
+            state = {
+                k: v.reshape(v.shape[1:]) for k, v in opt_states[c.key].items()
+            }
+            new_blob, new_state = optimizer.update(
+                blob.reshape(blob.shape[-2], blob.shape[-1]),
+                state,
+                uids,
+                ugrads,
+                lr=lr,
+            )
+            new_params[c.key] = new_blob[None]
+            new_states[c.key] = {k: v[None] for k, v in new_state.items()}
+        if self._dp_ebc is not None:
+            axis = self._env.shard_axis
+            w = self._env.world_size
+            d = jax.lax.axis_index(axis)
+            kjt_sel, b, f, _, _, _ = self._slot_arrays(kjt)
+            kjt_local = _kjt_batch_shard(kjt_sel, d, w)
+            # grads of the DP columns, local batch
+            dp_grads_cols = []
+            dp_keys = self._dp_ebc.feature_names()
+            for key in dp_keys:
+                fi = self._ebc._feature_names.index(key)
+                col = int(self._feature_col_off[fi])
+                dp_grads_cols.append(
+                    jax.lax.dynamic_slice(
+                        out_grad, (0, col), (out_grad.shape[0], self._dims[fi])
+                    )
+                )
+            kt_grad = jnp.concatenate(dp_grads_cols, axis=1)
+            dp_params = {
+                g.key: params[f"dp_{g.key}"] for g in self._dp_ebc.groups
+            }
+            dp_states = {
+                g.key: opt_states[f"dp_{g.key}"] for g in self._dp_ebc.groups
+            }
+            sp = self._dp_ebc.sparse_grads(kjt_local, kt_grad)
+            for g in self._dp_ebc.groups:
+                uids, ugrads = sp[g.key]
+                # combine duplicate updates across devices: scatter to dense,
+                # psum, replicated update (reference DENSE + DDP allreduce)
+                dense = jnp.zeros_like(dp_params[g.key], jnp.float32)
+                dense = dense.at[uids].add(ugrads, mode="drop")
+                dense = jax.lax.psum(dense, self._env.shard_axis)
+                rows = dp_params[g.key].shape[0]
+                all_rows = jnp.arange(rows, dtype=jnp.int32)
+                new_t, new_s = optimizer.update(
+                    dp_params[g.key], dp_states[g.key], all_rows, dense, lr=lr
+                )
+                new_params[f"dp_{g.key}"] = new_t
+                new_states[f"dp_{g.key}"] = new_s
+        return new_params, new_states
+
+    # -------------------------------------------------- standalone wrappers
+    def apply(self, params: Params, kjt: KeyedJaggedTensor) -> KeyedTensor:
+        """Standalone sharded forward: wraps shard_map, returns a KeyedTensor
+        whose values are batch-sharded over the shard axis."""
+        from jax import shard_map
+
+        mesh = self._env.mesh
+        axis = self._env.shard_axis
+        P = jax.sharding.PartitionSpec
+        param_specs = self._param_specs()
+
+        @jax.jit
+        def run(params, kjt):
+            fn = shard_map(
+                lambda p, k: self.apply_local(p, k),
+                mesh=mesh,
+                in_specs=(param_specs, P()),
+                out_specs=P(axis),
+                check_vma=False,
+            )
+            return fn(params, kjt)
+
+        vals = run(params, kjt)
+        return KeyedTensor(
+            keys=self.feature_names(),
+            length_per_key=self._dims,
+            values=vals,
+        )
+
+    def apply_gradients(
+        self,
+        params: Params,
+        opt_states,
+        optimizer: EmbeddingOptimizer,
+        kjt: KeyedJaggedTensor,
+        out_grad: jnp.ndarray,
+        lr=None,
+    ):
+        from jax import shard_map
+
+        mesh = self._env.mesh
+        axis = self._env.shard_axis
+        P = jax.sharding.PartitionSpec
+        param_specs = self._param_specs()
+        state_specs = {
+            k: jax.tree_util.tree_map(
+                lambda v: P(axis, *([None] * (v.ndim - 1)))
+                if not k.startswith("dp_")
+                else P(),
+                opt_states[k],
+            )
+            for k in opt_states
+        }
+
+        fn = shard_map(
+            lambda p, s, k, g: self.apply_gradients_local(
+                p, s, optimizer, k, g, lr=lr
+            ),
+            mesh=mesh,
+            in_specs=(param_specs, state_specs, P(), P(axis)),
+            out_specs=(param_specs, state_specs),
+            check_vma=False,
+        )
+        return jax.jit(fn)(params, opt_states, kjt, out_grad)
+
+    def _param_specs(self):
+        P = jax.sharding.PartitionSpec
+        axis = self._env.shard_axis
+        specs = {c.key: P(axis, None, None) for c in self._classes}
+        if self._dp_ebc is not None:
+            for g in self._dp_ebc.groups:
+                specs[f"dp_{g.key}"] = P()
+        return specs
+
+
+def _kjt_batch_shard(
+    kjt: KeyedJaggedTensor, d: jnp.ndarray, w: int
+) -> KeyedJaggedTensor:
+    """Local batch slice of a replicated KJT (values buffer kept whole;
+    lengths sliced so only the local examples contribute)."""
+    b = kjt.stride()
+    b_local = b // w
+    lengths = kjt.lengths()
+    f = lengths.shape[0]
+    # mask lengths outside the local batch window to zero, keep the buffer:
+    # offsets stay consistent because segment ids are derived from the full
+    # physical lengths; instead we slice lengths and rebuild offsets via a
+    # a masked-lengths copy (values outside local rows become padding).
+    batch_ids = jnp.arange(b, dtype=jnp.int32)
+    in_window = (batch_ids >= d * b_local) & (batch_ids < (d + 1) * b_local)
+    masked = jnp.where(in_window[None, :], lengths, 0)
+    # local segment = f * b_local + (b - d*b_local): emulate by building a
+    # KJT with full stride but zeroed other-batch lengths, then pooling
+    # produces zeros there; finally slice the window rows.
+    return _WindowedKJT(kjt, masked, d * b_local, b_local)
+
+
+class _WindowedKJT(KeyedJaggedTensor):
+    """Replicated-buffer KJT view restricted to a batch window.
+
+    Reuses the full value buffer; ``lengths``/``segment_ids`` remap window
+    rows to [0, b_local) so an unsharded EBC sees a batch of b_local
+    examples. Supports key selection views like the base class.
+    """
+
+    def __init__(self, base: KeyedJaggedTensor, masked_lengths, start, b_local):
+        # physical lengths stay the base's (value layout unchanged);
+        # require physical == logical order so the buffer matches lengths.
+        base = base.materialize()
+        self._keys = tuple(base.keys())
+        self._values = base.values()
+        self._weights = base.weights_or_none()
+        self._lengths = base._lengths
+        self._sel = tuple(range(len(self._keys)))
+        self._start = start
+        self._b_local = b_local
+
+    def _view(self, sel):
+        obj = object.__new__(_WindowedKJT)
+        obj._keys = self._keys
+        obj._values = self._values
+        obj._weights = self._weights
+        obj._lengths = self._lengths
+        obj._start = self._start
+        obj._b_local = self._b_local
+        obj._sel = tuple(sel)
+        return obj
+
+    def tree_flatten(self):
+        return (
+            (self._values, self._lengths, self._weights, self._start),
+            (self._keys, self._sel, self._b_local),
+        )
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        keys, sel, b_local = aux
+        obj = object.__new__(cls)
+        obj._keys = keys
+        obj._values, obj._lengths, obj._weights, obj._start = children
+        obj._sel = sel
+        obj._b_local = b_local
+        return obj
+
+    def stride(self) -> int:
+        return self._b_local
+
+    def lengths(self):
+        sub = self._lengths[jnp.array(self._sel, dtype=jnp.int32), :]
+        return jax.lax.dynamic_slice(
+            sub, (0, self._start), (sub.shape[0], self._b_local)
+        )
+
+    def segment_ids(self, oob=None):
+        f_phys, b = self._lengths.shape
+        b_local = self._b_local
+        num_segments = self.num_keys * b_local
+        oob_val = num_segments if oob is None else oob
+        pos = [-1] * f_phys
+        for logical, phys in enumerate(self._sel):
+            pos[phys] = logical
+        pos_arr = jnp.array(pos, dtype=jnp.int32)
+        batch_ids = jnp.arange(b, dtype=jnp.int32)
+        local_b = batch_ids[None, :] - self._start
+        in_win = (local_b >= 0) & (local_b < b_local) & (pos_arr[:, None] >= 0)
+        seg = pos_arr[:, None] * b_local + jnp.clip(local_b, 0, b_local - 1)
+        seg = jnp.where(in_win, seg, oob_val)
+        from torchrec_tpu.sparse.jagged import _repeat_with_oob_tail
+
+        return _repeat_with_oob_tail(seg, self._lengths, self.capacity, oob_val)
+
+    def select_keys(self, keys):
+        key_to_phys = {k: i for i, k in enumerate(self._keys)}
+        return self._view([key_to_phys[k] for k in keys])
+
+    def permute(self, indices):
+        return self._view([self._sel[i] for i in indices])
+
+    def split(self, segments):
+        out, start = [], 0
+        for seg in segments:
+            out.append(self._view(self._sel[start : start + seg]))
+            start += seg
+        return out
+
+    def materialize(self):
+        raise NotImplementedError("windowed KJT views are lookup-only")
+
+
+jax.tree_util.register_pytree_node(
+    _WindowedKJT,
+    lambda t: t.tree_flatten(),
+    _WindowedKJT.tree_unflatten,
+)

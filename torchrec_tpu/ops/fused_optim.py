@@ -93,6 +93,11 @@ class RowWiseAdagrad(EmbeddingOptimizer):
         T_r   -= lr * G_r / (sqrt(s_r) + eps)
 
     State is [R] fp32 — 1/D of Adagrad's memory, the recsys default.
+
+    Under column-split shardings the "row" is the *local shard row* (one
+    column block), so the accumulator is per (row, block) — matching
+    FBGEMM's per-shard optimizer state, and hence the reference's behavior,
+    rather than unsharded full-row semantics.
     """
 
     eps: float = 1e-8
