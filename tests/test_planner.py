@@ -1,0 +1,237 @@
+"""Planner tests: enumerate/propose/partition/plan on synthetic topologies,
+and plan -> ShardedEmbeddingBagCollection integration.
+
+Reference analog: torchrec/distributed/planner/tests/ (pure CPU, no
+collectives).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from torchrec_tpu.distributed import ShardedEmbeddingBagCollection, ShardingEnv
+from torchrec_tpu.modules import EmbeddingBagCollection, EmbeddingBagConfig
+from torchrec_tpu.planner import (
+    DynamicProgrammingProposer,
+    EmbeddingEnumerator,
+    EmbeddingShardingPlanner,
+    EmbeddingStats,
+    GreedyPerfPartitioner,
+    GreedyProposer,
+    MemoryBalancedPartitioner,
+    ParameterConstraints,
+    PlannerError,
+    Topology,
+    UniformProposer,
+    plan_hash,
+)
+from torchrec_tpu.planner.partitioners import _per_rank
+from torchrec_tpu.planner.shard_estimators import (
+    EmbeddingPerfEstimator,
+    EmbeddingStorageEstimator,
+)
+from torchrec_tpu.types import ComputeKernel, ShardingType
+
+
+def tables(n=4, rows=100_000, dim=128):
+    return [
+        EmbeddingBagConfig(
+            name=f"t{i}", num_embeddings=rows * (i + 1), embedding_dim=dim,
+            feature_names=[f"f{i}"],
+        )
+        for i in range(n)
+    ]
+
+
+def topo(world=8, gen="v5e", local=None):
+    return Topology(world_size=world, generation=gen, local_world_size=local)
+
+
+def estimated_options(tbls, t, **kw):
+    opts = EmbeddingEnumerator(t, **kw).enumerate(tbls)
+    pe = EmbeddingPerfEstimator(t)
+    se = EmbeddingStorageEstimator(t)
+    for o in opts:
+        pe.estimate(o)
+        se.estimate(o)
+    return opts
+
+
+class TestEnumerator:
+    def test_cross_product(self):
+        t = topo()
+        opts = EmbeddingEnumerator(t).enumerate(tables())
+        types = {(o.name, o.sharding_type) for o in opts}
+        # single host: DP, TW, RW, CW feasible; TWRW/GRID need >= 2 hosts
+        assert ("t0", ShardingType.TABLE_WISE) in types
+        assert ("t0", ShardingType.ROW_WISE) in types
+        assert ("t0", ShardingType.TABLE_ROW_WISE) not in types
+
+    def test_multihost_enables_twrw_grid(self):
+        t = topo(world=8, local=4)
+        opts = EmbeddingEnumerator(t).enumerate(tables(dim=256))
+        types = {o.sharding_type for o in opts}
+        assert ShardingType.TABLE_ROW_WISE in types
+        assert ShardingType.GRID_SHARD in types
+
+    def test_constraints_restrict(self):
+        t = topo()
+        c = {"t0": ParameterConstraints(
+            sharding_types=[ShardingType.TABLE_WISE])}
+        opts = EmbeddingEnumerator(t, c).enumerate(tables(n=1))
+        assert {o.sharding_type for o in opts} == {ShardingType.TABLE_WISE}
+
+    def test_cw_requires_wide_dim(self):
+        t = topo()
+        opts = EmbeddingEnumerator(t).enumerate(tables(n=1, dim=128))
+        assert ShardingType.COLUMN_WISE not in {o.sharding_type for o in opts}
+        opts = EmbeddingEnumerator(t).enumerate(tables(n=1, dim=256))
+        assert ShardingType.COLUMN_WISE in {o.sharding_type for o in opts}
+
+
+class TestEstimators:
+    def test_rw_cheaper_compute_than_tw(self):
+        t = topo()
+        opts = estimated_options(tables(n=1), t)
+        by_type = {o.sharding_type: o for o in opts}
+        rw = by_type[ShardingType.ROW_WISE]
+        tw = by_type[ShardingType.TABLE_WISE]
+        rw_max = max(s.perf.fwd_compute for s in rw.shards)
+        tw_max = max(s.perf.fwd_compute for s in tw.shards)
+        assert rw_max < tw_max
+
+    def test_storage_includes_optimizer(self):
+        t = topo()
+        opts = estimated_options(tables(n=1), t)
+        o = next(o for o in opts if o.sharding_type == ShardingType.TABLE_WISE)
+        table_bytes = o.table.num_embeddings * o.table.embedding_dim * 4
+        assert o.total_storage.hbm > table_bytes  # + opt state + activations
+
+    def test_faster_generation_lower_cost(self):
+        a = estimated_options(tables(n=1), topo(gen="v5e"))
+        b = estimated_options(tables(n=1), topo(gen="v5p"))
+        ta = next(o for o in a if o.sharding_type == ShardingType.TABLE_WISE)
+        tb = next(o for o in b if o.sharding_type == ShardingType.TABLE_WISE)
+        assert tb.total_perf < ta.total_perf
+
+
+class TestPartitioners:
+    def test_greedy_balances_perf(self):
+        t = topo()
+        opts = estimated_options(
+            tables(n=8), t,
+            sharding_types=[ShardingType.TABLE_WISE],
+        )
+        placed = GreedyPerfPartitioner().partition(opts, t)
+        perf, hbm = _per_rank(placed, t)
+        assert max(perf) < 2.5 * (sum(perf) / len(perf))
+        ranks = {s.rank for o in placed for s in o.shards}
+        assert len(ranks) == 8  # spread across all devices
+
+    def test_oom_raises(self):
+        t = topo()
+        t.hbm_cap = 2**20  # 1 MiB
+        opts = estimated_options(
+            tables(n=1), t, sharding_types=[ShardingType.TABLE_WISE]
+        )
+        with pytest.raises(PlannerError):
+            GreedyPerfPartitioner().partition(opts, t)
+
+    def test_memory_balanced_not_worse_than_greedy_budget(self):
+        t = topo()
+        opts = estimated_options(
+            tables(n=6), t,
+            sharding_types=[ShardingType.TABLE_WISE],
+        )
+        greedy = GreedyPerfPartitioner().partition(opts, t)
+        balanced = MemoryBalancedPartitioner().partition(opts, t)
+        _, hbm_g = _per_rank(greedy, t)
+        _, hbm_b = _per_rank(balanced, t)
+        assert max(hbm_b) <= max(hbm_g)
+
+
+class TestProposers:
+    def test_greedy_first_proposal_is_per_table_best(self):
+        t = topo()
+        opts = estimated_options(tables(), t)
+        first = next(GreedyProposer().propose(opts))
+        for o in first:
+            alternatives = [x for x in opts if x.name == o.name]
+            assert o.total_perf == min(a.total_perf for a in alternatives)
+
+    def test_uniform_yields_single_type_plans(self):
+        t = topo()
+        opts = estimated_options(tables(dim=256), t)
+        for proposal in UniformProposer().propose(opts):
+            assert len({o.sharding_type for o in proposal}) == 1
+
+    def test_dp_proposer_yields_feasible(self):
+        t = topo()
+        opts = estimated_options(tables(), t)
+        proposals = list(DynamicProgrammingProposer(t).propose(opts))
+        assert proposals
+        for p in proposals:
+            assert len(p) == 4
+
+
+class TestPlanner:
+    def test_end_to_end_plan(self):
+        t = topo()
+        planner = EmbeddingShardingPlanner(t, batch_size=1024)
+        plan = planner.plan(tables())
+        assert set(plan) == {"t0", "t1", "t2", "t3"}
+        assert planner.num_plans > 0
+        # every table fully covered by its shards
+        for name, ps in plan.items():
+            rows = sum(
+                s.row_count for s in ps.shards
+                if s.col_start == ps.shards[0].col_start
+            )
+            tab = next(x for x in tables() if x.name == name)
+            assert rows == tab.num_embeddings
+
+    def test_plan_feeds_sharded_ebc(self):
+        tbls = [
+            EmbeddingBagConfig(name="a", num_embeddings=2000,
+                               embedding_dim=128, feature_names=["fa"]),
+            EmbeddingBagConfig(name="b", num_embeddings=50,
+                               embedding_dim=128, feature_names=["fb"]),
+        ]
+        t = topo()
+        plan = EmbeddingShardingPlanner(t, batch_size=64).plan(tbls)
+        ebc = EmbeddingBagCollection(tbls)
+        env = ShardingEnv.from_devices(jax.devices()[:8])
+        sebc = ShardedEmbeddingBagCollection(ebc, plan, env)
+        params = ebc.init(jax.random.key(0))
+        sparams = sebc.shard_params(params)
+        rt = sebc.unshard_params(sparams)
+        for tb in tbls:
+            np.testing.assert_allclose(
+                rt[tb.name], np.asarray(ebc.table_slice(params, tb.name)),
+                rtol=1e-6,
+            )
+
+    def test_plan_hash_deterministic(self):
+        t = topo()
+        p1 = EmbeddingShardingPlanner(t).plan(tables())
+        p2 = EmbeddingShardingPlanner(t).plan(tables())
+        assert plan_hash(p1) == plan_hash(p2)
+
+    def test_infeasible_raises(self):
+        t = topo(world=2)
+        t.hbm_cap = 2**22  # 4 MiB
+        with pytest.raises(PlannerError):
+            EmbeddingShardingPlanner(t).plan(tables(rows=10_000_000))
+
+    def test_stats_render(self):
+        t = topo()
+        planner = EmbeddingShardingPlanner(t, debug=False)
+        plan = planner.plan(tables())
+        # re-rate best plan through stats rendering path
+        opts = estimated_options(tables(), t)
+        placed = GreedyPerfPartitioner().partition(
+            next(GreedyProposer().propose(opts)), t
+        )
+        text = EmbeddingStats().render(placed, t)
+        assert "Planner Statistics" in text
+        assert "t0" in text

@@ -44,6 +44,16 @@ __all__ = ["DistributedModelParallel", "default_plan"]
 P = jax.sharding.PartitionSpec
 
 
+def _infer_generation(device) -> str:
+    kind = getattr(device, "device_kind", "").lower()
+    for gen in ("v5p", "v5e", "v6e", "v4"):
+        if gen in kind:
+            return gen
+    if "v5" in kind:  # 'TPU v5 lite' etc.
+        return "v5e" if "lite" in kind else "v5p"
+    return "v5e"
+
+
 def default_plan(
     tables, env: ShardingEnv, rw_threshold_rows: int = 8192
 ) -> EmbeddingModuleShardingPlan:
@@ -73,11 +83,30 @@ class DistributedModelParallel:
         model: DLRM,
         env: Optional[ShardingEnv] = None,
         plan: Optional[EmbeddingModuleShardingPlan] = None,
+        planner=None,
+        batch_size: int = 512,
     ):
         self.model = model
         self.env = env if env is not None else ShardingEnv.from_devices()
         tables = model.embedding_bag_collection._tables
-        self.plan = plan if plan is not None else default_plan(tables, self.env)
+        if plan is None:
+            if planner is None:
+                # cost-model planner on the matching topology (the reference
+                # runs EmbeddingShardingPlanner by default, model_parallel.py:291)
+                from torchrec_tpu.planner import EmbeddingShardingPlanner, Topology
+
+                dev = self.env.mesh.devices.flat[0]
+                gen = _infer_generation(dev)
+                planner = EmbeddingShardingPlanner(
+                    Topology(
+                        world_size=self.env.world_size,
+                        generation=gen,
+                        local_world_size=self.env.local_size,
+                    ),
+                    batch_size=batch_size,
+                )
+            plan = planner.plan(tables)
+        self.plan = plan
         self.sharded_ebc = ShardedEmbeddingBagCollection(
             model.embedding_bag_collection, self.plan, self.env
         )

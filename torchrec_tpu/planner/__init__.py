@@ -1,0 +1,57 @@
+from torchrec_tpu.planner.enumerators import EmbeddingEnumerator
+from torchrec_tpu.planner.partitioners import (
+    GreedyPerfPartitioner,
+    MemoryBalancedPartitioner,
+)
+from torchrec_tpu.planner.perf_models import NoopPerfModel, NoopStorageModel
+from torchrec_tpu.planner.planners import EmbeddingShardingPlanner, plan_hash
+from torchrec_tpu.planner.proposers import (
+    DynamicProgrammingProposer,
+    GreedyProposer,
+    GridSearchProposer,
+    UniformProposer,
+)
+from torchrec_tpu.planner.shard_estimators import (
+    EmbeddingPerfEstimator,
+    EmbeddingStorageEstimator,
+)
+from torchrec_tpu.planner.stats import EmbeddingStats
+from torchrec_tpu.planner.storage_reservations import (
+    FixedPercentageStorageReservation,
+    HeuristicalStorageReservation,
+)
+from torchrec_tpu.planner.types import (
+    ParameterConstraints,
+    Perf,
+    PlannerError,
+    PlannerShard,
+    ShardingOption,
+    Storage,
+    Topology,
+)
+
+__all__ = [
+    "EmbeddingEnumerator",
+    "GreedyPerfPartitioner",
+    "MemoryBalancedPartitioner",
+    "NoopPerfModel",
+    "NoopStorageModel",
+    "EmbeddingShardingPlanner",
+    "plan_hash",
+    "DynamicProgrammingProposer",
+    "GreedyProposer",
+    "GridSearchProposer",
+    "UniformProposer",
+    "EmbeddingPerfEstimator",
+    "EmbeddingStorageEstimator",
+    "EmbeddingStats",
+    "FixedPercentageStorageReservation",
+    "HeuristicalStorageReservation",
+    "ParameterConstraints",
+    "Perf",
+    "PlannerError",
+    "PlannerShard",
+    "ShardingOption",
+    "Storage",
+    "Topology",
+]

@@ -1,0 +1,151 @@
+"""Proposers: generate candidate plans (one ShardingOption per table).
+
+Capability parity with torchrec/distributed/planner/proposers.py
+(GreedyProposer:34, UniformProposer:137, GridSearchProposer:207,
+DynamicProgrammingProposer:287).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Dict, Iterator, List, Optional, Sequence
+
+from torchrec_tpu.planner.types import ShardingOption, Topology
+
+__all__ = [
+    "GreedyProposer",
+    "UniformProposer",
+    "GridSearchProposer",
+    "DynamicProgrammingProposer",
+]
+
+
+def _group(options: Sequence[ShardingOption]) -> Dict[str, List[ShardingOption]]:
+    by_table: Dict[str, List[ShardingOption]] = {}
+    for o in options:
+        by_table.setdefault(o.name, []).append(o)
+    return by_table
+
+
+class GreedyProposer:
+    """First proposal: per-table best (lowest perf) option; then iteratively
+    flip the currently-worst table to its next-best alternative
+    (reference GreedyProposer:34)."""
+
+    def __init__(self, max_proposals: int = 50):
+        self._max = max_proposals
+
+    def propose(
+        self, options: Sequence[ShardingOption]
+    ) -> Iterator[List[ShardingOption]]:
+        by_table = {
+            name: sorted(opts, key=lambda o: o.total_perf)
+            for name, opts in _group(options).items()
+        }
+        idx = {name: 0 for name in by_table}
+        for _ in range(self._max):
+            proposal = [by_table[n][idx[n]] for n in by_table]
+            yield proposal
+            # advance the table whose current choice has the worst perf and
+            # still has alternatives
+            candidates = [
+                n for n in by_table if idx[n] + 1 < len(by_table[n])
+            ]
+            if not candidates:
+                return
+            worst = max(
+                candidates, key=lambda n: by_table[n][idx[n]].total_perf
+            )
+            idx[worst] += 1
+
+
+class UniformProposer:
+    """All tables use the same sharding type (reference UniformProposer:137)."""
+
+    def propose(
+        self, options: Sequence[ShardingOption]
+    ) -> Iterator[List[ShardingOption]]:
+        by_table = _group(options)
+        types = sorted(
+            {o.sharding_type for o in options}, key=lambda t: t.value
+        )
+        for st in types:
+            proposal = []
+            ok = True
+            for name, opts in by_table.items():
+                match = [o for o in opts if o.sharding_type == st]
+                if not match:
+                    ok = False
+                    break
+                proposal.append(min(match, key=lambda o: o.total_perf))
+            if ok:
+                yield proposal
+
+
+class GridSearchProposer:
+    """Full cross product, capped (reference GridSearchProposer:207)."""
+
+    def __init__(self, max_proposals: int = 10000):
+        self._max = max_proposals
+
+    def propose(
+        self, options: Sequence[ShardingOption]
+    ) -> Iterator[List[ShardingOption]]:
+        by_table = _group(options)
+        names = list(by_table)
+        count = 0
+        for combo in itertools.product(*(by_table[n] for n in names)):
+            yield list(combo)
+            count += 1
+            if count >= self._max:
+                return
+
+
+class DynamicProgrammingProposer:
+    """HBM-budgeted DP over (table, hbm-bucket) -> min total perf
+    (reference DynamicProgrammingProposer:287). Buckets global HBM into
+    ``num_buckets`` levels and picks, per budget level, the perf-optimal
+    per-table choices; yields proposals from tightest feasible budget up."""
+
+    def __init__(self, topology: Topology, num_buckets: int = 20):
+        self._budget = topology.hbm_cap * topology.world_size
+        self._buckets = num_buckets
+
+    def propose(
+        self, options: Sequence[ShardingOption]
+    ) -> Iterator[List[ShardingOption]]:
+        by_table = _group(options)
+        names = list(by_table)
+        unit = max(self._budget // self._buckets, 1)
+        nb = self._buckets
+        # dp[b] = (perf, choices): best total perf using <= b budget units
+        dp = [(0.0, []) if i == 0 else (float("inf"), None) for i in range(nb + 1)]
+        for name in names:
+            ndp = [(float("inf"), None)] * (nb + 1)
+            for o in by_table[name]:
+                cost = min((o.total_storage.hbm + unit - 1) // unit, nb)
+                perf = o.total_perf
+                for b in range(nb + 1 - cost):
+                    if dp[b][1] is None:
+                        continue
+                    tb = b + cost
+                    cand = dp[b][0] + perf
+                    if cand < ndp[tb][0]:
+                        ndp[tb] = (cand, dp[b][1] + [o])
+            # prefix-min so a bigger budget is never worse
+            best = (float("inf"), None)
+            for b in range(nb + 1):
+                if ndp[b][0] < best[0]:
+                    best = ndp[b]
+                ndp[b] = best
+            dp = ndp
+        seen = set()
+        for b in range(nb + 1):
+            perf, choices = dp[b]
+            if choices is None or len(choices) != len(names):
+                continue
+            key = tuple(id(o) for o in choices)
+            if key in seen:
+                continue
+            seen.add(key)
+            yield list(choices)

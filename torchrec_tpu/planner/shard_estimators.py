@@ -1,0 +1,149 @@
+"""Perf + storage estimators for sharding candidates.
+
+Capability parity with torchrec/distributed/planner/shard_estimators.py:71
+(EmbeddingPerfEstimator) and :126 (EmbeddingStorageEstimator), with the
+underlying roofline model re-derived for TPU:
+
+* lookup/update are HBM-bandwidth-bound: time = bytes_touched / hbm_bw
+  (+ a per-pass kernel overhead);
+* output/input dists ride ICI within a host/slice, DCN across hosts;
+  TWRW/GRID get the two-level discount the reference models via
+  intra/cross-node bandwidths (planner/constants.py:16-17);
+* host-offloaded kernels pay DDR bandwidth on the cache-miss fraction.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from torchrec_tpu.planner import constants
+from torchrec_tpu.planner.types import (
+    Perf,
+    PlannerShard,
+    ShardingOption,
+    Storage,
+    Topology,
+)
+from torchrec_tpu.types import ComputeKernel, ShardingType
+
+__all__ = ["EmbeddingPerfEstimator", "EmbeddingStorageEstimator"]
+
+
+class EmbeddingPerfEstimator:
+    def __init__(
+        self,
+        topology: Topology,
+        batch_size: int = 512,
+        optimizer: str = "rowwise_adagrad",
+    ):
+        self._t = topology
+        self._batch = batch_size
+        self._optimizer = optimizer
+
+    def estimate(self, option: ShardingOption) -> None:
+        for shard in option.shards:
+            shard.perf = self._shard_perf(option, shard)
+
+    def _shard_perf(self, o: ShardingOption, s: PlannerShard) -> Perf:
+        t = self._t
+        b = self._batch  # global batch
+        elem = o.table.data_type.bytes_per_element
+        st = o.sharding_type
+        w = t.world_size
+        # expected ids hitting this shard per step
+        total_ids = b * o.pooling_factor * o.table.num_features()
+        if st in (ShardingType.ROW_WISE,):
+            ids_here = total_ids / w
+        elif st in (ShardingType.TABLE_ROW_WISE, ShardingType.GRID_SHARD):
+            ids_here = total_ids / t.local_world_size
+        else:  # TW/CW/DP: every id of the table (or its column block)
+            ids_here = total_ids
+        if st == ShardingType.DATA_PARALLEL:
+            ids_here = total_ids / w  # local batch only
+
+        width_bytes = s.col_count * elem
+        fwd_bytes = ids_here * width_bytes
+        # bwd touches rows twice (grad scatter + optimizer state rows)
+        bwd_bytes = fwd_bytes * constants.BACKWARD_COMPUTE_MULTIPLIER
+
+        hbm_bw = t.hbm_bw
+        ddr_penalty = 0.0
+        if o.compute_kernel == ComputeKernel.FUSED_HOST_OFFLOAD:
+            # cache_load_factor fraction resident in HBM; misses stream DDR
+            clf = 0.2
+            ddr_penalty = (fwd_bytes + bwd_bytes) * (1 - clf) * (
+                1.0 / t.ddr_bw - 1.0 / hbm_bw
+            )
+
+        fwd_compute = fwd_bytes / hbm_bw + constants.KERNEL_OVERHEAD_S
+        bwd_compute = (
+            bwd_bytes / hbm_bw + constants.KERNEL_OVERHEAD_S + ddr_penalty
+        )
+
+        # comms: pooled output rows this shard produces must reach the batch
+        # owners; grads come back the same way
+        out_bytes = b * s.col_count * 4 * o.table.num_features()
+        if st == ShardingType.DATA_PARALLEL:
+            fwd_comms = 0.0
+            # dense grad allreduce over the table
+            bwd_comms = (
+                2 * o.table.num_embeddings * s.col_count * 4 / (w * t.ici_bw)
+            )
+        elif st in (ShardingType.TABLE_ROW_WISE, ShardingType.GRID_SHARD):
+            # two-level: reduce-scatter intra-host (ICI) + a2a across hosts
+            intra = out_bytes / (t.local_world_size * t.ici_bw)
+            cross = out_bytes / (t.local_world_size * t.inter_host_bw())
+            fwd_comms = (intra + cross) / o.num_shards
+            bwd_comms = fwd_comms
+        else:
+            share = 1.0 if st == ShardingType.TABLE_WISE else 1.0 / o.num_shards
+            fwd_comms = out_bytes * share * (w - 1) / (w * t.ici_bw)
+            bwd_comms = fwd_comms
+
+        # input dist: this shard's id bytes over ICI (ids are int32)
+        input_dist = ids_here * 4 * (w - 1) / (w * t.ici_bw)
+        if st == ShardingType.DATA_PARALLEL:
+            input_dist = 0.0
+
+        return Perf(
+            fwd_compute=fwd_compute,
+            fwd_comms=fwd_comms,
+            bwd_compute=bwd_compute,
+            bwd_comms=bwd_comms,
+            input_dist=input_dist,
+        )
+
+
+class EmbeddingStorageEstimator:
+    def __init__(
+        self,
+        topology: Topology,
+        batch_size: int = 512,
+        optimizer: str = "rowwise_adagrad",
+    ):
+        self._t = topology
+        self._batch = batch_size
+        self._optimizer = optimizer
+
+    def estimate(self, option: ShardingOption) -> None:
+        opt_mult = constants.OPTIMIZER_STATE_MULTIPLIER.get(
+            self._optimizer, 1.0
+        )
+        elem = option.table.data_type.bytes_per_element
+        for s in option.shards:
+            table_bytes = int(s.row_count * s.col_count * elem)
+            opt_bytes = int(s.row_count * s.col_count * 4 * opt_mult)
+            # activations: pooled output + gathered grad rows
+            act_bytes = int(
+                self._batch * s.col_count * 4 * option.table.num_features() * 2
+            )
+            total = table_bytes + opt_bytes + act_bytes
+            if option.compute_kernel == ComputeKernel.FUSED_HOST_OFFLOAD:
+                clf = 0.2
+                s.storage = Storage(
+                    hbm=int(total * clf) + act_bytes, ddr=table_bytes
+                )
+            elif option.compute_kernel == ComputeKernel.KEY_VALUE:
+                s.storage = Storage(hbm=act_bytes, ddr=table_bytes + opt_bytes)
+            else:
+                s.storage = Storage(hbm=total, ddr=0)
