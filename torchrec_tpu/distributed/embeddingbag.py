@@ -581,18 +581,20 @@ class ShardedEmbeddingBagCollection:
             dp_states = {
                 g.key: opt_states[f"dp_{g.key}"] for g in self._dp_ebc.groups
             }
-            sp = self._dp_ebc.sparse_grads(kjt_local, kt_grad)
+            dg = self._dp_ebc.dense_grads(kjt_local, kt_grad)
             for g in self._dp_ebc.groups:
-                uids, ugrads = sp[g.key]
-                # combine duplicate updates across devices: scatter to dense,
-                # psum, replicated update (reference DENSE + DDP allreduce)
-                dense = jnp.zeros_like(dp_params[g.key], jnp.float32)
-                dense = dense.at[uids].add(ugrads, mode="drop")
-                dense = jax.lax.psum(dense, self._env.shard_axis)
-                rows = dp_params[g.key].shape[0]
-                all_rows = jnp.arange(rows, dtype=jnp.int32)
-                new_t, new_s = optimizer.update(
-                    dp_params[g.key], dp_states[g.key], all_rows, dense, lr=lr
+                # combine updates across devices: psum the dense accumulator
+                # then a replicated update (reference DENSE + DDP allreduce)
+                acc, touched = dg[g.key]
+                acc = jax.lax.psum(acc, self._env.shard_axis)
+                touched = (
+                    jax.lax.psum(
+                        touched.astype(jnp.int32), self._env.shard_axis
+                    )
+                    > 0
+                )
+                new_t, new_s = optimizer.dense_update(
+                    dp_params[g.key], dp_states[g.key], acc, touched, lr=lr
                 )
                 new_params[f"dp_{g.key}"] = new_t
                 new_states[f"dp_{g.key}"] = new_s

@@ -37,11 +37,18 @@ from torchrec_tpu.modules.embedding_configs import (
 )
 from torchrec_tpu.ops.fused_optim import EmbeddingOptimizer
 from torchrec_tpu.ops.lookup import (
+    accumulate_dense,
     dedup_rows,
     grad_rows,
     pooled_lookup,
     sequence_lookup,
 )
+
+# tables with at most this many rows take the sort-free dense-gradient
+# update path (scatters into small targets are ~5x faster on TPU than into
+# multi-million-row tables, and a whole-table fp32 accumulator of 16k x dim
+# is only a few MB)
+DENSE_GRAD_ROWS_THRESHOLD = 16384
 from torchrec_tpu.sparse import JaggedTensor, KeyedJaggedTensor, KeyedTensor
 from torchrec_tpu.types import DataType, PoolingType
 
@@ -56,7 +63,14 @@ Params = Dict[str, jnp.ndarray]
 
 @dataclasses.dataclass(frozen=True)
 class TableGroup:
-    """Static layout of one stacked same-(dim,dtype) table group."""
+    """Static layout of one stacked same-(dim,dtype) table group.
+
+    Small tables (rows <= DENSE_GRAD_ROWS_THRESHOLD) are packed FIRST in
+    the stack; ``small_rows`` marks the boundary. The forward is one fused
+    gather+pool pass over the whole stack; the backward splits at the
+    boundary — rows below it take the sort-free dense-accumulator update,
+    rows above take sort/dedup + sorted-unique scatter.
+    """
 
     key: str  # param-dict key
     dim: int
@@ -64,6 +78,7 @@ class TableGroup:
     table_names: Tuple[str, ...]
     table_rows: Tuple[int, ...]  # rows per table, stacking order
     row_offsets: Tuple[int, ...]  # start row of each table in the stack
+    small_rows: int = 0  # rows [0, small_rows) take the dense-update path
 
     @property
     def total_rows(self) -> int:
@@ -96,7 +111,8 @@ class _EmbeddingCollectionBase:
                 self._feature_names.append(f)
                 self._feature_table.append(ti)
 
-        # group tables by (dim, data_type)
+        # group tables by (dim, data_type); small tables packed first so the
+        # backward can split at a static row boundary (see TableGroup)
         group_map: Dict[Tuple[int, DataType], List[int]] = {}
         for ti, t in enumerate(tables):
             group_map.setdefault((t.embedding_dim, t.data_type), []).append(ti)
@@ -105,12 +121,18 @@ class _EmbeddingCollectionBase:
         for (dim, dt), tids in sorted(
             group_map.items(), key=lambda kv: (kv[0][0], kv[0][1].value)
         ):
+            tids = sorted(
+                tids, key=lambda ti: tables[ti].num_embeddings > DENSE_GRAD_ROWS_THRESHOLD
+            )
             offsets, rows = [], []
             off = 0
+            small_rows = 0
             for ti in tids:
                 offsets.append(off)
                 rows.append(tables[ti].num_embeddings)
                 off += tables[ti].num_embeddings
+                if tables[ti].num_embeddings <= DENSE_GRAD_ROWS_THRESHOLD:
+                    small_rows = off
             g = TableGroup(
                 key=f"group_d{dim}_{dt.value.lower()}",
                 dim=dim,
@@ -118,6 +140,7 @@ class _EmbeddingCollectionBase:
                 table_names=tuple(tables[ti].name for ti in tids),
                 table_rows=tuple(rows),
                 row_offsets=tuple(offsets),
+                small_rows=small_rows,
             )
             gi = len(self._groups)
             self._groups.append(g)
@@ -217,9 +240,17 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
         self,
         tables: Sequence[EmbeddingBagConfig],
         is_weighted: bool = False,
+        max_unique_gradient_rows: Optional[int] = None,
     ):
+        """``max_unique_gradient_rows``: optional perf hint — an upper bound
+        on DISTINCT large-table rows touched per step (e.g. sum over large
+        tables of batch*pooling_factor, plus 1). Shrinks the padded
+        sorted-unique scatter in the backward. UNCHECKED: if exceeded, excess
+        rows' gradients are dropped (like the reference trusting
+        ParameterConstraints.pooling_factors)."""
         super().__init__(tables)
         self._is_weighted = is_weighted
+        self._max_unique = max_unique_gradient_rows
         self._poolings: List[PoolingType] = [
             tables[self._feature_table[fi]].pooling
             for fi in range(len(self._feature_names))
@@ -251,6 +282,12 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
             )
             if n_gf == 0:
                 continue
+            # segments are non-decreasing when the stream is feature-major in
+            # module order and this group covers every feature (common case)
+            sorted_ok = (
+                kjt._sel == tuple(range(len(kjt._keys)))
+                and len(self._group_features[gi]) == f
+            )
             pooled = pooled_lookup(
                 params[g.key].astype(jnp.float32)
                 if g.data_type != DataType.FP32
@@ -259,6 +296,7 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 seg_g,
                 n_gf * b,
                 weights,
+                indices_are_sorted=sorted_ok,
             )  # [n_gf*B, dim]
             pooled = pooled.reshape(n_gf, b, g.dim)
             for local, fi in enumerate(self._group_features[gi]):
@@ -284,6 +322,33 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
         batched_embedding_kernel.py:1215)."""
         return {g.key: optimizer.init(params[g.key]) for g in self._groups}
 
+    def _group_slot_grads(self, kjt: KeyedJaggedTensor, kt_grad: jnp.ndarray):
+        """Per-group per-value-slot gradient rows (shared backward prefix):
+        yields (group, ids_g, g_slots, in_group)."""
+        kjt, b, f, seg, slot_feature, slot_batch = self._prep(kjt)
+        values = kjt.values()
+        weights = kjt.weights() if self._is_weighted else None
+        lengths = kjt.lengths()
+        dims = self.embedding_dims()
+        dim_offsets = np.concatenate([[0], np.cumsum(dims)])
+        for gi, g in enumerate(self._groups):
+            feats = self._group_features[gi]
+            if not feats:
+                continue
+            ids_g, seg_g, in_group, n_gf = self._group_indices(
+                gi, values, seg, slot_feature, slot_batch, b
+            )
+            parts = []
+            for fi in feats:
+                gslice = kt_grad[:, dim_offsets[fi] : dim_offsets[fi + 1]]
+                if self._poolings[fi] == PoolingType.MEAN and not self._is_weighted:
+                    denom = jnp.maximum(lengths[fi].astype(gslice.dtype), 1.0)
+                    gslice = gslice / denom[:, None]
+                parts.append(gslice)
+            pooled_grad = jnp.concatenate(parts, axis=0)  # [n_gf*B, dim]
+            g_slots = grad_rows(pooled_grad, seg_g, n_gf * b, weights)
+            yield g, ids_g, g_slots, in_group
+
     def sparse_grads(
         self, kjt: KeyedJaggedTensor, kt_grad: jnp.ndarray
     ) -> Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]:
@@ -294,36 +359,24 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
         This is the reference's TBE backward (a2a'd gradient -> exact
         per-row gradient) without ever materializing a dense table grad.
         """
-        kjt, b, f, seg, slot_feature, slot_batch = self._prep(kjt)
-        values = kjt.values()
-        weights = kjt.weights() if self._is_weighted else None
-        lengths = kjt.lengths()
-        dims = self.embedding_dims()
-        dim_offsets = np.concatenate([[0], np.cumsum(dims)])
+        return {
+            g.key: dedup_rows(ids_g, g_slots, in_group, g.total_rows)
+            for g, ids_g, g_slots, in_group in self._group_slot_grads(
+                kjt, kt_grad
+            )
+        }
 
-        out: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
-        for gi, g in enumerate(self._groups):
-            feats = self._group_features[gi]
-            if not feats:
-                continue
-            ids_g, seg_g, in_group, n_gf = self._group_indices(
-                gi, values, seg, slot_feature, slot_batch, b
+    def dense_grads(
+        self, kjt: KeyedJaggedTensor, kt_grad: jnp.ndarray
+    ) -> Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Whole-group-blob gradient accumulators (sort-free path):
+        {group_key: (grad [rows, dim], touched [rows])}."""
+        return {
+            g.key: accumulate_dense(ids_g, g_slots, in_group, g.total_rows)
+            for g, ids_g, g_slots, in_group in self._group_slot_grads(
+                kjt, kt_grad
             )
-            # [n_gf*B, dim] pooled-output grads for this group's features
-            parts = []
-            for fi in feats:
-                gslice = kt_grad[:, dim_offsets[fi] : dim_offsets[fi + 1]]
-                if self._poolings[fi] == PoolingType.MEAN and not self._is_weighted:
-                    denom = jnp.maximum(lengths[fi].astype(gslice.dtype), 1.0)
-                    gslice = gslice / denom[:, None]
-                parts.append(gslice)
-            pooled_grad = jnp.concatenate(parts, axis=0)  # [n_gf*B, dim]
-            g_slots = grad_rows(pooled_grad, seg_g, n_gf * b, weights)
-            uniq_ids, uniq_grads = dedup_rows(
-                ids_g, g_slots, in_group, g.total_rows
-            )
-            out[g.key] = (uniq_ids, uniq_grads)
-        return out
+        }
 
     def apply_gradients(
         self,
@@ -340,17 +393,37 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
         tables in-place in HBM — the reference's
         apply_optimizer_in_backward + TBE fused update
         (examples/golden_training/train_dlrm.py:114-118).
+
+        Small-table groups take the sort-free dense-accumulator path; large
+        groups take sort/dedup + sorted-unique scatter. Same math either way.
         """
-        grads = self.sparse_grads(kjt, kt_grad)
         new_params = dict(params)
         new_states = dict(opt_states)
-        for g in self._groups:
-            if g.key not in grads:
-                continue
-            uids, ugrads = grads[g.key]
-            new_params[g.key], new_states[g.key] = optimizer.update(
-                params[g.key], opt_states[g.key], uids, ugrads, lr=lr
-            )
+        for g, ids_g, g_slots, in_group in self._group_slot_grads(kjt, kt_grad):
+            small, total = g.small_rows, g.total_rows
+            tbl, st = params[g.key], opt_states[g.key]
+            if small < total:  # large-table rows: sort/dedup + sparse scatter
+                valid_l = in_group & (ids_g >= small)
+                uids, ugrads = dedup_rows(
+                    ids_g, g_slots, valid_l, total,
+                    unique_bound=self._max_unique,
+                )
+                tbl, st = optimizer.update(tbl, st, uids, ugrads, lr=lr)
+            if small > 0:  # small-table rows: sort-free dense accumulator
+                valid_s = in_group & (ids_g < small)
+                acc, touched = accumulate_dense(ids_g, g_slots, valid_s, small)
+                st_s = {k: v[:small] for k, v in st.items()}
+                tbl_s, st_s = optimizer.dense_update(
+                    tbl[:small], st_s, acc, touched, lr=lr
+                )
+                tbl = jax.lax.dynamic_update_slice(tbl, tbl_s, (0, 0))
+                st = {
+                    k: jax.lax.dynamic_update_slice(
+                        st[k], st_s[k], (0,) * st[k].ndim
+                    )
+                    for k in st
+                }
+            new_params[g.key], new_states[g.key] = tbl, st
         return new_params, new_states
 
 

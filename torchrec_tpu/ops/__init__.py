@@ -7,6 +7,7 @@ from torchrec_tpu.ops.fused_optim import (
     make_optimizer,
 )
 from torchrec_tpu.ops.lookup import (
+    accumulate_dense,
     dedup_rows,
     grad_rows,
     pooled_lookup,
@@ -21,6 +22,7 @@ __all__ = [
     "SGD",
     "make_optimizer",
     "dedup_rows",
+    "accumulate_dense",
     "grad_rows",
     "pooled_lookup",
     "sequence_lookup",

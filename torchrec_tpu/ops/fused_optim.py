@@ -16,7 +16,15 @@ than eager nn.EmbeddingBag (reference benchmarks/README.md:44).
 
 ``unique_ids/unique_grads`` come from :func:`torchrec_tpu.ops.lookup.dedup_rows`
 (duplicates pre-combined), so every optimizer here is EXACT: one state
-update per touched row per step.
+update per touched row per step. ``unique_ids`` MUST be sorted ascending and
+all-distinct (dedup_rows guarantees this, with distinct out-of-range
+sentinels for padding) — updates claim the XLA
+``unique_indices/indices_are_sorted`` scatter fast path.
+
+``dense_update`` is the sort-free path for SMALL tables: a full
+``[rows, dim]`` gradient accumulator + touched mask
+(:func:`torchrec_tpu.ops.lookup.accumulate_dense`) updates every touched row
+without any big-table scatter.
 """
 
 from __future__ import annotations
@@ -61,6 +69,18 @@ class EmbeddingOptimizer:
     def _lr(self, lr):
         return self.learning_rate if lr is None else lr
 
+    def dense_update(
+        self,
+        table: jnp.ndarray,
+        state: Params,
+        grad: jnp.ndarray,  # [rows, dim] accumulated gradient (fp32)
+        touched: jnp.ndarray,  # [rows] bool: row appeared this step
+        lr: jnp.ndarray | float | None = None,
+    ) -> Tuple[jnp.ndarray, Params]:
+        """Sort-free whole-table update for small tables: identical math to
+        :meth:`update` on the touched rows, no scatter/gather at all."""
+        raise NotImplementedError
+
 
 @dataclasses.dataclass(frozen=True)
 class SGD(EmbeddingOptimizer):
@@ -75,12 +95,21 @@ class SGD(EmbeddingOptimizer):
         lr = self._lr(lr)
         g = unique_grads.astype(jnp.float32)
         if self.weight_decay:
-            rows = jnp.take(table, unique_ids, axis=0, mode="fill", fill_value=0)
+            rows = jnp.take(table, unique_ids, axis=0, mode="fill", fill_value=0, indices_are_sorted=True)
             g = g + self.weight_decay * rows.astype(jnp.float32)
         new_table = table.at[unique_ids].add(
-            (-lr * g).astype(table.dtype), mode="drop"
+            (-lr * g).astype(table.dtype), mode="drop", unique_indices=True, indices_are_sorted=True
         )
         return new_table, state
+
+    def dense_update(self, table, state, grad, touched, lr=None):
+        lr = self._lr(lr)
+        g = grad.astype(jnp.float32)
+        if self.weight_decay:
+            g = g + self.weight_decay * jnp.where(
+                touched[:, None], table.astype(jnp.float32), 0.0
+            )
+        return (table - (lr * g).astype(table.dtype)), state
 
 
 @dataclasses.dataclass(frozen=True)
@@ -115,16 +144,31 @@ class RowWiseAdagrad(EmbeddingOptimizer):
         lr = self._lr(lr)
         g = unique_grads.astype(jnp.float32)
         if self.weight_decay:
-            rows = jnp.take(table, unique_ids, axis=0, mode="fill", fill_value=0)
+            rows = jnp.take(table, unique_ids, axis=0, mode="fill", fill_value=0, indices_are_sorted=True)
             g = g + self.weight_decay * rows.astype(jnp.float32)
         gsq = jnp.mean(g * g, axis=1)  # [N]
-        mom = state["momentum"].at[unique_ids].add(gsq, mode="drop")
+        mom = state["momentum"].at[unique_ids].add(gsq, mode="drop", unique_indices=True, indices_are_sorted=True)
         mom_rows = jnp.take(
-            mom, unique_ids, axis=0, mode="fill", fill_value=1.0
+            mom, unique_ids, axis=0, mode="fill", fill_value=1.0,
+            indices_are_sorted=True,
         )
         delta = -lr * g / (jnp.sqrt(mom_rows)[:, None] + self.eps)
-        new_table = table.at[unique_ids].add(delta.astype(table.dtype), mode="drop")
+        new_table = table.at[unique_ids].add(delta.astype(table.dtype), mode="drop", unique_indices=True, indices_are_sorted=True)
         return new_table, {"momentum": mom}
+
+    def dense_update(self, table, state, grad, touched, lr=None):
+        lr = self._lr(lr)
+        g = grad.astype(jnp.float32)
+        if self.weight_decay:
+            g = g + self.weight_decay * jnp.where(
+                touched[:, None], table.astype(jnp.float32), 0.0
+            )
+        gsq = jnp.where(touched, jnp.mean(g * g, axis=1), 0.0)
+        mom = state["momentum"] + gsq
+        delta = jnp.where(
+            touched[:, None], -lr * g / (jnp.sqrt(mom)[:, None] + self.eps), 0.0
+        )
+        return table + delta.astype(table.dtype), {"momentum": mom}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -152,21 +196,38 @@ class Adam(EmbeddingOptimizer):
         lr = self._lr(lr)
         g = unique_grads.astype(jnp.float32)
         if self.weight_decay:
-            rows = jnp.take(table, unique_ids, axis=0, mode="fill", fill_value=0)
+            rows = jnp.take(table, unique_ids, axis=0, mode="fill", fill_value=0, indices_are_sorted=True)
             g = g + self.weight_decay * rows.astype(jnp.float32)
-        steps = state["steps"].at[unique_ids].add(1, mode="drop")
-        t = jnp.take(steps, unique_ids, mode="fill", fill_value=1).astype(jnp.float32)
-        m_rows = jnp.take(state["m"], unique_ids, axis=0, mode="fill", fill_value=0)
-        v_rows = jnp.take(state["v"], unique_ids, axis=0, mode="fill", fill_value=0)
+        steps = state["steps"].at[unique_ids].add(1, mode="drop", unique_indices=True, indices_are_sorted=True)
+        t = jnp.take(steps, unique_ids, mode="fill", fill_value=1, indices_are_sorted=True).astype(jnp.float32)
+        m_rows = jnp.take(state["m"], unique_ids, axis=0, mode="fill", fill_value=0, indices_are_sorted=True)
+        v_rows = jnp.take(state["v"], unique_ids, axis=0, mode="fill", fill_value=0, indices_are_sorted=True)
         m_new = self.beta1 * m_rows + (1 - self.beta1) * g
         v_new = self.beta2 * v_rows + (1 - self.beta2) * g * g
-        m = state["m"].at[unique_ids].set(m_new, mode="drop")
-        v = state["v"].at[unique_ids].set(v_new, mode="drop")
+        m = state["m"].at[unique_ids].set(m_new, mode="drop", unique_indices=True, indices_are_sorted=True)
+        v = state["v"].at[unique_ids].set(v_new, mode="drop", unique_indices=True, indices_are_sorted=True)
         m_hat = m_new / (1 - self.beta1 ** t)[:, None]
         v_hat = v_new / (1 - self.beta2 ** t)[:, None]
         delta = -lr * m_hat / (jnp.sqrt(v_hat) + self.eps)
-        new_table = table.at[unique_ids].add(delta.astype(table.dtype), mode="drop")
+        new_table = table.at[unique_ids].add(delta.astype(table.dtype), mode="drop", unique_indices=True, indices_are_sorted=True)
         return new_table, {"m": m, "v": v, "steps": steps}
+
+    def dense_update(self, table, state, grad, touched, lr=None):
+        lr = self._lr(lr)
+        g = grad.astype(jnp.float32)
+        if self.weight_decay:
+            g = g + self.weight_decay * jnp.where(
+                touched[:, None], table.astype(jnp.float32), 0.0
+            )
+        steps = state["steps"] + touched.astype(jnp.int32)
+        t = jnp.maximum(steps, 1).astype(jnp.float32)
+        tm = touched[:, None]
+        m = jnp.where(tm, self.beta1 * state["m"] + (1 - self.beta1) * g, state["m"])
+        v = jnp.where(tm, self.beta2 * state["v"] + (1 - self.beta2) * g * g, state["v"])
+        m_hat = m / (1 - self.beta1 ** t)[:, None]
+        v_hat = v / (1 - self.beta2 ** t)[:, None]
+        delta = jnp.where(tm, -lr * m_hat / (jnp.sqrt(v_hat) + self.eps), 0.0)
+        return table + delta.astype(table.dtype), {"m": m, "v": v, "steps": steps}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -188,19 +249,36 @@ class PartialRowWiseAdam(EmbeddingOptimizer):
     def update(self, table, state, unique_ids, unique_grads, lr=None):
         lr = self._lr(lr)
         g = unique_grads.astype(jnp.float32)
-        steps = state["steps"].at[unique_ids].add(1, mode="drop")
-        t = jnp.take(steps, unique_ids, mode="fill", fill_value=1).astype(jnp.float32)
-        m_rows = jnp.take(state["m"], unique_ids, axis=0, mode="fill", fill_value=0)
-        v_rows = jnp.take(state["v"], unique_ids, mode="fill", fill_value=0)
+        steps = state["steps"].at[unique_ids].add(1, mode="drop", unique_indices=True, indices_are_sorted=True)
+        t = jnp.take(steps, unique_ids, mode="fill", fill_value=1, indices_are_sorted=True).astype(jnp.float32)
+        m_rows = jnp.take(state["m"], unique_ids, axis=0, mode="fill", fill_value=0, indices_are_sorted=True)
+        v_rows = jnp.take(state["v"], unique_ids, mode="fill", fill_value=0, indices_are_sorted=True)
         m_new = self.beta1 * m_rows + (1 - self.beta1) * g
         v_new = self.beta2 * v_rows + (1 - self.beta2) * jnp.mean(g * g, axis=1)
-        m = state["m"].at[unique_ids].set(m_new, mode="drop")
-        v = state["v"].at[unique_ids].set(v_new, mode="drop")
+        m = state["m"].at[unique_ids].set(m_new, mode="drop", unique_indices=True, indices_are_sorted=True)
+        v = state["v"].at[unique_ids].set(v_new, mode="drop", unique_indices=True, indices_are_sorted=True)
         m_hat = m_new / (1 - self.beta1 ** t)[:, None]
         v_hat = v_new / (1 - self.beta2 ** t)
         delta = -lr * m_hat / (jnp.sqrt(v_hat)[:, None] + self.eps)
-        new_table = table.at[unique_ids].add(delta.astype(table.dtype), mode="drop")
+        new_table = table.at[unique_ids].add(delta.astype(table.dtype), mode="drop", unique_indices=True, indices_are_sorted=True)
         return new_table, {"m": m, "v": v, "steps": steps}
+
+    def dense_update(self, table, state, grad, touched, lr=None):
+        lr = self._lr(lr)
+        g = grad.astype(jnp.float32)
+        steps = state["steps"] + touched.astype(jnp.int32)
+        t = jnp.maximum(steps, 1).astype(jnp.float32)
+        tm = touched[:, None]
+        m = jnp.where(tm, self.beta1 * state["m"] + (1 - self.beta1) * g, state["m"])
+        v = jnp.where(
+            touched,
+            self.beta2 * state["v"] + (1 - self.beta2) * jnp.mean(g * g, axis=1),
+            state["v"],
+        )
+        m_hat = m / (1 - self.beta1 ** t)[:, None]
+        v_hat = v / (1 - self.beta2 ** t)
+        delta = jnp.where(tm, -lr * m_hat / (jnp.sqrt(v_hat)[:, None] + self.eps), 0.0)
+        return table + delta.astype(table.dtype), {"m": m, "v": v, "steps": steps}
 
 
 _REGISTRY = {

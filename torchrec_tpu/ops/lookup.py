@@ -29,6 +29,7 @@ __all__ = [
     "sequence_lookup",
     "grad_rows",
     "dedup_rows",
+    "accumulate_dense",
 ]
 
 
@@ -38,6 +39,7 @@ def pooled_lookup(
     segment_ids: jnp.ndarray,
     num_segments: int,
     weights: Optional[jnp.ndarray] = None,
+    indices_are_sorted: bool = False,
 ) -> jnp.ndarray:
     """Sum-pool embedding rows into segments.
 
@@ -51,7 +53,12 @@ def pooled_lookup(
     rows = jnp.take(table, ids, axis=0, mode="clip")  # clip: pad ids may be 0 anyway
     if weights is not None:
         rows = rows * weights[:, None].astype(rows.dtype)
-    return jax.ops.segment_sum(rows, segment_ids, num_segments=num_segments)
+    return jax.ops.segment_sum(
+        rows,
+        segment_ids,
+        num_segments=num_segments,
+        indices_are_sorted=indices_are_sorted,
+    )
 
 
 def sequence_lookup(
@@ -95,31 +102,68 @@ def dedup_rows(
     grads: jnp.ndarray,
     valid: jnp.ndarray,
     num_rows: int,
+    unique_bound: Optional[int] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Combine duplicate-row gradients: sort by id, segment-sum runs.
+    """Combine duplicate-row gradients: argsort ids, segment-sum runs.
 
-    Returns ``(unique_ids [N], unique_grads [N, D])`` where only the first
-    ``n_unique`` slots are real; the rest carry the sentinel id
-    ``num_rows`` (dropped by ``.at[].add(mode='drop')``).
+    Returns ``(unique_ids [U], unique_grads [U, D])``, U = unique_bound or N.
+    ``unique_ids`` is **sorted ascending and all-distinct**: real rows come
+    first, then *distinct* out-of-range sentinels ``num_rows + k`` (dropped
+    by ``mode='drop'`` scatters) — distinctness lets downstream scatters
+    legally claim ``unique_indices=True, indices_are_sorted=True``, the XLA
+    fast path that makes big-table updates ~2x faster on TPU.
+
+    Only the int keys are permuted; gradient rows are combined with ONE
+    unsorted segment-sum through the inverse permutation (no [N, D] row
+    shuffle — that shuffle was ~15% of a training step).
 
     This is what makes the row-wise optimizer EXACT (one state update per
     touched row, however many times it appeared in the batch — the
-    reference's EXACT_ROWWISE_ADAGRAD semantics), and it is also the shape
-    the Pallas scatter-update kernel wants (race-free unique rows).
+    reference's EXACT_ROWWISE_ADAGRAD semantics).
     """
     n = ids.shape[0]
     key = jnp.where(valid, ids, num_rows)  # padding sorts to the end
     order = jnp.argsort(key)
     sorted_ids = jnp.take(key, order)
-    sorted_grads = jnp.take(grads, order, axis=0)
     # run boundaries -> dense segment numbering
     is_new = jnp.concatenate(
         [jnp.ones((1,), jnp.int32), (sorted_ids[1:] != sorted_ids[:-1]).astype(jnp.int32)]
     )
-    seg = jnp.cumsum(is_new) - 1  # [N], 0..n_unique-1
-    uniq_grads = jax.ops.segment_sum(sorted_grads, seg, num_segments=n)
-    # representative id per segment (first occurrence)
-    uniq_ids = jnp.full((n,), num_rows, dtype=sorted_ids.dtype)
-    uniq_ids = uniq_ids.at[seg].min(sorted_ids, mode="drop")
-    # re-mark padding runs (they sorted last and carry sentinel already)
+    seg_sorted = jnp.cumsum(is_new) - 1  # [N], 0..n_unique-1
+    u = n if unique_bound is None or unique_bound >= n else unique_bound
+    # dedup segment of each ORIGINAL slot (inverse permutation)
+    seg_of_slot = jnp.zeros((n,), jnp.int32).at[order].set(
+        seg_sorted, unique_indices=True
+    )
+    # bounded target: segments >= u (only possible if the caller's bound was
+    # dishonest) are dropped, consistent with the documented hint contract
+    uniq_grads = jax.ops.segment_sum(grads, seg_of_slot, num_segments=u)
+    # representative id per segment; distinct sorted sentinels elsewhere
+    sentinels = num_rows + jnp.arange(u, dtype=sorted_ids.dtype)
+    uniq_ids = sentinels.at[jnp.minimum(seg_sorted, u - 1)].min(
+        jnp.where(seg_sorted < u, sorted_ids, jnp.int32(2**31 - 1)),
+        indices_are_sorted=True,
+    )
     return uniq_ids, uniq_grads
+
+
+def accumulate_dense(
+    ids: jnp.ndarray,
+    grads: jnp.ndarray,
+    valid: jnp.ndarray,
+    num_rows: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sort-free gradient combine for SMALL tables: scatter-add straight
+    into a dense ``[num_rows, D]`` accumulator (cheap when num_rows is a few
+    tens of thousands — scatters into small targets run ~5x faster than into
+    multi-million-row tables on TPU) plus a touched-row mask.
+
+    Feeds :meth:`EmbeddingOptimizer.dense_update` — no sort, no dedup, no
+    big-table scatter, still EXACT per-row semantics.
+    """
+    tgt = jnp.where(valid, ids, num_rows)
+    acc = jax.ops.segment_sum(grads, tgt, num_segments=num_rows)
+    counts = jax.ops.segment_sum(
+        valid.astype(jnp.int32), tgt, num_segments=num_rows
+    )
+    return acc, counts > 0
