@@ -1,0 +1,170 @@
+"""RecMetricModule: config-driven collection of streaming metrics.
+
+Capability parity with torchrec/metrics/metric_module.py:197
+(RecMetricModule: RecMetrics + ThroughputMetric, compute every
+``compute_interval_steps``, local vs cross-rank compute) and
+metrics_config.py:145 (MetricsConfig -> generate_metric_module).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from torchrec_tpu.metrics.metrics import (
+    AccuracyMetric,
+    AUCMetric,
+    AUPRCMetric,
+    CalibrationMetric,
+    CTRMetric,
+    LogLossMetric,
+    MAEMetric,
+    MSEMetric,
+    NDCGMetric,
+    NEMetric,
+    NMSEMetric,
+    PrecisionMetric,
+    RecallMetric,
+    WeightedAvgMetric,
+)
+from torchrec_tpu.metrics.rec_metric import RecMetric, RecTaskInfo
+from torchrec_tpu.metrics.throughput import ThroughputMetric
+
+__all__ = [
+    "RecMetricEnum",
+    "MetricsConfig",
+    "RecMetricModule",
+    "generate_metric_module",
+]
+
+
+class RecMetricEnum(enum.Enum):
+    NE = "ne"
+    LOG_LOSS = "log_loss"
+    AUC = "auc"
+    AUPRC = "auprc"
+    CALIBRATION = "calibration"
+    CTR = "ctr"
+    MSE = "mse"
+    MAE = "mae"
+    NMSE = "nmse"
+    ACCURACY = "accuracy"
+    PRECISION = "precision"
+    RECALL = "recall"
+    WEIGHTED_AVG = "weighted_avg"
+    NDCG = "ndcg"
+
+
+_FACTORY = {
+    RecMetricEnum.NE: NEMetric,
+    RecMetricEnum.LOG_LOSS: LogLossMetric,
+    RecMetricEnum.AUC: AUCMetric,
+    RecMetricEnum.AUPRC: AUPRCMetric,
+    RecMetricEnum.CALIBRATION: CalibrationMetric,
+    RecMetricEnum.CTR: CTRMetric,
+    RecMetricEnum.MSE: MSEMetric,
+    RecMetricEnum.MAE: MAEMetric,
+    RecMetricEnum.NMSE: NMSEMetric,
+    RecMetricEnum.ACCURACY: AccuracyMetric,
+    RecMetricEnum.PRECISION: PrecisionMetric,
+    RecMetricEnum.RECALL: RecallMetric,
+    RecMetricEnum.WEIGHTED_AVG: WeightedAvgMetric,
+    RecMetricEnum.NDCG: NDCGMetric,
+}
+
+
+@dataclasses.dataclass
+class MetricsConfig:
+    """Reference metrics_config.py:145."""
+
+    rec_metrics: Sequence[RecMetricEnum] = (RecMetricEnum.NE, RecMetricEnum.AUC)
+    rec_tasks: Sequence[RecTaskInfo] = (RecTaskInfo(),)
+    compute_interval_steps: int = 100
+    auc_window: int = 65536
+
+
+class RecMetricModule:
+    """Holds metric objects + one functional state pytree.
+
+    Usage inside a train loop:
+        state = mm.init_state()
+        state = mm.update(state, preds, labels, weights)  # jit-safe
+        if mm.should_compute(step): metrics = mm.compute(state)
+    """
+
+    def __init__(
+        self,
+        metrics: Sequence[RecMetric],
+        throughput: Optional[ThroughputMetric] = None,
+        compute_interval_steps: int = 100,
+    ):
+        self.metrics = list(metrics)
+        names = [m.metric_name for m in self.metrics]
+        if len(set(names)) != len(names):
+            raise ValueError(f"duplicate metric names: {names}")
+        self.throughput = throughput
+        self.compute_interval_steps = compute_interval_steps
+
+    def init_state(self) -> Dict[str, dict]:
+        return {m.metric_name: m.init_state() for m in self.metrics}
+
+    def update(self, state, predictions, labels, weights=None):
+        if self.throughput is not None:
+            self.throughput.update()
+        return {
+            m.metric_name: m.update(
+                state[m.metric_name], predictions, labels, weights
+            )
+            for m in self.metrics
+        }
+
+    def should_compute(self, step: int) -> bool:
+        return step > 0 and step % self.compute_interval_steps == 0
+
+    def compute(self, state) -> Dict[str, float]:
+        """Local compute (host): returns python floats."""
+        out: Dict[str, float] = {}
+        for m in self.metrics:
+            for k, v in m.compute(state[m.metric_name]).items():
+                out[k] = float(v)
+        if self.throughput is not None:
+            out.update(self.throughput.compute())
+        return out
+
+    def sync_and_compute(self, state, axis_name: str):
+        """Cross-rank compute (inside shard_map): sync each metric's state
+        then compute; returns a dict of traced scalars (replicated)."""
+        out = {}
+        for m in self.metrics:
+            synced = m.sync(state[m.metric_name], axis_name)
+            out.update(m.compute(synced))
+        return out
+
+
+def generate_metric_module(
+    config: MetricsConfig,
+    batch_size: int = 0,
+    world_size: int = 1,
+) -> RecMetricModule:
+    """Reference metric_module.py generate_metric_module."""
+    metrics: List[RecMetric] = []
+    for e in config.rec_metrics:
+        cls = _FACTORY[e]
+        if e in (RecMetricEnum.AUC, RecMetricEnum.AUPRC):
+            metrics.append(cls(tasks=config.rec_tasks, window=config.auc_window))
+        else:
+            metrics.append(cls(tasks=config.rec_tasks))
+    throughput = (
+        ThroughputMetric(batch_size=batch_size, world_size=world_size)
+        if batch_size
+        else None
+    )
+    return RecMetricModule(
+        metrics,
+        throughput=throughput,
+        compute_interval_steps=config.compute_interval_steps,
+    )
