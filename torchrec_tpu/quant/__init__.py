@@ -1,0 +1,11 @@
+from torchrec_tpu.quant.embedding_modules import (
+    QuantEmbeddingBagCollection,
+    dequantize_table,
+    quantize_table,
+)
+
+__all__ = [
+    "QuantEmbeddingBagCollection",
+    "dequantize_table",
+    "quantize_table",
+]

@@ -1,0 +1,141 @@
+"""Quantized embedding collections for inference.
+
+Capability parity with torchrec/quant/embedding_modules.py
+(QuantEmbeddingBagCollection:337, QuantEmbeddingCollection:739 — int8/int4/
+fp8 table-batched inference modules converted from trained modules).
+
+TPU-first: row-wise symmetric-range quantization — per-row fp32
+(scale, zero) arrays beside an int8 (or fp8) value array; dequant fuses
+into the gather+pool (XLA fuses the elementwise dequant into the
+scatter-add consumer). int8 rows are also the layout the Pallas quant
+lookup kernel consumes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from torchrec_tpu.modules.embedding_configs import EmbeddingBagConfig
+from torchrec_tpu.modules.embedding_modules import (
+    EmbeddingBagCollection,
+    TableGroup,
+)
+from torchrec_tpu.sparse import KeyedJaggedTensor, KeyedTensor
+from torchrec_tpu.types import DataType, PoolingType
+
+__all__ = ["QuantEmbeddingBagCollection", "quantize_table", "dequantize_table"]
+
+QuantParams = Dict[str, Dict[str, jnp.ndarray]]
+
+
+def quantize_table(
+    weights: jnp.ndarray, data_type: DataType
+) -> Dict[str, jnp.ndarray]:
+    """Row-wise quantization of a [R, D] fp table."""
+    w = weights.astype(jnp.float32)
+    if data_type == DataType.INT8:
+        lo = jnp.min(w, axis=1, keepdims=True)
+        hi = jnp.max(w, axis=1, keepdims=True)
+        scale = jnp.maximum((hi - lo) / 255.0, 1e-12)
+        zero = lo + 127.0 * scale
+        q = jnp.clip(jnp.round((w - zero) / scale), -128, 127).astype(jnp.int8)
+        return {"q": q, "scale": scale[:, 0], "zero": zero[:, 0]}
+    if data_type == DataType.FP8:
+        return {"q": w.astype(jnp.float8_e4m3fn)}
+    if data_type == DataType.FP16:
+        return {"q": w.astype(jnp.float16)}
+    if data_type == DataType.BF16:
+        return {"q": w.astype(jnp.bfloat16)}
+    raise NotImplementedError(f"quant dtype {data_type}")
+
+
+def dequantize_table(qt: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    q = qt["q"]
+    if q.dtype == jnp.int8:
+        return q.astype(jnp.float32) * qt["scale"][:, None] + qt["zero"][:, None]
+    return q.astype(jnp.float32)
+
+
+class QuantEmbeddingBagCollection:
+    """Inference EBC over quantized group blobs: forward(KJT) -> KeyedTensor.
+
+    Build from a trained EmbeddingBagCollection with :meth:`quantize_from`
+    (the reference's ``QuantEmbeddingBagCollection.from_float`` path used by
+    quantize_inference_model, inference/modules.py:372).
+    """
+
+    def __init__(
+        self,
+        ebc: EmbeddingBagCollection,
+        data_type: DataType = DataType.INT8,
+    ):
+        self._ebc = ebc
+        self._data_type = data_type
+
+    @property
+    def unquantized(self) -> EmbeddingBagCollection:
+        return self._ebc
+
+    @property
+    def data_type(self) -> DataType:
+        return self._data_type
+
+    def feature_names(self) -> List[str]:
+        return self._ebc.feature_names()
+
+    def embedding_bag_configs(self) -> List[EmbeddingBagConfig]:
+        return self._ebc.embedding_bag_configs()
+
+    def quantize_from(self, params: Dict[str, jnp.ndarray]) -> QuantParams:
+        """Trained fp params -> quantized params."""
+        return {
+            g.key: quantize_table(params[g.key], self._data_type)
+            for g in self._ebc.groups
+        }
+
+    def apply(self, qparams: QuantParams, kjt: KeyedJaggedTensor) -> KeyedTensor:
+        ebc = self._ebc
+        kjt, b, f, seg, slot_feature, slot_batch = ebc._prep(kjt)
+        values = kjt.values()
+        weights = kjt.weights() if ebc.is_weighted() else None
+        lengths = kjt.lengths()
+        per_feature = [None] * f
+        for gi, g in enumerate(ebc.groups):
+            n_gf = len(ebc._group_features[gi])
+            if n_gf == 0:
+                continue
+            ids_g, seg_g, _, n_gf = ebc._group_indices(
+                gi, values, seg, slot_feature, slot_batch, b
+            )
+            qt = qparams[g.key]
+            rows = jnp.take(qt["q"], ids_g, axis=0, mode="clip").astype(
+                jnp.float32
+            )
+            if qt["q"].dtype == jnp.int8:
+                s = jnp.take(qt["scale"], ids_g, mode="clip")
+                z = jnp.take(qt["zero"], ids_g, mode="clip")
+                rows = rows * s[:, None] + z[:, None]
+            if weights is not None:
+                rows = rows * weights[:, None]
+            pooled = jax.ops.segment_sum(
+                rows, seg_g, num_segments=n_gf * b
+            ).reshape(n_gf, b, g.dim)
+            for local, fi in enumerate(ebc._group_features[gi]):
+                out = pooled[local]
+                if (
+                    ebc._poolings[fi] == PoolingType.MEAN
+                    and not ebc.is_weighted()
+                ):
+                    denom = jnp.maximum(lengths[fi].astype(out.dtype), 1.0)
+                    out = out / denom[:, None]
+                per_feature[fi] = out
+        vals = jnp.concatenate(per_feature, axis=1)
+        return KeyedTensor(
+            keys=ebc.feature_names(),
+            length_per_key=ebc.embedding_dims(),
+            values=vals,
+        )
