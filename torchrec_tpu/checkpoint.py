@@ -111,4 +111,4 @@ def import_state_dict(sharded_ebc, state_dict: Dict[str, np.ndarray]):
         if not key.startswith("embedding_bags.") or not key.endswith(".weight"):
             raise KeyError(f"unexpected state_dict key {key!r}")
         per_table[key[len("embedding_bags.") : -len(".weight")]] = np.asarray(w)
-    return sharded_ebc._shard_from_tables(per_table)
+    return sharded_ebc.shard_from_tables(per_table)

@@ -39,6 +39,7 @@ from torchrec_tpu.ops.fused_optim import EmbeddingOptimizer
 from torchrec_tpu.ops.lookup import (
     accumulate_dense,
     dedup_rows,
+    dedup_rows_from_pooled,
     grad_rows,
     pooled_lookup,
     sequence_lookup,
@@ -243,10 +244,11 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
         max_unique_gradient_rows: Optional[int] = None,
     ):
         """``max_unique_gradient_rows``: optional perf hint — an upper bound
-        on DISTINCT large-table rows touched per step (e.g. sum over large
-        tables of batch*pooling_factor, plus 1). Shrinks the padded
-        sorted-unique scatter in the backward. UNCHECKED: if exceeded, excess
-        rows' gradients are dropped (like the reference trusting
+        on large-table value SLOTS per step (sum over large tables of
+        batch*pooling_factor, plus margin; always >= distinct touched rows).
+        The backward sorts ids and then runs ALL row-width work on this
+        bound instead of the full padded stream. UNCHECKED: if exceeded,
+        excess slots' gradients are dropped (like the reference trusting
         ParameterConstraints.pooling_factors)."""
         super().__init__(tables)
         self._is_weighted = is_weighted
@@ -322,9 +324,11 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
         batched_embedding_kernel.py:1215)."""
         return {g.key: optimizer.init(params[g.key]) for g in self._groups}
 
-    def _group_slot_grads(self, kjt: KeyedJaggedTensor, kt_grad: jnp.ndarray):
-        """Per-group per-value-slot gradient rows (shared backward prefix):
-        yields (group, ids_g, g_slots, in_group)."""
+    def _group_pooled_grads(self, kjt: KeyedJaggedTensor, kt_grad: jnp.ndarray):
+        """Per-group pooled-output cotangents (shared backward prefix):
+        yields (group, ids_g, seg_g, pooled_grad [n_gf*B, dim], in_group,
+        weights). Gradient rows are NOT expanded here — consumers gather
+        from the small pooled buffer in whatever order is cheapest."""
         kjt, b, f, seg, slot_feature, slot_batch = self._prep(kjt)
         values = kjt.values()
         weights = kjt.weights() if self._is_weighted else None
@@ -346,7 +350,16 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                     gslice = gslice / denom[:, None]
                 parts.append(gslice)
             pooled_grad = jnp.concatenate(parts, axis=0)  # [n_gf*B, dim]
-            g_slots = grad_rows(pooled_grad, seg_g, n_gf * b, weights)
+            yield g, ids_g, seg_g, pooled_grad, in_group, weights
+
+    def _group_slot_grads(self, kjt: KeyedJaggedTensor, kt_grad: jnp.ndarray):
+        """Per-group per-value-slot gradient rows (slot-order expansion):
+        yields (group, ids_g, g_slots, in_group)."""
+        for g, ids_g, seg_g, pooled_grad, in_group, weights in (
+            self._group_pooled_grads(kjt, kt_grad)
+        ):
+            n_gf_b = pooled_grad.shape[0]
+            g_slots = grad_rows(pooled_grad, seg_g, n_gf_b, weights)
             yield g, ids_g, g_slots, in_group
 
     def sparse_grads(
@@ -399,18 +412,23 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
         """
         new_params = dict(params)
         new_states = dict(opt_states)
-        for g, ids_g, g_slots, in_group in self._group_slot_grads(kjt, kt_grad):
+        for g, ids_g, seg_g, pooled_grad, in_group, weights in (
+            self._group_pooled_grads(kjt, kt_grad)
+        ):
             small, total = g.small_rows, g.total_rows
             tbl, st = params[g.key], opt_states[g.key]
             if small < total:  # large-table rows: sort/dedup + sparse scatter
                 valid_l = in_group & (ids_g >= small)
-                uids, ugrads = dedup_rows(
-                    ids_g, g_slots, valid_l, total,
-                    unique_bound=self._max_unique,
+                uids, ugrads = dedup_rows_from_pooled(
+                    ids_g, seg_g, pooled_grad, valid_l, total,
+                    unique_bound=self._max_unique, weights=weights,
                 )
                 tbl, st = optimizer.update(tbl, st, uids, ugrads, lr=lr)
             if small > 0:  # small-table rows: sort-free dense accumulator
                 valid_s = in_group & (ids_g < small)
+                g_slots = grad_rows(
+                    pooled_grad, seg_g, pooled_grad.shape[0], weights
+                )
                 acc, touched = accumulate_dense(ids_g, g_slots, valid_s, small)
                 st_s = {k: v[:small] for k, v in st.items()}
                 tbl_s, st_s = optimizer.dense_update(

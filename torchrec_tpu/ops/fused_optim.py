@@ -47,6 +47,29 @@ __all__ = [
 Params = Dict[str, jnp.ndarray]
 
 
+def _scatter_add_rows(
+    table: jnp.ndarray, unique_ids: jnp.ndarray, deltas: jnp.ndarray
+) -> jnp.ndarray:
+    """table[unique_ids] += deltas for sorted all-distinct ids (OOB
+    sentinels dropped). On TPU with lane-aligned rows this dispatches to the
+    Pallas row-RMW kernel (ops/tbe_pallas.py) whose cost is O(touched rows);
+    XLA's scatter lowering streams the WHOLE table (cost O(table), measured
+    2.3x slower at 20k rows into 1.4M x 128 on v5e)."""
+    from torchrec_tpu.ops.tbe_pallas import (
+        row_scatter_add,
+        supports_row_scatter_add,
+    )
+
+    if supports_row_scatter_add(table):
+        return row_scatter_add(table, unique_ids, deltas.astype(table.dtype))
+    return table.at[unique_ids].add(
+        deltas.astype(table.dtype),
+        mode="drop",
+        unique_indices=True,
+        indices_are_sorted=True,
+    )
+
+
 @dataclasses.dataclass(frozen=True)
 class EmbeddingOptimizer:
     """Base: stateless config; state lives in an explicit pytree."""
@@ -97,9 +120,7 @@ class SGD(EmbeddingOptimizer):
         if self.weight_decay:
             rows = jnp.take(table, unique_ids, axis=0, mode="fill", fill_value=0, indices_are_sorted=True)
             g = g + self.weight_decay * rows.astype(jnp.float32)
-        new_table = table.at[unique_ids].add(
-            (-lr * g).astype(table.dtype), mode="drop", unique_indices=True, indices_are_sorted=True
-        )
+        new_table = _scatter_add_rows(table, unique_ids, -lr * g)
         return new_table, state
 
     def dense_update(self, table, state, grad, touched, lr=None):
@@ -153,7 +174,7 @@ class RowWiseAdagrad(EmbeddingOptimizer):
             indices_are_sorted=True,
         )
         delta = -lr * g / (jnp.sqrt(mom_rows)[:, None] + self.eps)
-        new_table = table.at[unique_ids].add(delta.astype(table.dtype), mode="drop", unique_indices=True, indices_are_sorted=True)
+        new_table = _scatter_add_rows(table, unique_ids, delta)
         return new_table, {"momentum": mom}
 
     def dense_update(self, table, state, grad, touched, lr=None):
@@ -209,7 +230,7 @@ class Adam(EmbeddingOptimizer):
         m_hat = m_new / (1 - self.beta1 ** t)[:, None]
         v_hat = v_new / (1 - self.beta2 ** t)[:, None]
         delta = -lr * m_hat / (jnp.sqrt(v_hat) + self.eps)
-        new_table = table.at[unique_ids].add(delta.astype(table.dtype), mode="drop", unique_indices=True, indices_are_sorted=True)
+        new_table = _scatter_add_rows(table, unique_ids, delta)
         return new_table, {"m": m, "v": v, "steps": steps}
 
     def dense_update(self, table, state, grad, touched, lr=None):
@@ -260,7 +281,7 @@ class PartialRowWiseAdam(EmbeddingOptimizer):
         m_hat = m_new / (1 - self.beta1 ** t)[:, None]
         v_hat = v_new / (1 - self.beta2 ** t)
         delta = -lr * m_hat / (jnp.sqrt(v_hat)[:, None] + self.eps)
-        new_table = table.at[unique_ids].add(delta.astype(table.dtype), mode="drop", unique_indices=True, indices_are_sorted=True)
+        new_table = _scatter_add_rows(table, unique_ids, delta)
         return new_table, {"m": m, "v": v, "steps": steps}
 
     def dense_update(self, table, state, grad, touched, lr=None):

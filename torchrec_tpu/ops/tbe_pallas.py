@@ -1,0 +1,200 @@
+"""Pallas TPU kernels for the table-batched-embedding hot paths.
+
+The role FBGEMM's CUDA kernels play in the reference
+(torchrec/distributed/batched_embedding_kernel.py:3725 wraps
+SplitTableBatchedEmbeddingBagsCodegen) is played here by XLA for the
+bandwidth-friendly pieces (gather, sorted segment-sum) and by these Pallas
+kernels for the piece XLA handles badly on TPU: **sparse row updates into a
+large table**. XLA lowers ``table.at[rows].add(deltas)`` to a full-table
+streaming pass — cost proportional to table size (measured ~2.2 ms for a
+1.4M x 128 fp32 table on v5e regardless of how few rows change). The kernel
+here instead issues pipelined per-row DMAs: read row, add delta, write row —
+cost proportional to the number of TOUCHED rows.
+
+Contract notes
+--------------
+* ``rows`` must be **all-distinct** (duplicates would race in the DMA
+  pipeline); out-of-range rows (>= table rows) are skipped — exactly the
+  sentinel convention of :func:`torchrec_tpu.ops.lookup.dedup_rows`.
+* The table is updated in place (input/output aliased); wrap calls in
+  ``jax.jit`` with donated table buffers.
+* Row width must be a multiple of 128 lanes (pad tables to lane width —
+  the module layer guarantees this for all production dims).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["row_scatter_add", "supports_row_scatter_add"]
+
+# ids per grid step; deltas chunk = CHUNK * D * 4B in VMEM (double-buffered
+# by the pipeline) — 1024 * 128 * 4 = 512 KiB per buffer at D=128. Must be a
+# multiple of 1024: XLA lays out int32 scalars with T(1024) SMEM tiling and
+# Mosaic requires the block shape to match.
+_CHUNK = 1024
+# rows per group (one aligned (G, lanes) vector add per group)
+_GROUP = 16
+# in-flight groups (NGRP * GROUP rows of read DMAs in flight); swept on v5e:
+# (16, 16) ~0.95 ms for 20.5k x 128 fp32 rows vs 2.2 ms for XLA scatter
+_NGRP = 16
+
+
+def _row_scatter_add_kernel(
+    rows_ref,  # SMEM [CHUNK] int32: target row of each delta (OOB = skip)
+    deltas_ref,  # VMEM [CHUNK, D]
+    table_in,  # ANY [R, D] (aliased with table_out)
+    table_out,  # ANY [R, D]
+    scratch,  # VMEM [NGRP, G, D] row staging
+    read_sems,  # DMA sems [NGRP]
+    write_sems,  # DMA sems [NGRP]
+    *,
+    num_rows: int,
+    chunk: int,
+    group: int,
+    ngrp: int,
+):
+    """8-row-group pipeline: scattered rows are DMA'd per row, but the
+    delta-add runs as one aligned (G, 128*k) vector op per group and DMA
+    completions are consumed group-at-a-time — the scalar core spends its
+    cycles issuing DMAs, not on per-row vector ops."""
+    n_groups = chunk // group
+
+    def row_of(gi, r):
+        return rows_ref[gi * group + r]
+
+    def start_reads(slot, gi):
+        for r in range(group):
+
+            @pl.when(row_of(gi, r) < num_rows)
+            def _(r=r):
+                pltpu.make_async_copy(
+                    table_out.at[pl.ds(row_of(gi, r), 1), :],
+                    scratch.at[slot, pl.ds(r, 1), :],
+                    read_sems.at[slot],
+                ).start()
+
+    def wait_group(sems, slot, gi):
+        # each per-row copy signals the group's sem; consume them in the
+        # same deterministic order they were started
+        for r in range(group):
+
+            @pl.when(row_of(gi, r) < num_rows)
+            def _(r=r):
+                pltpu.make_async_copy(
+                    table_out.at[pl.ds(row_of(gi, r), 1), :],
+                    scratch.at[slot, pl.ds(r, 1), :],
+                    sems.at[slot],
+                ).wait()
+
+    def start_writes(slot, gi):
+        for r in range(group):
+
+            @pl.when(row_of(gi, r) < num_rows)
+            def _(r=r):
+                pltpu.make_async_copy(
+                    scratch.at[slot, pl.ds(r, 1), :],
+                    table_out.at[pl.ds(row_of(gi, r), 1), :],
+                    write_sems.at[slot],
+                ).start()
+
+    # warm-up: fill the pipeline with reads
+    for gi in range(min(ngrp, n_groups)):
+        start_reads(gi % ngrp, gi)
+
+    def body(gi, _):
+        slot = gi % ngrp
+        wait_group(read_sems, slot, gi)
+        g0 = pl.multiple_of(gi * group, group)
+        scratch[slot] = scratch[slot] + deltas_ref[
+            pl.ds(g0, group), :
+        ].astype(scratch.dtype)
+        start_writes(slot, gi)
+        nxt = gi + ngrp
+
+        @pl.when(nxt < n_groups)
+        def _():
+            wait_group(write_sems, slot, gi)
+            start_reads(slot, nxt)
+
+        return 0
+
+    jax.lax.fori_loop(0, n_groups, body, 0)
+
+    # drain writes of the last ngrp groups
+    def drain(gi, _):
+        wait_group(write_sems, gi % ngrp, gi)
+        return 0
+
+    jax.lax.fori_loop(max(n_groups - ngrp, 0), n_groups, drain, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+def row_scatter_add(
+    table: jnp.ndarray,
+    rows: jnp.ndarray,
+    deltas: jnp.ndarray,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``table[rows] += deltas`` for DISTINCT rows, in place, cost O(|rows|).
+
+    rows: [U] int32, all-distinct; entries >= table.shape[0] are skipped.
+    deltas: [U, D] (cast to the table dtype on add).
+    """
+    num_rows, d = table.shape
+    u = rows.shape[0]
+    if d % 128:
+        raise ValueError(f"row width {d} must be a multiple of 128")
+    # pad U to a chunk multiple with OOB sentinels (skipped in-kernel)
+    chunk = _CHUNK
+    pad = (-u) % chunk
+    if pad:
+        rows = jnp.concatenate(
+            [rows, jnp.full((pad,), num_rows, rows.dtype)]
+        )
+        deltas = jnp.concatenate(
+            [deltas, jnp.zeros((pad, d), deltas.dtype)]
+        )
+    n_chunks = rows.shape[0] // chunk
+
+    kernel = functools.partial(
+        _row_scatter_add_kernel,
+        num_rows=num_rows,
+        chunk=chunk,
+        group=_GROUP,
+        ngrp=_NGRP,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((chunk,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((_NGRP, _GROUP, d), table.dtype),
+            pltpu.SemaphoreType.DMA((_NGRP,)),
+            pltpu.SemaphoreType.DMA((_NGRP,)),
+        ],
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(rows, deltas, table)
+
+
+def supports_row_scatter_add(table: jnp.ndarray) -> bool:
+    """True when the Pallas row-RMW kernel applies (TPU, lane-aligned)."""
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover - no backend at trace time
+        on_tpu = False
+    return on_tpu and table.ndim == 2 and table.shape[1] % 128 == 0
