@@ -1,3 +1,4 @@
+from torchrec_tpu.distributed.embedding import ShardedEmbeddingCollection
 from torchrec_tpu.distributed.embeddingbag import ShardedEmbeddingBagCollection
 from torchrec_tpu.distributed.sharding_plan import (
     column_wise,
@@ -18,6 +19,7 @@ from torchrec_tpu.distributed.types import (
 
 __all__ = [
     "ShardedEmbeddingBagCollection",
+    "ShardedEmbeddingCollection",
     "column_wise",
     "construct_module_sharding_plan",
     "data_parallel",

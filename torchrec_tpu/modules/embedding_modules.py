@@ -206,6 +206,13 @@ class _EmbeddingCollectionBase:
         """Per-table FQN -> weight views (state_dict analog)."""
         return {t.name: self.table_slice(params, t.name) for t in self._tables}
 
+    def init_optimizer(
+        self, params: Params, optimizer: "EmbeddingOptimizer"
+    ) -> Dict[str, Dict[str, jnp.ndarray]]:
+        """Per-group fused optimizer state (TBE-internal state analog,
+        batched_embedding_kernel.py:1215)."""
+        return {g.key: optimizer.init(params[g.key]) for g in self._groups}
+
     def _prep(self, kjt: KeyedJaggedTensor):
         """Align the KJT to this module's feature order; compute shared
         slot-level index arrays."""
@@ -317,13 +324,6 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
         )
 
     # -- fused in-backward optimizer path -------------------------------------
-    def init_optimizer(
-        self, params: Params, optimizer: EmbeddingOptimizer
-    ) -> Dict[str, Dict[str, jnp.ndarray]]:
-        """Per-group optimizer state (TBE-internal state analog,
-        batched_embedding_kernel.py:1215)."""
-        return {g.key: optimizer.init(params[g.key]) for g in self._groups}
-
     def _group_pooled_grads(self, kjt: KeyedJaggedTensor, kt_grad: jnp.ndarray):
         """Per-group pooled-output cotangents (shared backward prefix):
         yields (group, ids_g, seg_g, pooled_grad [n_gf*B, dim], in_group,
