@@ -1,0 +1,162 @@
+"""Managed collision (ZCH) behavior tests.
+
+Reference analog: torchrec/modules/tests/test_mc_modules.py — remap
+hit/miss semantics, LFU/LRU/DistanceLFU eviction ordering, eviction
+surfacing, and the MC+EBC composition.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchrec_tpu import KeyedJaggedTensor
+from torchrec_tpu.modules import (
+    DISTANCE_LFU_EVICTION,
+    EmbeddingBagCollection,
+    EmbeddingBagConfig,
+    LFU_EVICTION,
+    LRU_EVICTION,
+    ManagedCollisionCollection,
+    ManagedCollisionEmbeddingBagCollection,
+    MCHManagedCollisionModule,
+)
+
+
+def kjt_of(ids, key="f"):
+    ids = np.asarray(ids, np.int32)
+    return KeyedJaggedTensor(
+        keys=[key],
+        values=jnp.asarray(ids),
+        lengths=jnp.asarray(np.array([[len(ids)]], np.int32)),
+    )
+
+
+def test_remap_empty_state_all_miss():
+    m = MCHManagedCollisionModule(zch_size=8, history_size=16)
+    st = m.init_state()
+    slots = m.remap(st, jnp.asarray([5, 100, 7], jnp.int32))
+    np.testing.assert_array_equal(np.asarray(slots), [7, 7, 7])  # miss slot
+
+
+def test_lfu_admits_frequent_ids():
+    m = MCHManagedCollisionModule(
+        zch_size=4, history_size=32, eviction_policy=LFU_EVICTION
+    )
+    st = m.init_state()
+    # id 10 x3, id 20 x2, id 30 x1 -> only 3 managed slots (1 reserved miss)
+    ids = jnp.asarray([10, 10, 10, 20, 20, 30], jnp.int32)
+    st = m.profile(st, ids)
+    s10 = int(m.remap(st, jnp.asarray([10], jnp.int32))[0])
+    s20 = int(m.remap(st, jnp.asarray([20], jnp.int32))[0])
+    s30 = int(m.remap(st, jnp.asarray([30], jnp.int32))[0])
+    assert len({s10, s20, s30}) == 3
+    assert all(0 <= s < 4 for s in (s10, s20, s30))
+    # unseen id still misses
+    assert int(m.remap(st, jnp.asarray([99], jnp.int32))[0]) == 3
+
+
+def test_lfu_eviction_prefers_low_count():
+    m = MCHManagedCollisionModule(
+        zch_size=3, history_size=32, eviction_policy=LFU_EVICTION
+    )
+    st = m.init_state()
+    st = m.profile(st, jnp.asarray([1, 1, 1, 2, 2, 2], jnp.int32))
+    s1 = int(m.remap(st, jnp.asarray([1], jnp.int32))[0])
+    s2 = int(m.remap(st, jnp.asarray([2], jnp.int32))[0])
+    assert s1 != s2
+    # a hotter id 3 (x5) evicts... nothing: counts of 1,2 are 3 each vs 5;
+    # with 2 usable slots (z-1) the top-2 of {1:3, 2:3, 3:5} keeps 3 + one
+    st = m.profile(st, jnp.asarray([3, 3, 3, 3, 3], jnp.int32))
+    s3 = int(m.remap(st, jnp.asarray([3], jnp.int32))[0])
+    assert s3 in (s1, s2)  # inherited an evicted slot
+    evicted = np.asarray(st["evicted_slots"])
+    assert s3 in evicted[evicted >= 0]
+
+
+def test_lru_eviction_prefers_stale():
+    m = MCHManagedCollisionModule(
+        zch_size=3, history_size=16, eviction_policy=LRU_EVICTION
+    )
+    st = m.init_state()
+    st = m.profile(st, jnp.asarray([1, 2], jnp.int32))  # iter 1: both admitted
+    s1 = int(m.remap(st, jnp.asarray([1], jnp.int32))[0])
+    st = m.profile(st, jnp.asarray([2, 3], jnp.int32))  # iter 2: 3 needs a slot
+    # id 1 is the stalest -> its slot goes to 3
+    s3 = int(m.remap(st, jnp.asarray([3], jnp.int32))[0])
+    assert s3 == s1
+    assert int(m.remap(st, jnp.asarray([1], jnp.int32))[0]) == 2  # now missing
+
+
+def test_distance_lfu_balances_count_and_recency():
+    m = MCHManagedCollisionModule(
+        zch_size=3, history_size=32, eviction_policy=DISTANCE_LFU_EVICTION,
+        decay_exponent=2.0,
+    )
+    st = m.init_state()
+    st = m.profile(st, jnp.asarray([1] * 8 + [2], jnp.int32))  # 1 hot, 2 cold
+    # several idle steps decay id 1's effective score
+    for _ in range(4):
+        st = m.profile(st, jnp.asarray([2], jnp.int32))
+    st = m.profile(st, jnp.asarray([3, 3], jnp.int32))
+    # 3 should displace the decayed 1 rather than the fresh 2
+    assert int(m.remap(st, jnp.asarray([3], jnp.int32))[0]) != 2
+    assert int(m.remap(st, jnp.asarray([2], jnp.int32))[0]) != 2
+
+
+def test_eviction_interval_defers_coalesce():
+    m = MCHManagedCollisionModule(
+        zch_size=4, history_size=64, eviction_interval=3
+    )
+    st = m.init_state()
+    st = m.profile(st, jnp.asarray([7, 7], jnp.int32))
+    assert int(m.remap(st, jnp.asarray([7], jnp.int32))[0]) == 3  # not yet
+    st = m.profile(st, jnp.asarray([7], jnp.int32))
+    st = m.profile(st, jnp.asarray([8], jnp.int32))  # 3rd step -> coalesce
+    assert int(m.remap(st, jnp.asarray([7], jnp.int32))[0]) != 3
+
+
+def test_collection_and_composition_jit():
+    tables = [
+        EmbeddingBagConfig(
+            name="t0", num_embeddings=8, embedding_dim=16, feature_names=["f0"]
+        ),
+        EmbeddingBagConfig(
+            name="t1", num_embeddings=8, embedding_dim=16, feature_names=["f1"]
+        ),
+    ]
+    ebc = EmbeddingBagCollection(tables)
+    mcc = ManagedCollisionCollection(
+        {
+            "t0": MCHManagedCollisionModule(zch_size=8, history_size=32),
+            "t1": MCHManagedCollisionModule(zch_size=8, history_size=32),
+        },
+        {"f0": "t0", "f1": "t1"},
+    )
+    mc_ebc = ManagedCollisionEmbeddingBagCollection(ebc, mcc)
+    params = mc_ebc.init(jax.random.key(0))
+    states = mc_ebc.init_mc_state()
+
+    rng = np.random.default_rng(0)
+    lens = np.array([[2, 1, 3], [1, 2, 0]], np.int32)
+    vals = np.zeros(16, np.int32)
+    vals[:9] = rng.integers(0, 1000, 9)
+    kjt = KeyedJaggedTensor(
+        keys=["f0", "f1"], values=jnp.asarray(vals), lengths=jnp.asarray(lens)
+    )
+
+    @jax.jit
+    def step(params, states, kjt):
+        return mc_ebc.apply(params, states, kjt, train=True)
+
+    kt, params2, states2 = step(params, states, kjt)
+    assert kt.values().shape == (3, 32)
+    # remapped ids are all inside the managed range
+    remapped = mc_ebc.remap(states2, kjt)
+    assert int(np.asarray(remapped.values()).max()) < 8
+    # second step reuses the established mapping deterministically
+    kt2, _, states3 = step(params2, states2, kjt)
+    r2 = mc_ebc.remap(states3, kjt)
+    np.testing.assert_array_equal(
+        np.asarray(remapped.values())[:9], np.asarray(r2.values())[:9]
+    )

@@ -1,3 +1,11 @@
+from torchrec_tpu.modules.activation import SwishLayerNorm
+from torchrec_tpu.modules.crossnet import (
+    CrossNet,
+    LowRankCrossNet,
+    LowRankMixtureCrossNet,
+    VectorCrossNet,
+)
+from torchrec_tpu.modules.deepfm import DeepFM, FactorizationMachine
 from torchrec_tpu.modules.embedding_configs import (
     BaseEmbeddingConfig,
     EmbeddingBagConfig,
@@ -8,6 +16,33 @@ from torchrec_tpu.modules.embedding_modules import (
     EmbeddingCollection,
     TableGroup,
 )
+from torchrec_tpu.modules.embedding_tower import (
+    EmbeddingTower,
+    EmbeddingTowerCollection,
+)
+from torchrec_tpu.modules.feature_processor import (
+    FeatureProcessedEmbeddingBagCollection,
+    PositionWeightedModule,
+    PositionWeightedModuleCollection,
+)
+from torchrec_tpu.modules.itep import (
+    GenericITEPModule,
+    ITEPEmbeddingBagCollection,
+)
+from torchrec_tpu.modules.mc_embedding_modules import (
+    ManagedCollisionEmbeddingBagCollection,
+    ManagedCollisionEmbeddingCollection,
+)
+from torchrec_tpu.modules.mc_modules import (
+    DISTANCE_LFU_EVICTION,
+    LFU_EVICTION,
+    LRU_EVICTION,
+    ManagedCollisionCollection,
+    MCHManagedCollisionModule,
+)
+from torchrec_tpu.modules.mlp import MLP, Perceptron
+from torchrec_tpu.modules.object_pool import KeyedJaggedTensorPool, TensorPool
+from torchrec_tpu.modules.regroup import KTRegroupAsDict, regroup_kts
 
 __all__ = [
     "BaseEmbeddingConfig",
@@ -16,4 +51,31 @@ __all__ = [
     "EmbeddingBagCollection",
     "EmbeddingCollection",
     "TableGroup",
+    "SwishLayerNorm",
+    "CrossNet",
+    "LowRankCrossNet",
+    "LowRankMixtureCrossNet",
+    "VectorCrossNet",
+    "DeepFM",
+    "FactorizationMachine",
+    "EmbeddingTower",
+    "EmbeddingTowerCollection",
+    "FeatureProcessedEmbeddingBagCollection",
+    "PositionWeightedModule",
+    "PositionWeightedModuleCollection",
+    "GenericITEPModule",
+    "ITEPEmbeddingBagCollection",
+    "ManagedCollisionEmbeddingBagCollection",
+    "ManagedCollisionEmbeddingCollection",
+    "ManagedCollisionCollection",
+    "MCHManagedCollisionModule",
+    "LFU_EVICTION",
+    "LRU_EVICTION",
+    "DISTANCE_LFU_EVICTION",
+    "MLP",
+    "Perceptron",
+    "KeyedJaggedTensorPool",
+    "TensorPool",
+    "KTRegroupAsDict",
+    "regroup_kts",
 ]
