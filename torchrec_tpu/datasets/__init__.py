@@ -1,3 +1,29 @@
+from torchrec_tpu.datasets.criteo import (
+    CAT_FEATURE_COUNT,
+    DEFAULT_CAT_NAMES,
+    DEFAULT_INT_NAMES,
+    INT_FEATURE_COUNT,
+    BinaryCriteoUtils,
+    InMemoryBinaryCriteoIterDataPipe,
+    criteo_tsv_reader,
+)
+from torchrec_tpu.datasets.movielens import (
+    MovieLensRatingsBatcher,
+    movielens_20m,
+    movielens_25m,
+)
 from torchrec_tpu.datasets.random import RandomRecDataset
 
-__all__ = ["RandomRecDataset"]
+__all__ = [
+    "RandomRecDataset",
+    "CAT_FEATURE_COUNT",
+    "INT_FEATURE_COUNT",
+    "DEFAULT_CAT_NAMES",
+    "DEFAULT_INT_NAMES",
+    "BinaryCriteoUtils",
+    "InMemoryBinaryCriteoIterDataPipe",
+    "criteo_tsv_reader",
+    "MovieLensRatingsBatcher",
+    "movielens_20m",
+    "movielens_25m",
+]

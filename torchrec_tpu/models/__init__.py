@@ -1,3 +1,10 @@
+from torchrec_tpu.models.bert4rec import BERT4Rec, ndcg_at_k, recall_at_k
+from torchrec_tpu.models.deepfm import SimpleDeepFMNN
+from torchrec_tpu.models.two_tower import (
+    TwoTower,
+    knn,
+    two_tower_in_batch_negatives_loss,
+)
 from torchrec_tpu.models.dlrm import (
     DLRM,
     DLRM_DCN,
@@ -13,6 +20,13 @@ from torchrec_tpu.models.dlrm import (
 )
 
 __all__ = [
+    "BERT4Rec",
+    "ndcg_at_k",
+    "recall_at_k",
+    "SimpleDeepFMNN",
+    "TwoTower",
+    "knn",
+    "two_tower_in_batch_negatives_loss",
     "DLRM",
     "DLRM_DCN",
     "DLRM_Projection",
