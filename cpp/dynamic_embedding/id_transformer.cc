@@ -1,0 +1,272 @@
+// Dynamic-embedding ID transformer: unbounded global ids -> bounded cache
+// slots, with mixed LFU/LRU eviction and an external-storage hook.
+//
+// Role parity with the reference's C++ sidecar
+// (torchrec/csrc/dynamic_embedding/details/id_transformer.h:28 transform/
+// evict/iterator contract, naive_id_transformer.h open-address map,
+// mixed_lfu_lru_strategy.h eviction record, bitmap.h slot allocator).
+// Re-designed for the TPU build: a C ABI (consumed via ctypes — no torch
+// custom classes), power-of-two open addressing, and a frequency-capped
+// LFU power-of-2 counter packed with an LRU timestamp so eviction order is
+// (lowest freq, oldest access) — the reference's MixedLFULRUStrategy
+// semantics.
+//
+// Build: g++ -O2 -shared -fPIC -std=c++17 -o libtde.so id_transformer.cc
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <mutex>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr int64_t kEmpty = INT64_MIN;
+constexpr uint32_t kMaxFreqPower = 16;
+
+struct Slot {
+  int64_t global_id = kEmpty;
+  uint32_t freq_power = 0;   // LFU: log2-ish visit count
+  uint32_t last_time = 0;    // LRU: last access tick
+};
+
+class IDTransformer {
+ public:
+  explicit IDTransformer(int64_t capacity)
+      : capacity_(capacity), size_(0), time_(0) {
+    // open-addressing table sized 2x capacity (power of two)
+    int64_t n = 1;
+    while (n < capacity * 2) n <<= 1;
+    mask_ = n - 1;
+    table_.assign(n, -1);       // bucket -> slot index or -1
+    slots_.resize(capacity);
+    free_.reserve(capacity);
+    for (int64_t i = capacity - 1; i >= 0; --i) free_.push_back(i);
+  }
+
+  // Returns number of ids transformed (== n on success); ids without a
+  // slot when full keep cache_id = -1 (caller must evict + retry).
+  int64_t Transform(const int64_t* global_ids, int64_t* cache_ids, int64_t n,
+                    int64_t* newly_mapped /*out, may be null*/) {
+    std::lock_guard<std::mutex> g(mu_);
+    ++time_;
+    int64_t ok = 0, fresh = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t gid = global_ids[i];
+      int64_t slot = Find(gid);
+      if (slot < 0) {
+        if (free_.empty()) {
+          cache_ids[i] = -1;
+          continue;
+        }
+        slot = free_.back();
+        free_.pop_back();
+        slots_[slot].global_id = gid;
+        slots_[slot].freq_power = 1;
+        slots_[slot].last_time = static_cast<uint32_t>(time_);
+        Insert(gid, slot);
+        ++size_;
+        ++fresh;
+      } else {
+        Slot& s = slots_[slot];
+        if (s.freq_power < kMaxFreqPower) {
+          // probabilistic power-of-2 counting like the reference's
+          // MixedLFULRUStrategy: increment with prob 2^-freq, here
+          // deterministically every 2^freq-th visit via the time tick
+          if ((time_ & ((1u << s.freq_power) - 1)) == 0) s.freq_power++;
+        }
+        s.last_time = static_cast<uint32_t>(time_);
+      }
+      cache_ids[i] = slot;
+      ++ok;
+    }
+    if (newly_mapped) *newly_mapped = fresh;
+    return ok;
+  }
+
+  // Evict up to n_evict ids in (freq asc, last_time asc) order; returns the
+  // number evicted; fills evicted global ids + their slots.
+  int64_t Evict(int64_t n_evict, int64_t* evicted_gids, int64_t* evicted_slots) {
+    std::lock_guard<std::mutex> g(mu_);
+    // collect occupied slots and partial-sort by (freq, time)
+    std::vector<int64_t> occ;
+    occ.reserve(size_);
+    for (int64_t i = 0; i < capacity_; ++i) {
+      if (slots_[i].global_id != kEmpty) occ.push_back(i);
+    }
+    auto key = [&](int64_t s) {
+      return (static_cast<uint64_t>(slots_[s].freq_power) << 32) |
+             slots_[s].last_time;
+    };
+    if (n_evict > static_cast<int64_t>(occ.size()))
+      n_evict = static_cast<int64_t>(occ.size());
+    std::partial_sort(occ.begin(), occ.begin() + n_evict, occ.end(),
+                      [&](int64_t a, int64_t b) { return key(a) < key(b); });
+    for (int64_t i = 0; i < n_evict; ++i) {
+      int64_t slot = occ[i];
+      evicted_gids[i] = slots_[slot].global_id;
+      evicted_slots[i] = slot;
+      Remove(slots_[slot].global_id);
+      slots_[slot] = Slot();
+      free_.push_back(slot);
+      --size_;
+    }
+    return n_evict;
+  }
+
+  // Snapshot (gid, slot, freq, time) rows for checkpoint; returns count.
+  int64_t Export(int64_t* gids, int64_t* slots, int64_t max_n) const {
+    std::lock_guard<std::mutex> g(mu_);
+    int64_t k = 0;
+    for (int64_t i = 0; i < capacity_ && k < max_n; ++i) {
+      if (slots_[i].global_id != kEmpty) {
+        gids[k] = slots_[i].global_id;
+        slots[k] = i;
+        ++k;
+      }
+    }
+    return k;
+  }
+
+  int64_t Restore(const int64_t* gids, const int64_t* slot_ids, int64_t n) {
+    std::lock_guard<std::mutex> g(mu_);
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t slot = slot_ids[i];
+      if (slot < 0 || slot >= capacity_ || slots_[slot].global_id != kEmpty)
+        return i;  // refuse inconsistent restore at row i
+      slots_[slot].global_id = gids[i];
+      slots_[slot].freq_power = 1;
+      slots_[slot].last_time = 0;
+      Insert(gids[i], slot);
+      ++size_;
+    }
+    // rebuild free list
+    free_.clear();
+    for (int64_t i = capacity_ - 1; i >= 0; --i)
+      if (slots_[i].global_id == kEmpty) free_.push_back(i);
+    return n;
+  }
+
+  int64_t size() const {
+    std::lock_guard<std::mutex> g(mu_);
+    return size_;
+  }
+  int64_t capacity() const { return capacity_; }
+
+ private:
+  int64_t Bucket(int64_t gid) const {
+    uint64_t h = static_cast<uint64_t>(gid) * 0x9E3779B97F4A7C15ull;
+    return static_cast<int64_t>(h & mask_);
+  }
+  int64_t Find(int64_t gid) const {
+    int64_t b = Bucket(gid);
+    while (table_[b] != -1) {
+      if (table_[b] >= 0 && slots_[table_[b]].global_id == gid) return table_[b];
+      b = (b + 1) & mask_;
+    }
+    return -1;
+  }
+  void Insert(int64_t gid, int64_t slot) {
+    int64_t b = Bucket(gid);
+    while (table_[b] >= 0) b = (b + 1) & mask_;
+    table_[b] = slot;
+  }
+  void Remove(int64_t gid) {
+    int64_t b = Bucket(gid);
+    while (table_[b] != -1) {
+      if (table_[b] >= 0 && slots_[table_[b]].global_id == gid) {
+        table_[b] = -2;  // tombstone (still probes through)
+        return;
+      }
+      b = (b + 1) & mask_;
+    }
+  }
+
+  mutable std::mutex mu_;
+  int64_t capacity_, size_, mask_;
+  uint64_t time_;
+  std::vector<int64_t> table_;
+  std::vector<Slot> slots_;
+  std::vector<int64_t> free_;
+};
+
+// ------------------------------------------------------------- parameter
+// server: slot-addressed row store (the reference's ps.h LocalShard role)
+// with an in-memory map standing in for the Redis/io_registry backend.
+
+class ParameterServer {
+ public:
+  explicit ParameterServer(int64_t dim) : dim_(dim) {}
+
+  void Push(const int64_t* gids, const float* rows, int64_t n) {
+    std::lock_guard<std::mutex> g(mu_);
+    for (int64_t i = 0; i < n; ++i) {
+      auto& v = store_[gids[i]];
+      v.assign(rows + i * dim_, rows + (i + 1) * dim_);
+    }
+  }
+
+  // Fetch rows; missing ids fill with zeros and report count fetched.
+  int64_t Pull(const int64_t* gids, float* rows, int64_t n) const {
+    std::lock_guard<std::mutex> g(mu_);
+    int64_t hits = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      auto it = store_.find(gids[i]);
+      if (it == store_.end()) {
+        std::memset(rows + i * dim_, 0, sizeof(float) * dim_);
+      } else {
+        std::memcpy(rows + i * dim_, it->second.data(), sizeof(float) * dim_);
+        ++hits;
+      }
+    }
+    return hits;
+  }
+
+  int64_t size() const {
+    std::lock_guard<std::mutex> g(mu_);
+    return static_cast<int64_t>(store_.size());
+  }
+
+ private:
+  mutable std::mutex mu_;
+  int64_t dim_;
+  std::unordered_map<int64_t, std::vector<float>> store_;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* idt_create(int64_t capacity) { return new IDTransformer(capacity); }
+void idt_destroy(void* h) { delete static_cast<IDTransformer*>(h); }
+int64_t idt_transform(void* h, const int64_t* gids, int64_t* cids, int64_t n,
+                      int64_t* newly_mapped) {
+  return static_cast<IDTransformer*>(h)->Transform(gids, cids, n, newly_mapped);
+}
+int64_t idt_evict(void* h, int64_t n, int64_t* egids, int64_t* eslots) {
+  return static_cast<IDTransformer*>(h)->Evict(n, egids, eslots);
+}
+int64_t idt_export(void* h, int64_t* gids, int64_t* slots, int64_t max_n) {
+  return static_cast<IDTransformer*>(h)->Export(gids, slots, max_n);
+}
+int64_t idt_restore(void* h, const int64_t* gids, const int64_t* slots,
+                    int64_t n) {
+  return static_cast<IDTransformer*>(h)->Restore(gids, slots, n);
+}
+int64_t idt_size(void* h) { return static_cast<IDTransformer*>(h)->size(); }
+int64_t idt_capacity(void* h) {
+  return static_cast<IDTransformer*>(h)->capacity();
+}
+
+void* ps_create(int64_t dim) { return new ParameterServer(dim); }
+void ps_destroy(void* h) { delete static_cast<ParameterServer*>(h); }
+void ps_push(void* h, const int64_t* gids, const float* rows, int64_t n) {
+  static_cast<ParameterServer*>(h)->Push(gids, rows, n);
+}
+int64_t ps_pull(void* h, const int64_t* gids, float* rows, int64_t n) {
+  return static_cast<ParameterServer*>(h)->Pull(gids, rows, n);
+}
+int64_t ps_size(void* h) { return static_cast<ParameterServer*>(h)->size(); }
+
+}  // extern "C"

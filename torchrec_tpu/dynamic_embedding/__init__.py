@@ -1,0 +1,259 @@
+"""Dynamic embedding: unbounded global ids -> bounded device table slots,
+backed by a C++ id-transformer + host parameter server.
+
+Capability parity with the reference's C++ sidecar
+(torchrec/csrc/dynamic_embedding/: IDTransformer id_transformer.h:28,
+parameter server ps.h:26, python wrappers
+contrib/dynamic_embedding/src/torchrec_dynamic_embedding/ — IDTransformerGroup,
+dataloader.py background transform).
+
+TPU-first: the transformer runs HOST-SIDE in the input pipeline (ids are
+remapped before the batch is device_put), so the device program only ever
+sees bounded int32 slots — the same pre-batch transform the reference's
+dataloader.py applies. Eviction pushes displaced rows to the parameter
+server and returns the slots so the caller can pull fresh rows into the
+device table (the KVZCH/SSD-tier analog).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["IDTransformer", "ParameterServer", "IDTransformerCollection"]
+
+_LIB = None
+
+
+def _lib() -> ctypes.CDLL:
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    src = os.path.join(root, "cpp", "dynamic_embedding", "id_transformer.cc")
+    so = os.path.join(root, "cpp", "dynamic_embedding", "libtde.so")
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", so, src],
+            check=True,
+        )
+    lib = ctypes.CDLL(so)
+    i64 = ctypes.c_int64
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    pf = ctypes.POINTER(ctypes.c_float)
+    lib.idt_create.restype = ctypes.c_void_p
+    lib.idt_create.argtypes = [i64]
+    lib.idt_destroy.argtypes = [ctypes.c_void_p]
+    lib.idt_transform.restype = i64
+    lib.idt_transform.argtypes = [ctypes.c_void_p, p64, p64, i64, p64]
+    lib.idt_evict.restype = i64
+    lib.idt_evict.argtypes = [ctypes.c_void_p, i64, p64, p64]
+    lib.idt_export.restype = i64
+    lib.idt_export.argtypes = [ctypes.c_void_p, p64, p64, i64]
+    lib.idt_restore.restype = i64
+    lib.idt_restore.argtypes = [ctypes.c_void_p, p64, p64, i64]
+    lib.idt_size.restype = i64
+    lib.idt_size.argtypes = [ctypes.c_void_p]
+    lib.idt_capacity.restype = i64
+    lib.idt_capacity.argtypes = [ctypes.c_void_p]
+    lib.ps_create.restype = ctypes.c_void_p
+    lib.ps_create.argtypes = [i64]
+    lib.ps_destroy.argtypes = [ctypes.c_void_p]
+    lib.ps_push.argtypes = [ctypes.c_void_p, p64, pf, i64]
+    lib.ps_pull.restype = i64
+    lib.ps_pull.argtypes = [ctypes.c_void_p, p64, pf, i64]
+    lib.ps_size.restype = i64
+    lib.ps_size.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return lib
+
+
+def _as_i64(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+class IDTransformer:
+    """ctypes wrapper over the C++ transformer (reference
+    naive_id_transformer.h + mixed_lfu_lru_strategy.h roles)."""
+
+    def __init__(self, capacity: int):
+        self._lib = _lib()
+        self._h = self._lib.idt_create(capacity)
+        self.capacity = capacity
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.idt_destroy(self._h)
+            self._h = None
+
+    def transform(
+        self, global_ids: np.ndarray, auto_evict: bool = True
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Map global ids -> cache slots.
+
+        Returns (cache_ids [n], evicted_gids, evicted_slots). When the map
+        fills and ``auto_evict``, the coldest ~10% of slots are evicted and
+        the transform retried — the reference's transform->evict loop
+        (contrib .../id_transformer_group.cpp)."""
+        gids = np.ascontiguousarray(global_ids, np.int64)
+        n = gids.shape[0]
+        cids = np.empty(n, np.int64)
+        fresh = ctypes.c_int64(0)
+        ok = self._lib.idt_transform(
+            self._h, _as_i64(gids), _as_i64(cids), n, ctypes.byref(fresh)
+        )
+        evicted_g = np.empty(0, np.int64)
+        evicted_s = np.empty(0, np.int64)
+        retries = 0
+        while ok < n and auto_evict:
+            # another thread may refill between evict and retry: keep
+            # evicting until this batch fits (or the batch itself has more
+            # distinct ids than the whole map can hold)
+            if retries >= 8:
+                raise RuntimeError(
+                    f"transformer capacity {self.capacity} exhausted: batch "
+                    f"has more distinct ids than capacity"
+                )
+            n_evict = max(self.capacity // 10, int(n - ok))
+            eg, es = self.evict(n_evict)
+            if len(eg) == 0 and len(self) + n > self.capacity:
+                raise RuntimeError(
+                    f"transformer capacity {self.capacity} exhausted: batch "
+                    f"has more distinct ids than capacity"
+                )
+            evicted_g = np.concatenate([evicted_g, eg])
+            evicted_s = np.concatenate([evicted_s, es])
+            ok = self._lib.idt_transform(
+                self._h, _as_i64(gids), _as_i64(cids), n, ctypes.byref(fresh)
+            )
+            retries += 1
+        if ok < n:
+            raise RuntimeError(
+                f"transformer full: {n - ok} ids of {n} unmapped "
+                f"(capacity {self.capacity}); call evict() or enable auto_evict"
+            )
+        return cids, evicted_g, evicted_s
+
+    def evict(self, n: int) -> Tuple[np.ndarray, np.ndarray]:
+        gids = np.empty(n, np.int64)
+        slots = np.empty(n, np.int64)
+        k = self._lib.idt_evict(self._h, n, _as_i64(gids), _as_i64(slots))
+        return gids[:k], slots[:k]
+
+    def export_state(self) -> Tuple[np.ndarray, np.ndarray]:
+        n = self.capacity
+        gids = np.empty(n, np.int64)
+        slots = np.empty(n, np.int64)
+        k = self._lib.idt_export(self._h, _as_i64(gids), _as_i64(slots), n)
+        return gids[:k], slots[:k]
+
+    def restore_state(self, gids: np.ndarray, slots: np.ndarray) -> None:
+        g = np.ascontiguousarray(gids, np.int64)
+        s = np.ascontiguousarray(slots, np.int64)
+        k = self._lib.idt_restore(self._h, _as_i64(g), _as_i64(s), len(g))
+        if k != len(g):
+            raise ValueError(f"restore failed at row {k}")
+
+    def __len__(self) -> int:
+        return int(self._lib.idt_size(self._h))
+
+
+class ParameterServer:
+    """Host row store for evicted/fetched embedding rows (reference ps.h:26
+    LocalShard; in-memory map stands in for the Redis io backend)."""
+
+    def __init__(self, dim: int):
+        self._lib = _lib()
+        self._h = self._lib.ps_create(dim)
+        self.dim = dim
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.ps_destroy(self._h)
+            self._h = None
+
+    def push(self, global_ids: np.ndarray, rows: np.ndarray) -> None:
+        g = np.ascontiguousarray(global_ids, np.int64)
+        r = np.ascontiguousarray(rows, np.float32)
+        assert r.shape == (len(g), self.dim)
+        self._lib.ps_push(
+            self._h, _as_i64(g), r.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(g),
+        )
+
+    def pull(self, global_ids: np.ndarray) -> Tuple[np.ndarray, int]:
+        g = np.ascontiguousarray(global_ids, np.int64)
+        out = np.zeros((len(g), self.dim), np.float32)
+        hits = self._lib.ps_pull(
+            self._h, _as_i64(g), out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            len(g),
+        )
+        return out, int(hits)
+
+    def __len__(self) -> int:
+        return int(self._lib.ps_size(self._h))
+
+
+class IDTransformerCollection:
+    """Per-table transformers applied to a KJT host-side before device_put
+    (reference IDTransformerGroup + dataloader.py transform)."""
+
+    def __init__(
+        self,
+        capacities: Dict[str, int],
+        feature_to_table: Dict[str, str],
+        dims: Optional[Dict[str, int]] = None,
+    ):
+        self._transformers = {t: IDTransformer(c) for t, c in capacities.items()}
+        self._feature_to_table = dict(feature_to_table)
+        self._ps = (
+            {t: ParameterServer(dims[t]) for t in capacities} if dims else None
+        )
+
+    def transformer(self, table: str) -> IDTransformer:
+        return self._transformers[table]
+
+    def parameter_server(self, table: str) -> Optional[ParameterServer]:
+        return self._ps[table] if self._ps else None
+
+    def transform_numpy(
+        self,
+        keys: Sequence[str],
+        values: np.ndarray,
+        lengths: np.ndarray,
+    ) -> Tuple[np.ndarray, Dict[str, Tuple[np.ndarray, np.ndarray]]]:
+        """Feature-major value stream -> transformed stream.
+
+        Returns (new_values, {table: (evicted_gids, evicted_slots)}).
+        """
+        out = values.astype(np.int64).copy()
+        evictions: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+        per_key = lengths.sum(axis=1)
+        off = 0
+        # group contiguous per-key ranges by table
+        ranges: Dict[str, List[Tuple[int, int]]] = {}
+        for fi, key in enumerate(keys):
+            t = self._feature_to_table.get(key)
+            n = int(per_key[fi])
+            if t is not None and n:
+                ranges.setdefault(t, []).append((off, off + n))
+            off += n
+        for t, rs in ranges.items():
+            gids = np.concatenate([values[a:b] for a, b in rs]).astype(np.int64)
+            cids, eg, es = self._transformers[t].transform(gids)
+            pos = 0
+            for a, b in rs:
+                out[a:b] = cids[pos : pos + (b - a)]
+                pos += b - a
+            if len(eg):
+                prev = evictions.get(t)
+                evictions[t] = (
+                    (np.concatenate([prev[0], eg]), np.concatenate([prev[1], es]))
+                    if prev
+                    else (eg, es)
+                )
+        return out.astype(np.int32), evictions
