@@ -1,0 +1,169 @@
+"""2D parallel (DMPCollection) + qcomms tests.
+
+Reference analogs: torchrec/distributed/tests/test_2d_sharding.py (replica x
+shard DMPCollection) and test_qcomms usage in the sharding oracle sweeps.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from torchrec_tpu.distributed import ShardingEnv
+from torchrec_tpu.distributed.model_parallel import (
+    DistributedModelParallel,
+    DMPCollection,
+    stack_replica_batches,
+)
+from torchrec_tpu.distributed.qcomms import (
+    CommType,
+    QCommsConfig,
+    decode_int8_rowwise,
+    encode_int8_rowwise,
+)
+from torchrec_tpu.datasets import RandomRecDataset
+from torchrec_tpu.models import DLRM
+from torchrec_tpu.modules import EmbeddingBagCollection, EmbeddingBagConfig
+from torchrec_tpu.ops import RowWiseAdagrad
+
+
+def make_model(dim=16):
+    tables = [
+        EmbeddingBagConfig(name="big", num_embeddings=2000, embedding_dim=dim,
+                           feature_names=["fb"]),
+        EmbeddingBagConfig(name="small", num_embeddings=40, embedding_dim=dim,
+                           feature_names=["fs"]),
+    ]
+    return DLRM(
+        embedding_bag_collection=EmbeddingBagCollection(tables),
+        dense_in_features=4,
+        dense_arch_layer_sizes=(16, dim),
+        over_arch_layer_sizes=(16, 8),
+    )
+
+
+def make_batch(model, batch_size, seed=0):
+    ds = RandomRecDataset(
+        keys=model.embedding_bag_collection.feature_names(),
+        batch_size=batch_size,
+        hash_sizes=[2000, 40],
+        num_dense=4,
+        seed=seed,
+    )
+    return next(iter(ds))
+
+
+def test_dmp_collection_matches_1d_with_every_step_sync():
+    """R=2 groups x W=4 shards, identical per-group batches, sync every
+    step == 1D DMP on 4 devices with the same batch."""
+    model = make_model()
+    emb_opt = RowWiseAdagrad(learning_rate=0.05)
+    dense_tx = optax.sgd(0.05)
+
+    env1 = ShardingEnv.from_devices(jax.devices()[:4])
+    dmp1 = DistributedModelParallel(model, env1, batch_size=8)
+    s1 = dmp1.init_train_state(jax.random.key(0), emb_opt, dense_tx)
+    step1 = dmp1.make_train_step(emb_opt, dense_tx, example_state=s1)
+
+    env2 = ShardingEnv.from_devices(jax.devices()[:8], replica_size=2)
+    dmp2 = DMPCollection(model, env2, plan=dmp1.plan, sync_interval=1)
+    s2 = dmp2.init_train_state(jax.random.key(0), emb_opt, dense_tx)
+    step2 = dmp2.make_train_step(emb_opt, dense_tx, example_state=s2)
+
+    batch = make_batch(model, 8)
+    stacked = stack_replica_batches([batch, batch])
+
+    for i in range(3):
+        s1, aux1 = step1(s1, batch)
+        s2, aux2 = step2(s2, stacked)
+
+    # both are the global mean loss (the duplicated examples don't change it)
+    np.testing.assert_allclose(
+        float(aux1["loss"]), float(aux2["loss"]), rtol=1e-5
+    )
+    w1 = dmp1.sharded_ebc.unshard_params(s1.sparse_params)
+    w2 = dmp2.sharded_ebc.unshard_params(
+        jax.tree_util.tree_map(lambda x: x, s2.sparse_params)
+    )
+    for name in w1:
+        np.testing.assert_allclose(w1[name], w2[name], rtol=1e-4, atol=1e-4,
+                                   err_msg=name)
+
+
+def test_dmp_collection_diverges_then_syncs():
+    """Different per-group batches: tables diverge between syncs, and the
+    sync step averages them (interval=2)."""
+    model = make_model()
+    emb_opt = RowWiseAdagrad(learning_rate=0.05)
+    dense_tx = optax.sgd(0.05)
+    env = ShardingEnv.from_devices(jax.devices()[:8], replica_size=2)
+    dmp = DMPCollection(model, env, sync_interval=2, batch_size=8)
+    s = dmp.init_train_state(jax.random.key(0), emb_opt, dense_tx)
+    step = dmp.make_train_step(emb_opt, dense_tx, example_state=s)
+
+    b1, b2 = make_batch(model, 8, seed=1), make_batch(model, 8, seed=2)
+    stacked = stack_replica_batches([b1, b2])
+    s, _ = step(s, stacked)  # step 1: no sync
+    s, _ = step(s, stacked)  # step 2: sync
+    assert np.isfinite(float(np.asarray(s.step)))
+    # after sync, the replicated view must be consistent (unshard works)
+    w = dmp.sharded_ebc.unshard_params(s.sparse_params)
+    assert all(np.isfinite(v).all() for v in w.values())
+
+
+def test_qcomms_bf16_forward_close_to_fp32():
+    from torchrec_tpu.distributed import (
+        ShardedEmbeddingBagCollection,
+        construct_module_sharding_plan,
+        row_wise,
+    )
+    from tests.utils import make_numpy_kjt, to_kjt
+
+    model_tables = [
+        EmbeddingBagConfig(name="t", num_embeddings=64, embedding_dim=32,
+                           feature_names=["f"]),
+    ]
+    ebc = EmbeddingBagCollection(model_tables)
+    params = ebc.init(jax.random.key(0))
+    env = ShardingEnv.from_devices(jax.devices()[:8])
+    plan = construct_module_sharding_plan(
+        model_tables, {"t": row_wise()}, env
+    )
+    rng = np.random.default_rng(0)
+    nk = make_numpy_kjt(rng, ["f"], batch_size=16, num_embeddings={"f": 64},
+                        max_length=4)
+    kjt = to_kjt(nk, capacity=80)
+
+    sebc_fp32 = ShardedEmbeddingBagCollection(ebc, plan, env)
+    sebc_bf16 = ShardedEmbeddingBagCollection(
+        ebc, plan, env,
+        qcomms=QCommsConfig(
+            forward_precision=CommType.BF16,
+            backward_precision=CommType.FP16,
+            backward_loss_scale=128.0,
+        ),
+    )
+    sp = sebc_fp32.shard_params(params)
+    a = np.asarray(sebc_fp32.apply(sp, kjt).values())
+    b = np.asarray(sebc_bf16.apply(sp, kjt).values())
+    assert np.abs(a - b).max() < 0.1  # bf16 wire error, not garbage
+    assert not np.allclose(a, b)  # but genuinely quantized
+
+
+def test_int8_rowwise_codec_roundtrip():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(32, 16)).astype(np.float32) * 5)
+    q, s = encode_int8_rowwise(x)
+    assert q.dtype == jnp.int8 and s.dtype == jnp.float16
+    back = decode_int8_rowwise(q, s)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=0.08)  # half-LSB at amax~19
+    # zero rows stay exact
+    z = jnp.zeros((2, 16))
+    qz, sz = encode_int8_rowwise(z)
+    np.testing.assert_array_equal(np.asarray(decode_int8_rowwise(qz, sz)), 0)
+
+
+def test_qcomms_rejects_int8_for_arithmetic_collectives():
+    with pytest.raises(ValueError):
+        QCommsConfig(forward_precision="int8")

@@ -9,6 +9,7 @@ from torchrec_tpu.distributed.sharding_plan import (
     table_row_wise,
     table_wise,
 )
+from torchrec_tpu.distributed.qcomms import CommType, QCommsConfig
 from torchrec_tpu.distributed.types import (
     EmbeddingModuleShardingPlan,
     ParameterSharding,
@@ -18,6 +19,8 @@ from torchrec_tpu.distributed.types import (
 )
 
 __all__ = [
+    "CommType",
+    "QCommsConfig",
     "ShardedEmbeddingBagCollection",
     "ShardedEmbeddingCollection",
     "column_wise",

@@ -74,10 +74,16 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
         ebc: EmbeddingBagCollection,
         plan: EmbeddingModuleShardingPlan,
         env: ShardingEnv,
+        qcomms=None,
     ):
+        """``qcomms``: optional distributed.qcomms.QCommsConfig — casts the
+        pooled-output collective (forward) and gradient all-gather
+        (backward) payloads to reduced precision (reference QCommsConfig,
+        fbgemm_qcomm_codec.py:55)."""
         self._ebc = ebc
         self._plan = plan
         self._env = env
+        self._qcomms = qcomms
         self._all_tables = list(ebc._tables)
         tables = {t.name: t for t in ebc._tables}
         f_count = len(ebc._feature_names)
@@ -234,11 +240,25 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
             pooled = pooled.reshape(c.num_vf, b, c.width)
             if scale is not None:
                 pooled = pooled * scale[:, :, None]
-            # output dist: reduce-scatter over the batch dim
+            # output dist: reduce-scatter over the batch dim; qcomms casts
+            # the wire payload to the configured forward precision
             pooled = jnp.transpose(pooled, (1, 0, 2))  # [B, num_vf, width]
-            pooled = jax.lax.psum_scatter(
-                pooled, axis, scatter_dimension=0, tiled=True
-            )  # [B_local, num_vf, width]
+            if self._qcomms is not None:
+                from torchrec_tpu.distributed.qcomms import decode, encode
+
+                pooled = decode(
+                    jax.lax.psum_scatter(
+                        encode(pooled, self._qcomms.forward_precision),
+                        axis,
+                        scatter_dimension=0,
+                        tiled=True,
+                    ),
+                    self._qcomms.forward_precision,
+                )
+            else:
+                pooled = jax.lax.psum_scatter(
+                    pooled, axis, scatter_dimension=0, tiled=True
+                )  # [B_local, num_vf, width]
             for i, fi in enumerate(c.vf_feature):
                 col = int(self._feature_col_off[fi]) + c.vf_col_start[i]
                 out = jax.lax.dynamic_update_slice(
@@ -276,10 +296,26 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
         values = kjt.values()
         weights = kjt.weights() if self._ebc.is_weighted() else None
         lengths = kjt.lengths()
-        # transpose of psum_scatter = all_gather over batch
-        full_grad = jax.lax.all_gather(
-            out_grad, axis, axis=0, tiled=True
-        )  # [B, total_dim]
+        # transpose of psum_scatter = all_gather over batch; qcomms casts
+        # the gradient payload (with optional loss scale for fp16)
+        if self._qcomms is not None:
+            from torchrec_tpu.distributed.qcomms import decode, encode
+
+            q = self._qcomms
+            scale = q.backward_loss_scale
+            payload = out_grad * scale if scale else out_grad
+            full_grad = decode(
+                jax.lax.all_gather(
+                    encode(payload, q.backward_precision), axis, axis=0,
+                    tiled=True,
+                ),
+                q.backward_precision,
+            )
+            full_grad = full_grad / scale if scale else full_grad
+        else:
+            full_grad = jax.lax.all_gather(
+                out_grad, axis, axis=0, tiled=True
+            )  # [B, total_dim]
 
         grads: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
         for c in self._classes:

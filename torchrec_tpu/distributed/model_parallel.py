@@ -249,3 +249,176 @@ class DistributedModelParallel:
             dense_opt_state=dense_opt_specs,
             step=P(),
         )
+
+
+def stack_replica_batches(batches) -> Batch:
+    """Stack one Batch per replica group into the 2D layout DMPCollection
+    trains on: dense/labels rows replica-major ([R*B, ...], split over
+    ('replica','shard')); KJT buffers concatenated group-major (values
+    [R*cap] split over 'replica'; lengths columns [F, R*B] grouped by
+    replica so each group sees a consistent local KJT)."""
+    kjts = [b.sparse_features for b in batches]
+    keys = kjts[0].keys()
+    values = jnp.concatenate([k.values() for k in kjts])
+    lengths = jnp.concatenate([k.lengths() for k in kjts], axis=1)
+    weights = None
+    if kjts[0].weights_or_none() is not None:
+        weights = jnp.concatenate([k.weights() for k in kjts])
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+
+    return Batch(
+        dense_features=jnp.concatenate([b.dense_features for b in batches]),
+        sparse_features=KeyedJaggedTensor(
+            keys=keys, values=values, lengths=lengths, weights=weights
+        ),
+        labels=jnp.concatenate([b.labels for b in batches]),
+    )
+
+
+class DMPCollection(DistributedModelParallel):
+    """2D parallelism: model sharded over the 'shard' axis, replicated
+    across 'replica' groups, with periodic cross-replica weight sync.
+
+    Capability parity with torchrec/distributed/model_parallel.py
+    DMPCollection (:1028): each replica group holds a full sharded copy of
+    the embedding tables and trains on its own batch slice; every
+    ``sync_interval`` steps the sparse tables + fused optimizer state are
+    averaged across groups on the 'replica' axis (the reference's replica-PG
+    allreduce, :1037-1046). Dense params are plain DP over ALL devices
+    (grads psum'd over both axes every step).
+
+    TPU-first: the whole thing is one shard_map over a (replica, shard)
+    mesh; within-group collectives ride the 'shard' axis exactly as in the
+    1D program, so the 1D lookup/update code is reused unchanged.
+    """
+
+    def __init__(
+        self,
+        model: DLRM,
+        env: ShardingEnv,
+        plan: Optional[EmbeddingModuleShardingPlan] = None,
+        sync_interval: int = 1,
+        **kwargs,
+    ):
+        if env.replica_axis is None:
+            raise ValueError(
+                "DMPCollection needs a 2D env "
+                "(ShardingEnv.from_devices(replica_size=R))"
+            )
+        self.sync_interval = sync_interval
+        super().__init__(model, env, plan, **kwargs)
+
+    def make_train_step(
+        self,
+        emb_optimizer: EmbeddingOptimizer,
+        dense_tx: optax.GradientTransformation,
+        loss_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = bce_with_logits,
+        lr_schedule=None,
+        example_state: Optional[TrainState] = None,
+    ):
+        """step(state, stacked_batch) with stacked_batch from
+        stack_replica_batches (leading axis = replica groups)."""
+        from jax import shard_map
+
+        model = self.model
+        sebc = self.sharded_ebc
+        env = self.env
+        axis = env.shard_axis
+        raxis = env.replica_axis
+        w = env.world_size
+        r = env.num_replicas
+        sync_interval = self.sync_interval
+
+        def local_step(state: TrainState, batch: Batch):
+            kjt = batch.sparse_features  # local group's KJT (full buffers)
+            emb_values = sebc.apply_local(state.sparse_params, kjt)
+
+            def objective(dense_params, emb_values):
+                logits = model.forward_dense(
+                    dense_params, batch.dense_features, emb_values
+                )
+                losses = loss_fn(logits, batch.labels.astype(jnp.float32))
+                return losses / (w * r), logits
+
+            (local_loss, logits), (dense_grads, emb_grad) = jax.value_and_grad(
+                objective, argnums=(0, 1), has_aux=True
+            )(state.dense_params, emb_values)
+
+            lr = lr_schedule(state.step) if lr_schedule is not None else None
+            new_sparse, new_emb_state = sebc.apply_gradients_local(
+                state.sparse_params,
+                state.emb_opt_state,
+                emb_optimizer,
+                kjt,
+                emb_grad,
+                lr=lr,
+            )
+
+            # periodic replica sync (reference weight-sync allreduce)
+            def sync(args):
+                def avg(x):
+                    if jnp.issubdtype(x.dtype, jnp.integer):
+                        return jax.lax.pmax(x, raxis)
+                    return jax.lax.pmean(x, raxis)
+
+                return jax.tree_util.tree_map(avg, args)
+
+            new_step = state.step + 1
+            new_sparse, new_emb_state = jax.lax.cond(
+                new_step % sync_interval == 0,
+                sync,
+                lambda a: a,
+                (new_sparse, new_emb_state),
+            )
+
+            dense_grads = jax.lax.psum(dense_grads, (raxis, axis))
+            updates, new_dense_opt = dense_tx.update(
+                dense_grads, state.dense_opt_state, state.dense_params
+            )
+            new_dense = optax.apply_updates(state.dense_params, updates)
+            loss = jax.lax.psum(local_loss, (raxis, axis))
+            new_state = TrainState(
+                sparse_params=new_sparse,
+                dense_params=new_dense,
+                emb_opt_state=new_emb_state,
+                dense_opt_state=new_dense_opt,
+                step=new_step,
+            )
+            return new_state, {
+                "loss": loss,
+                "logits": jax.lax.stop_gradient(logits),
+                "labels": batch.labels,
+            }
+
+        state_specs = self._state_specs(example_state, emb_optimizer, dense_tx)
+
+        # KJT leaves: values [R*cap] over replica; lengths [F, R*B] over
+        # replica on the batch dim; weights like values
+        def kjt_specs(kjt):
+            leaves, treedef = jax.tree_util.tree_flatten(kjt)
+            specs = []
+            for leaf in leaves:
+                specs.append(P(env.replica_axis) if leaf.ndim == 1 else P(None, env.replica_axis))
+            return jax.tree_util.tree_unflatten(treedef, specs)
+
+        def step(state, batch):
+            batch_specs = Batch(
+                dense_features=P((env.replica_axis, axis)),
+                sparse_features=kjt_specs(batch.sparse_features),
+                labels=P((env.replica_axis, axis)),
+            )
+            aux_specs = {
+                "loss": P(),
+                "logits": P((env.replica_axis, axis)),
+                "labels": P((env.replica_axis, axis)),
+            }
+            fn = shard_map(
+                local_step,
+                mesh=env.mesh,
+                in_specs=(state_specs, batch_specs),
+                out_specs=(state_specs, aux_specs),
+                check_vma=False,
+            )
+            return fn(state, batch)
+
+        return jax.jit(step, donate_argnums=(0,))
