@@ -46,3 +46,8 @@ __all__ = [
     "RecTaskInfo",
     "ThroughputMetric",
 ]
+
+from torchrec_tpu.metrics import metrics_extra as _extra
+from torchrec_tpu.metrics.metrics_extra import *  # noqa: F401,F403
+from torchrec_tpu.metrics.metrics_extra import TowerQPSMetric  # noqa: F401
+__all__ = list(__all__) + list(_extra.__all__)

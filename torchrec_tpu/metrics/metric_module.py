@@ -44,6 +44,31 @@ __all__ = [
 
 class RecMetricEnum(enum.Enum):
     NE = "ne"
+    NE_POSITIVE = "ne_positive"
+    UNWEIGHTED_NE = "unweighted_ne"
+    RECALIBRATED_NE = "recalibrated_ne"
+    RECALIBRATED_CALIBRATION = "recalibrated_calibration"
+    SEGMENTED_NE = "segmented_ne"
+    SERVING_NE = "serving_ne"
+    SERVING_CALIBRATION = "serving_calibration"
+    SERVING_AE_LOSS = "serving_ae_loss"
+    CALI_FREE_NE = "cali_free_ne"
+    RAUC = "rauc"
+    XAUC = "xauc"
+    GAUC = "gauc"
+    MULTICLASS_RECALL = "multiclass_recall"
+    MULTI_LABEL_PRECISION = "multi_label_precision"
+    RECALL_SESSION_LEVEL = "recall_session_level"
+    PRECISION_SESSION_LEVEL = "precision_session_level"
+    HINDSIGHT_TARGET_PR = "hindsight_target_pr"
+    SCALAR = "scalar"
+    AVERAGE = "average"
+    OUTPUT = "output"
+    TENSOR_WEIGHTED_AVG = "tensor_weighted_avg"
+    NUM_POSITIVE_SAMPLES = "num_positive_samples"
+    SUM_WEIGHTS = "sum_weights"
+    NUM_MISSING_LABELS = "num_missing_labels"
+    WEIGHTED_SUM_PREDICTIONS = "weighted_sum_predictions"
     LOG_LOSS = "log_loss"
     AUC = "auc"
     AUPRC = "auprc"
@@ -59,8 +84,61 @@ class RecMetricEnum(enum.Enum):
     NDCG = "ndcg"
 
 
+from torchrec_tpu.metrics.metrics_extra import (
+    AverageMetric,
+    CaliFreeNEMetric,
+    GAUCMetric,
+    HindsightTargetPRMetric,
+    MultiLabelPrecisionMetric,
+    MulticlassRecallMetric,
+    NEPositiveMetric,
+    NumMissingLabelsMetric,
+    NumPositiveSamplesMetric,
+    OutputMetric,
+    PrecisionSessionLevelMetric,
+    RAUCMetric,
+    RecalibratedCalibrationMetric,
+    RecalibratedNEMetric,
+    RecallSessionLevelMetric,
+    ScalarMetric,
+    SegmentedNEMetric,
+    ServingAELossMetric,
+    ServingCalibrationMetric,
+    ServingNEMetric,
+    SumWeightsMetric,
+    TensorWeightedAvgMetric,
+    UnweightedNEMetric,
+    WeightedSumPredictionsMetric,
+    XAUCMetric,
+)
+
 _FACTORY = {
     RecMetricEnum.NE: NEMetric,
+    RecMetricEnum.NE_POSITIVE: NEPositiveMetric,
+    RecMetricEnum.UNWEIGHTED_NE: UnweightedNEMetric,
+    RecMetricEnum.RECALIBRATED_NE: RecalibratedNEMetric,
+    RecMetricEnum.RECALIBRATED_CALIBRATION: RecalibratedCalibrationMetric,
+    RecMetricEnum.SEGMENTED_NE: SegmentedNEMetric,
+    RecMetricEnum.SERVING_NE: ServingNEMetric,
+    RecMetricEnum.SERVING_CALIBRATION: ServingCalibrationMetric,
+    RecMetricEnum.SERVING_AE_LOSS: ServingAELossMetric,
+    RecMetricEnum.CALI_FREE_NE: CaliFreeNEMetric,
+    RecMetricEnum.RAUC: RAUCMetric,
+    RecMetricEnum.XAUC: XAUCMetric,
+    RecMetricEnum.GAUC: GAUCMetric,
+    RecMetricEnum.MULTICLASS_RECALL: MulticlassRecallMetric,
+    RecMetricEnum.MULTI_LABEL_PRECISION: MultiLabelPrecisionMetric,
+    RecMetricEnum.RECALL_SESSION_LEVEL: RecallSessionLevelMetric,
+    RecMetricEnum.PRECISION_SESSION_LEVEL: PrecisionSessionLevelMetric,
+    RecMetricEnum.HINDSIGHT_TARGET_PR: HindsightTargetPRMetric,
+    RecMetricEnum.SCALAR: ScalarMetric,
+    RecMetricEnum.AVERAGE: AverageMetric,
+    RecMetricEnum.OUTPUT: OutputMetric,
+    RecMetricEnum.TENSOR_WEIGHTED_AVG: TensorWeightedAvgMetric,
+    RecMetricEnum.NUM_POSITIVE_SAMPLES: NumPositiveSamplesMetric,
+    RecMetricEnum.SUM_WEIGHTS: SumWeightsMetric,
+    RecMetricEnum.NUM_MISSING_LABELS: NumMissingLabelsMetric,
+    RecMetricEnum.WEIGHTED_SUM_PREDICTIONS: WeightedSumPredictionsMetric,
     RecMetricEnum.LOG_LOSS: LogLossMetric,
     RecMetricEnum.AUC: AUCMetric,
     RecMetricEnum.AUPRC: AUPRCMetric,

@@ -39,7 +39,9 @@ __all__ = [
     "NDCGMetric",
 ]
 
-_EPS = 1e-12
+# f32-safe: 1 - 1e-12 rounds to 1.0 in float32 and log(1-p) blows up; 1e-7
+# is representable on both sides
+_EPS = 1e-7
 
 
 def _bce(p, l):
