@@ -89,11 +89,16 @@ class IDTransformer {
   // number evicted; fills evicted global ids + their slots.
   int64_t Evict(int64_t n_evict, int64_t* evicted_gids, int64_t* evicted_slots) {
     std::lock_guard<std::mutex> g(mu_);
-    // collect occupied slots and partial-sort by (freq, time)
+    // collect occupied slots and partial-sort by (freq, time); slots
+    // touched in the CURRENT tick are pinned — otherwise an evict/retry
+    // loop for a batch larger than the free space would evict the batch's
+    // own ids and never converge
     std::vector<int64_t> occ;
     occ.reserve(size_);
     for (int64_t i = 0; i < capacity_; ++i) {
-      if (slots_[i].global_id != kEmpty) occ.push_back(i);
+      if (slots_[i].global_id != kEmpty &&
+          slots_[i].last_time != static_cast<uint32_t>(time_))
+        occ.push_back(i);
     }
     auto key = [&](int64_t s) {
       return (static_cast<uint64_t>(slots_[s].freq_power) << 32) |
@@ -107,11 +112,14 @@ class IDTransformer {
       int64_t slot = occ[i];
       evicted_gids[i] = slots_[slot].global_id;
       evicted_slots[i] = slot;
-      Remove(slots_[slot].global_id);
       slots_[slot] = Slot();
       free_.push_back(slot);
       --size_;
     }
+    // rebuild the bucket table: per-id tombstones would otherwise deplete
+    // the empty buckets and make Find() probe forever once every bucket is
+    // used-or-tombstone (open-addressing pathology under heavy churn)
+    if (n_evict > 0) Rehash();
     return n_evict;
   }
 
@@ -161,7 +169,7 @@ class IDTransformer {
   }
   int64_t Find(int64_t gid) const {
     int64_t b = Bucket(gid);
-    while (table_[b] != -1) {
+    for (int64_t probes = 0; probes <= mask_ && table_[b] != -1; ++probes) {
       if (table_[b] >= 0 && slots_[table_[b]].global_id == gid) return table_[b];
       b = (b + 1) & mask_;
     }
@@ -172,14 +180,10 @@ class IDTransformer {
     while (table_[b] >= 0) b = (b + 1) & mask_;
     table_[b] = slot;
   }
-  void Remove(int64_t gid) {
-    int64_t b = Bucket(gid);
-    while (table_[b] != -1) {
-      if (table_[b] >= 0 && slots_[table_[b]].global_id == gid) {
-        table_[b] = -2;  // tombstone (still probes through)
-        return;
-      }
-      b = (b + 1) & mask_;
+  void Rehash() {
+    std::fill(table_.begin(), table_.end(), -1);
+    for (int64_t i = 0; i < capacity_; ++i) {
+      if (slots_[i].global_id != kEmpty) Insert(slots_[i].global_id, i);
     }
   }
 

@@ -1,0 +1,96 @@
+"""KeyValueEmbeddingBagCollection: host-backed cache tier.
+
+Reference analogs: SSD/KVZCH kernel tests (KeyValueEmbeddingBag,
+ZeroCollisionKeyValueEmbedding in batched_embedding_kernel.py) — rows
+survive eviction to the host tier and come back with optimizer state.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from torchrec_tpu import KeyedJaggedTensor
+from torchrec_tpu.modules import EmbeddingBagConfig
+from torchrec_tpu.modules.kv_embedding import KeyValueEmbeddingBagCollection
+from torchrec_tpu.ops import RowWiseAdagrad
+
+
+def make(cache=8):
+    tables = [
+        EmbeddingBagConfig(
+            name="t", num_embeddings=1 << 40, embedding_dim=16,
+            feature_names=["f"],
+        )
+    ]
+    kv = KeyValueEmbeddingBagCollection(tables, cache_rows={"t": cache})
+    params = kv.init(jax.random.key(0))
+    opt = RowWiseAdagrad(learning_rate=0.5)
+    states = kv.init_optimizer(params, opt)
+    return kv, params, opt, states
+
+
+def step(kv, params, opt, states, raw_ids):
+    keys = ["f"]
+    lengths = np.ones((1, len(raw_ids)), np.int32)
+    vals, params, states = kv.transform(
+        keys, np.asarray(raw_ids, np.int64), lengths, params, states, opt
+    )
+    kjt = KeyedJaggedTensor(
+        keys=keys, values=jnp.asarray(vals), lengths=jnp.asarray(lengths)
+    )
+    kt = kv.apply(params, kjt)
+    cot = jnp.ones_like(kt.values())
+    params, states = kv.apply_gradients(params, states, opt, kjt, cot)
+    return params, states, kt
+
+
+def test_unbounded_ids_train_on_bounded_cache():
+    kv, params, opt, states = make(cache=8)
+    big_ids = [10**12, 10**15 + 3, 7]
+    params, states, kt = step(kv, params, opt, states, big_ids)
+    assert kt.values().shape == (3, 16)
+    # rows moved away from init by the update
+    vals0, _, _ = kv.transform(["f"], np.asarray(big_ids, np.int64),
+                               np.ones((1, 3), np.int32), params, states, opt)
+    assert (vals0 < 8).all()
+
+
+def test_eviction_roundtrip_preserves_rows_and_state():
+    kv, params, opt, states = make(cache=4)
+    # train id A so its row + momentum are distinctive
+    params, states, _ = step(kv, params, opt, states, [111])
+    slot_a = int(kv.transform(["f"], np.array([111], np.int64),
+                              np.ones((1, 1), np.int32), params, states, opt)[0][0])
+    row_a = np.asarray(kv._ebc.table_slice(params, "t"))[slot_a].copy()
+    g = kv._ebc.groups[0]
+    mom_a = float(np.asarray(states[g.key]["momentum"])[slot_a])
+    assert mom_a > 0
+
+    # flood the cache with other hot ids until 111 is evicted
+    for i in range(4):
+        params, states, _ = step(kv, params, opt, states,
+                                 [1000 + i, 2000 + i, 3000 + i, 4000 + i])
+
+    # touching 111 again must bring back its exact row AND momentum
+    vals, params, states = kv.transform(
+        ["f"], np.array([111], np.int64), np.ones((1, 1), np.int32),
+        params, states, opt,
+    )
+    slot_new = int(vals[0])
+    row_back = np.asarray(kv._ebc.table_slice(params, "t"))[slot_new]
+    np.testing.assert_allclose(row_back, row_a, rtol=1e-6)
+    mom_back = float(np.asarray(states[g.key]["momentum"])[slot_new])
+    np.testing.assert_allclose(mom_back, mom_a, rtol=1e-6)
+
+
+def test_tier_checkpoint_roundtrip():
+    kv, params, opt, states = make(cache=8)
+    params, states, _ = step(kv, params, opt, states, [5, 6, 7])
+    tier = kv.export_tier_state()
+    kv2, _, _, _ = make(cache=8)
+    kv2.restore_tier_state(tier)
+    a, _, _ = kv.transform(["f"], np.array([5, 6, 7], np.int64),
+                           np.ones((1, 3), np.int32), params, states, opt)
+    b, _, _ = kv2.transform(["f"], np.array([5, 6, 7], np.int64),
+                            np.ones((1, 3), np.int32), params, states, opt)
+    np.testing.assert_array_equal(a, b)

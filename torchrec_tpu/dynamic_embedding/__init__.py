@@ -113,18 +113,18 @@ class IDTransformer:
             # another thread may refill between evict and retry: keep
             # evicting until this batch fits (or the batch itself has more
             # distinct ids than the whole map can hold)
+            if len(np.unique(gids)) > self.capacity:
+                raise RuntimeError(
+                    f"transformer capacity {self.capacity} exhausted: batch "
+                    f"has more distinct ids than capacity"
+                )
             if retries >= 8:
                 raise RuntimeError(
-                    f"transformer capacity {self.capacity} exhausted: batch "
-                    f"has more distinct ids than capacity"
+                    f"transformer full after {retries} evict/retry rounds "
+                    f"(capacity {self.capacity}, concurrent writers?)"
                 )
-            n_evict = max(self.capacity // 10, int(n - ok))
+            n_evict = max(self.capacity // 10, int(n - ok), 1)
             eg, es = self.evict(n_evict)
-            if len(eg) == 0 and len(self) + n > self.capacity:
-                raise RuntimeError(
-                    f"transformer capacity {self.capacity} exhausted: batch "
-                    f"has more distinct ids than capacity"
-                )
             evicted_g = np.concatenate([evicted_g, eg])
             evicted_s = np.concatenate([evicted_s, es])
             ok = self._lib.idt_transform(
