@@ -1,0 +1,134 @@
+"""Schema/API-stability tests: pin the public signatures.
+
+Reference analog: torchrec/schema/api_tests/* (signature pinning for
+EBC/KJT/planner/optimizer/inference APIs) — a breaking change to any of
+these must be a deliberate edit HERE too.
+"""
+
+import inspect
+
+import pytest
+
+
+def sig_params(obj):
+    return list(inspect.signature(obj).parameters)
+
+
+def test_root_exports():
+    import torchrec_tpu as tr
+
+    for name in [
+        "JaggedTensor", "KeyedJaggedTensor", "KeyedTensor",
+        "ComputeKernel", "DataType", "PoolingType", "ShardingType",
+    ]:
+        assert hasattr(tr, name), name
+
+
+def test_kjt_schema():
+    from torchrec_tpu import KeyedJaggedTensor
+
+    assert sig_params(KeyedJaggedTensor.__init__)[:5] == [
+        "self", "keys", "values", "lengths", "weights",
+    ]
+    for method in [
+        "keys", "values", "lengths", "weights", "offsets", "split",
+        "permute", "to_dict", "concat", "stride", "length_per_key",
+        "offset_per_key", "select_keys", "materialize", "segment_ids",
+        "valid_mask", "sync", "unsync",
+    ]:
+        assert hasattr(KeyedJaggedTensor, method), method
+
+
+def test_ebc_schema():
+    from torchrec_tpu.modules import EmbeddingBagCollection, EmbeddingBagConfig
+
+    assert sig_params(EmbeddingBagCollection.__init__) == [
+        "self", "tables", "is_weighted", "max_unique_gradient_rows",
+    ]
+    for method in [
+        "init", "apply", "apply_gradients", "init_optimizer",
+        "embedding_bag_configs", "is_weighted", "feature_names",
+        "embedding_dims", "sparse_grads", "table_slice", "split_params",
+    ]:
+        assert hasattr(EmbeddingBagCollection, method), method
+    cfg = sig_params(EmbeddingBagConfig.__init__)
+    for p in ["name", "num_embeddings", "embedding_dim", "feature_names",
+              "pooling", "data_type"]:
+        assert p in cfg, p
+
+
+def test_sharding_schema():
+    from torchrec_tpu.distributed import (
+        ShardedEmbeddingBagCollection,
+        ShardedEmbeddingCollection,
+        ShardingEnv,
+    )
+
+    assert sig_params(ShardedEmbeddingBagCollection.__init__) == [
+        "self", "ebc", "plan", "env", "qcomms",
+    ]
+    assert sig_params(ShardedEmbeddingCollection.__init__) == [
+        "self", "ec", "plan", "env",
+    ]
+    for method in ["apply", "apply_local", "apply_gradients_local",
+                   "shard_params", "unshard_params", "init_optimizer"]:
+        assert hasattr(ShardedEmbeddingBagCollection, method), method
+    assert sig_params(ShardingEnv.from_devices) == [
+        "devices", "replica_size", "local_size",
+    ]
+
+
+def test_planner_schema():
+    from torchrec_tpu.planner import EmbeddingShardingPlanner, Topology
+
+    p = sig_params(EmbeddingShardingPlanner.__init__)
+    assert p[:2] == ["self", "topology"]
+    assert hasattr(EmbeddingShardingPlanner, "plan")
+    t = sig_params(Topology.__init__)
+    for key in ["world_size", "generation"]:
+        assert key in t, key
+
+
+def test_optimizer_schema():
+    from torchrec_tpu.ops import SGD, Adam, RowWiseAdagrad, make_optimizer
+    from torchrec_tpu.ops.fused_optim import EmbeddingOptimizer
+
+    assert sig_params(EmbeddingOptimizer.update) == [
+        "self", "table", "state", "unique_ids", "unique_grads", "lr",
+    ]
+    assert sig_params(EmbeddingOptimizer.dense_update) == [
+        "self", "table", "state", "grad", "touched", "lr",
+    ]
+    for cls in [SGD, Adam, RowWiseAdagrad]:
+        assert issubclass(cls, EmbeddingOptimizer)
+
+
+def test_inference_schema():
+    from torchrec_tpu.inference import quantize_inference_model, shard_quant_model
+    from torchrec_tpu.inference.serving import BatchingQueue, PredictionService
+
+    assert "model" in sig_params(quantize_inference_model)
+    q = sig_params(BatchingQueue.__init__)
+    for p in ["max_batch_size", "num_dense", "num_sparse", "out_dim",
+              "ids_capacity", "batching_timeout_us", "max_in_flight"]:
+        assert p in q, p
+
+
+def test_metric_module_schema():
+    from torchrec_tpu.metrics.metric_module import (
+        MetricsConfig,
+        RecMetricEnum,
+        RecMetricModule,
+    )
+
+    # the enum must keep covering the reference families
+    values = {e.value for e in RecMetricEnum}
+    for required in [
+        "ne", "auc", "auprc", "calibration", "ctr", "mse", "mae",
+        "accuracy", "precision", "recall", "ndcg", "weighted_avg",
+        "segmented_ne", "rauc", "xauc", "multiclass_recall", "scalar",
+        "serving_ne", "cali_free_ne", "hindsight_target_pr",
+    ]:
+        assert required in values, required
+    for method in ["init_state", "update", "compute", "should_compute"]:
+        assert hasattr(RecMetricModule, method), method

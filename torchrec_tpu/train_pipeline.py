@@ -165,3 +165,19 @@ class StagedTrainPipeline:
         self._state, aux = self._step(self._state, ready)
         self._steps += 1
         return aux
+
+
+class PrefetchTrainPipeline(TrainPipelineBase):
+    """Prefetch pipeline for cache-tier models
+    (PrefetchTrainPipelineSparseDist analog, reference
+    train_pipelines.py:1967): the host-side cache transform of batch i+1
+    (KV-tier id remap + HBM cache fill, the UVM prefetch role) runs while
+    the device computes batch i.
+
+    ``prefetch_fn(batch) -> batch'`` is the host transform (e.g.
+    KeyValueEmbeddingBagCollection.transform bound over params refs).
+    """
+
+    def __init__(self, step_fn, state, prefetch_fn, **kwargs):
+        super().__init__(step_fn, state, batch_preproc=prefetch_fn, **kwargs)
+        self.prefetch_depth = 2

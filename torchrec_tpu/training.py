@@ -126,3 +126,92 @@ def make_train_step(
         return new_state, aux
 
     return step
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SemiSyncCarry:
+    """Deferred sparse-update payload carried between semi-sync steps."""
+
+    kjt: Optional[KeyedJaggedTensor]
+    emb_grad: Optional[jnp.ndarray]
+
+
+def make_semi_sync_train_step(
+    model: DLRM,
+    emb_optimizer: EmbeddingOptimizer,
+    dense_tx: optax.GradientTransformation,
+    loss_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = bce_with_logits,
+    lr_schedule: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+):
+    """Semi-synchronous training step (TrainPipelineSemiSync analog,
+    reference train_pipelines.py:1637): the fused sparse update for batch i
+    is applied at the START of step i+1, so on hardware the embedding
+    update overlaps step i's dense backward instead of serializing after
+    it. Embeddings are one step stale — the documented semi-sync trade-off.
+
+    Returns (step, init_carry) where
+    ``step((state, carry), batch) -> ((state, carry), aux)``.
+    """
+    ebc = model.embedding_bag_collection
+
+    def step(state_and_carry, batch: Batch):
+        state, carry = state_and_carry
+        sparse, emb_state = state.sparse_params, state.emb_opt_state
+        lr = lr_schedule(state.step) if lr_schedule is not None else None
+        # 1) apply the DEFERRED update from the previous batch
+        if carry.kjt is not None:
+            sparse, emb_state = ebc.apply_gradients(
+                sparse, emb_state, emb_optimizer, carry.kjt, carry.emb_grad,
+                lr=lr,
+            )
+        # 2) forward/backward on the CURRENT batch against the fresh tables
+        kjt = batch.sparse_features
+        emb_values = model.forward_sparse({"sparse": sparse}, kjt)
+
+        def objective(dense_params, emb_values):
+            logits = model.forward_dense(
+                dense_params, batch.dense_features, emb_values
+            )
+            loss = loss_fn(logits, batch.labels.astype(jnp.float32))
+            return loss, logits
+
+        (loss, logits), (dense_grads, emb_grad) = jax.value_and_grad(
+            objective, argnums=(0, 1), has_aux=True
+        )(state.dense_params, emb_values)
+
+        updates, new_dense_opt = dense_tx.update(
+            dense_grads, state.dense_opt_state, state.dense_params
+        )
+        new_dense = optax.apply_updates(state.dense_params, updates)
+        new_state = TrainState(
+            sparse_params=sparse,
+            dense_params=new_dense,
+            emb_opt_state=emb_state,
+            dense_opt_state=new_dense_opt,
+            step=state.step + 1,
+        )
+        new_carry = SemiSyncCarry(kjt=kjt, emb_grad=emb_grad)
+        aux = {
+            "loss": loss,
+            "logits": jax.lax.stop_gradient(logits),
+            "labels": batch.labels,
+        }
+        return (new_state, new_carry), aux
+
+    def flush(state_and_carry):
+        """Apply the final pending update (end of training)."""
+        state, carry = state_and_carry
+        if carry.kjt is None:
+            return state
+        lr = lr_schedule(state.step) if lr_schedule is not None else None
+        sparse, emb_state = ebc.apply_gradients(
+            state.sparse_params, state.emb_opt_state, emb_optimizer,
+            carry.kjt, carry.emb_grad, lr=lr,
+        )
+        return dataclasses.replace(
+            state, sparse_params=sparse, emb_opt_state=emb_state
+        )
+
+    init_carry = SemiSyncCarry(kjt=None, emb_grad=None)
+    return step, init_carry, flush
