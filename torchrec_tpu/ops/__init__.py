@@ -1,4 +1,8 @@
 from torchrec_tpu.ops.fused_optim import (
+    LAMB,
+    Adagrad,
+    LarsSGD,
+    PartialRowWiseLAMB,
     Adam,
     EmbeddingOptimizer,
     PartialRowWiseAdam,
@@ -15,6 +19,10 @@ from torchrec_tpu.ops.lookup import (
 )
 
 __all__ = [
+    "LAMB",
+    "Adagrad",
+    "LarsSGD",
+    "PartialRowWiseLAMB",
     "Adam",
     "EmbeddingOptimizer",
     "PartialRowWiseAdam",

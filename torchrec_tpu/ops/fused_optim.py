@@ -38,9 +38,13 @@ import jax.numpy as jnp
 __all__ = [
     "EmbeddingOptimizer",
     "RowWiseAdagrad",
+    "Adagrad",
     "SGD",
+    "LarsSGD",
     "Adam",
     "PartialRowWiseAdam",
+    "LAMB",
+    "PartialRowWiseLAMB",
     "make_optimizer",
 ]
 
@@ -302,13 +306,259 @@ class PartialRowWiseAdam(EmbeddingOptimizer):
         return table + delta.astype(table.dtype), {"m": m, "v": v, "steps": steps}
 
 
+@dataclasses.dataclass(frozen=True)
+class Adagrad(EmbeddingOptimizer):
+    """Full ADAGRAD: per-element [R, D] accumulator (reference
+    optimizers.py Adagrad -> fbgemm EXACT_ADAGRAD)."""
+
+    eps: float = 1e-8
+    initial_accumulator_value: float = 0.0
+
+    def init(self, table: jnp.ndarray) -> Params:
+        return {
+            "sum": jnp.full(table.shape, self.initial_accumulator_value, jnp.float32)
+        }
+
+    def update(self, table, state, unique_ids, unique_grads, lr=None):
+        lr = self._lr(lr)
+        g = unique_grads.astype(jnp.float32)
+        s = state["sum"].at[unique_ids].add(
+            g * g, mode="drop", unique_indices=True, indices_are_sorted=True
+        )
+        s_rows = jnp.take(s, unique_ids, axis=0, mode="fill", fill_value=1.0,
+                          indices_are_sorted=True)
+        delta = -lr * g / (jnp.sqrt(s_rows) + self.eps)
+        return _scatter_add_rows(table, unique_ids, delta), {"sum": s}
+
+    def dense_update(self, table, state, grad, touched, lr=None):
+        lr = self._lr(lr)
+        g = grad.astype(jnp.float32)
+        s = state["sum"] + jnp.where(touched[:, None], g * g, 0.0)
+        delta = jnp.where(
+            touched[:, None], -lr * g / (jnp.sqrt(s) + self.eps), 0.0
+        )
+        return table + delta.astype(table.dtype), {"sum": s}
+
+
+@dataclasses.dataclass(frozen=True)
+class LarsSGD(EmbeddingOptimizer):
+    """Layer-wise adaptive-rate SGD with momentum (reference optimizers.py
+    LarsSGD -> fbgemm LARS_SGD): the trust ratio scales lr per row by
+    ||w|| / (||g|| + wd*||w||)."""
+
+    momentum: float = 0.9
+    eta: float = 0.001
+    weight_decay: float = 0.0
+    eps: float = 1e-8
+
+    def init(self, table: jnp.ndarray) -> Params:
+        return {"m": jnp.zeros_like(table, jnp.float32)}
+
+    def _trust(self, w_rows, g):
+        wn = jnp.linalg.norm(w_rows.astype(jnp.float32), axis=1)
+        gn = jnp.linalg.norm(g, axis=1)
+        ratio = self.eta * wn / (gn + self.weight_decay * wn + self.eps)
+        return jnp.where(wn > 0, ratio, 1.0)
+
+    def update(self, table, state, unique_ids, unique_grads, lr=None):
+        lr = self._lr(lr)
+        g = unique_grads.astype(jnp.float32)
+        w_rows = jnp.take(table, unique_ids, axis=0, mode="fill", fill_value=0,
+                          indices_are_sorted=True)
+        if self.weight_decay:
+            g = g + self.weight_decay * w_rows.astype(jnp.float32)
+        scaled = lr * self._trust(w_rows, g)[:, None] * g
+        m_rows = jnp.take(state["m"], unique_ids, axis=0, mode="fill",
+                          fill_value=0, indices_are_sorted=True)
+        m_new = self.momentum * m_rows + scaled
+        m = state["m"].at[unique_ids].set(
+            m_new, mode="drop", unique_indices=True, indices_are_sorted=True
+        )
+        return _scatter_add_rows(table, unique_ids, -m_new), {"m": m}
+
+    def dense_update(self, table, state, grad, touched, lr=None):
+        lr = self._lr(lr)
+        g = grad.astype(jnp.float32)
+        if self.weight_decay:
+            g = g + self.weight_decay * jnp.where(
+                touched[:, None], table.astype(jnp.float32), 0.0
+            )
+        trust = self._trust(table, g)
+        m = jnp.where(
+            touched[:, None],
+            self.momentum * state["m"] + lr * trust[:, None] * g,
+            state["m"],
+        )
+        return table - jnp.where(touched[:, None], m, 0.0).astype(table.dtype), {"m": m}
+
+
+@dataclasses.dataclass(frozen=True)
+class LAMB(EmbeddingOptimizer):
+    """LAMB (reference optimizers.py LAMB -> fbgemm LAMB): Adam moments +
+    per-row trust-ratio scaling."""
+
+    beta1: float = 0.9
+    beta2: float = 0.999
+    eps: float = 1e-6
+    weight_decay: float = 0.0
+
+    def init(self, table: jnp.ndarray) -> Params:
+        return {
+            "m": jnp.zeros_like(table, jnp.float32),
+            "v": jnp.zeros_like(table, jnp.float32),
+            "steps": jnp.zeros((table.shape[0],), jnp.int32),
+        }
+
+    def _row_v(self, state, unique_ids, g):
+        v_rows = jnp.take(state["v"], unique_ids, axis=0, mode="fill",
+                          fill_value=0, indices_are_sorted=True)
+        return self.beta2 * v_rows + (1 - self.beta2) * g * g
+
+    def update(self, table, state, unique_ids, unique_grads, lr=None):
+        lr = self._lr(lr)
+        g = unique_grads.astype(jnp.float32)
+        steps = state["steps"].at[unique_ids].add(
+            1, mode="drop", unique_indices=True, indices_are_sorted=True
+        )
+        t = jnp.take(steps, unique_ids, mode="fill", fill_value=1,
+                     indices_are_sorted=True).astype(jnp.float32)
+        m_rows = jnp.take(state["m"], unique_ids, axis=0, mode="fill",
+                          fill_value=0, indices_are_sorted=True)
+        m_new = self.beta1 * m_rows + (1 - self.beta1) * g
+        v_new = self._row_v(state, unique_ids, g)
+        m_hat = m_new / (1 - self.beta1 ** t)[:, None]
+        v_hat = v_new / (1 - self.beta2 ** t)[:, None]
+        w_rows = jnp.take(table, unique_ids, axis=0, mode="fill", fill_value=0,
+                          indices_are_sorted=True).astype(jnp.float32)
+        u = m_hat / (jnp.sqrt(v_hat) + self.eps)
+        if self.weight_decay:
+            u = u + self.weight_decay * w_rows
+        wn = jnp.linalg.norm(w_rows, axis=1)
+        un = jnp.linalg.norm(u, axis=1)
+        trust = jnp.where((wn > 0) & (un > 0), wn / (un + self.eps), 1.0)
+        delta = -lr * trust[:, None] * u
+        m = state["m"].at[unique_ids].set(
+            m_new, mode="drop", unique_indices=True, indices_are_sorted=True
+        )
+        v = state["v"].at[unique_ids].set(
+            v_new, mode="drop", unique_indices=True, indices_are_sorted=True
+        )
+        return _scatter_add_rows(table, unique_ids, delta), {
+            "m": m, "v": v, "steps": steps,
+        }
+
+    def dense_update(self, table, state, grad, touched, lr=None):
+        lr = self._lr(lr)
+        g = grad.astype(jnp.float32)
+        tm = touched[:, None]
+        steps = state["steps"] + touched.astype(jnp.int32)
+        t = jnp.maximum(steps, 1).astype(jnp.float32)
+        m = jnp.where(tm, self.beta1 * state["m"] + (1 - self.beta1) * g, state["m"])
+        v = jnp.where(tm, self.beta2 * state["v"] + (1 - self.beta2) * g * g, state["v"])
+        m_hat = m / (1 - self.beta1 ** t)[:, None]
+        v_hat = v / (1 - self.beta2 ** t)[:, None]
+        w = table.astype(jnp.float32)
+        u = m_hat / (jnp.sqrt(v_hat) + self.eps)
+        if self.weight_decay:
+            u = u + self.weight_decay * w
+        wn = jnp.linalg.norm(w, axis=1)
+        un = jnp.linalg.norm(u, axis=1)
+        trust = jnp.where((wn > 0) & (un > 0), wn / (un + self.eps), 1.0)
+        delta = jnp.where(tm, -lr * trust[:, None] * u, 0.0)
+        return table + delta.astype(table.dtype), {"m": m, "v": v, "steps": steps}
+
+
+@dataclasses.dataclass(frozen=True)
+class PartialRowWiseLAMB(LAMB):
+    """PARTIAL_ROWWISE_LAMB: row-wise [R] second moment (fbgemm memory
+    compromise)."""
+
+    def init(self, table: jnp.ndarray) -> Params:
+        return {
+            "m": jnp.zeros_like(table, jnp.float32),
+            "v": jnp.zeros((table.shape[0],), jnp.float32),
+            "steps": jnp.zeros((table.shape[0],), jnp.int32),
+        }
+
+    def _row_v(self, state, unique_ids, g):
+        v_rows = jnp.take(state["v"], unique_ids, mode="fill", fill_value=0,
+                          indices_are_sorted=True)
+        v_new = self.beta2 * v_rows + (1 - self.beta2) * jnp.mean(g * g, axis=1)
+        return v_new[:, None]
+
+    def update(self, table, state, unique_ids, unique_grads, lr=None):
+        # the [R]-shaped v needs its own scatter; reuse LAMB via a view
+        lr = self._lr(lr)
+        g = unique_grads.astype(jnp.float32)
+        steps = state["steps"].at[unique_ids].add(
+            1, mode="drop", unique_indices=True, indices_are_sorted=True
+        )
+        t = jnp.take(steps, unique_ids, mode="fill", fill_value=1,
+                     indices_are_sorted=True).astype(jnp.float32)
+        m_rows = jnp.take(state["m"], unique_ids, axis=0, mode="fill",
+                          fill_value=0, indices_are_sorted=True)
+        m_new = self.beta1 * m_rows + (1 - self.beta1) * g
+        v_rows = jnp.take(state["v"], unique_ids, mode="fill", fill_value=0,
+                          indices_are_sorted=True)
+        v_new = self.beta2 * v_rows + (1 - self.beta2) * jnp.mean(g * g, axis=1)
+        m_hat = m_new / (1 - self.beta1 ** t)[:, None]
+        v_hat = (v_new / (1 - self.beta2 ** t))[:, None]
+        w_rows = jnp.take(table, unique_ids, axis=0, mode="fill", fill_value=0,
+                          indices_are_sorted=True).astype(jnp.float32)
+        u = m_hat / (jnp.sqrt(v_hat) + self.eps)
+        if self.weight_decay:
+            u = u + self.weight_decay * w_rows
+        wn = jnp.linalg.norm(w_rows, axis=1)
+        un = jnp.linalg.norm(u, axis=1)
+        trust = jnp.where((wn > 0) & (un > 0), wn / (un + self.eps), 1.0)
+        delta = -lr * trust[:, None] * u
+        m = state["m"].at[unique_ids].set(
+            m_new, mode="drop", unique_indices=True, indices_are_sorted=True
+        )
+        v = state["v"].at[unique_ids].set(
+            v_new, mode="drop", unique_indices=True, indices_are_sorted=True
+        )
+        return _scatter_add_rows(table, unique_ids, delta), {
+            "m": m, "v": v, "steps": steps,
+        }
+
+    def dense_update(self, table, state, grad, touched, lr=None):
+        lr = self._lr(lr)
+        g = grad.astype(jnp.float32)
+        tm = touched[:, None]
+        steps = state["steps"] + touched.astype(jnp.int32)
+        t = jnp.maximum(steps, 1).astype(jnp.float32)
+        m = jnp.where(tm, self.beta1 * state["m"] + (1 - self.beta1) * g, state["m"])
+        v = jnp.where(
+            touched,
+            self.beta2 * state["v"] + (1 - self.beta2) * jnp.mean(g * g, axis=1),
+            state["v"],
+        )
+        m_hat = m / (1 - self.beta1 ** t)[:, None]
+        v_hat = (v / (1 - self.beta2 ** t))[:, None]
+        w = table.astype(jnp.float32)
+        u = m_hat / (jnp.sqrt(v_hat) + self.eps)
+        if self.weight_decay:
+            u = u + self.weight_decay * w
+        wn = jnp.linalg.norm(w, axis=1)
+        un = jnp.linalg.norm(u, axis=1)
+        trust = jnp.where((wn > 0) & (un > 0), wn / (un + self.eps), 1.0)
+        delta = jnp.where(tm, -lr * trust[:, None] * u, 0.0)
+        return table + delta.astype(table.dtype), {"m": m, "v": v, "steps": steps}
+
+
 _REGISTRY = {
     "sgd": SGD,
     "exact_sgd": SGD,
     "rowwise_adagrad": RowWiseAdagrad,
     "exact_rowwise_adagrad": RowWiseAdagrad,
+    "adagrad": Adagrad,
+    "exact_adagrad": Adagrad,
     "adam": Adam,
     "partial_rowwise_adam": PartialRowWiseAdam,
+    "lamb": LAMB,
+    "partial_rowwise_lamb": PartialRowWiseLAMB,
+    "lars_sgd": LarsSGD,
 }
 
 

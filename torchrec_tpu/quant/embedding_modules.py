@@ -44,6 +44,18 @@ def quantize_table(
         zero = lo + 127.0 * scale
         q = jnp.clip(jnp.round((w - zero) / scale), -128, 127).astype(jnp.int8)
         return {"q": q, "scale": scale[:, 0], "zero": zero[:, 0]}
+    if data_type == DataType.INT4:
+        from torchrec_tpu.sparse.tensor_types import pack_int4
+
+        lo = jnp.min(w, axis=1, keepdims=True)
+        hi = jnp.max(w, axis=1, keepdims=True)
+        scale = jnp.maximum((hi - lo) / 15.0, 1e-12)
+        q = jnp.clip(jnp.round((w - lo) / scale), 0, 15)
+        return {
+            "q4": pack_int4(q),  # [R, D//2] uint8 — half the int8 bytes
+            "scale": scale[:, 0],
+            "zero": lo[:, 0],
+        }
     if data_type == DataType.FP8:
         return {"q": w.astype(jnp.float8_e4m3fn)}
     if data_type == DataType.FP16:
@@ -54,6 +66,11 @@ def quantize_table(
 
 
 def dequantize_table(qt: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    if "q4" in qt:
+        from torchrec_tpu.sparse.tensor_types import unpack_int4
+
+        vals = unpack_int4(qt["q4"]).astype(jnp.float32)
+        return vals * qt["scale"][:, None] + qt["zero"][:, None]
     q = qt["q"]
     if q.dtype == jnp.int8:
         return q.astype(jnp.float32) * qt["scale"][:, None] + qt["zero"][:, None]
@@ -112,13 +129,22 @@ class QuantEmbeddingBagCollection:
                 gi, values, seg, slot_feature, slot_batch, b
             )
             qt = qparams[g.key]
-            rows = jnp.take(qt["q"], ids_g, axis=0, mode="clip").astype(
-                jnp.float32
-            )
-            if qt["q"].dtype == jnp.int8:
+            if "q4" in qt:  # int4: gather PACKED rows, unpack in registers
+                from torchrec_tpu.sparse.tensor_types import unpack_int4
+
+                packed = jnp.take(qt["q4"], ids_g, axis=0, mode="clip")
+                rows = unpack_int4(packed).astype(jnp.float32)
                 s = jnp.take(qt["scale"], ids_g, mode="clip")
                 z = jnp.take(qt["zero"], ids_g, mode="clip")
                 rows = rows * s[:, None] + z[:, None]
+            else:
+                rows = jnp.take(qt["q"], ids_g, axis=0, mode="clip").astype(
+                    jnp.float32
+                )
+                if qt["q"].dtype == jnp.int8:
+                    s = jnp.take(qt["scale"], ids_g, mode="clip")
+                    z = jnp.take(qt["zero"], ids_g, mode="clip")
+                    rows = rows * s[:, None] + z[:, None]
             if weights is not None:
                 rows = rows * weights[:, None]
             pooled = jax.ops.segment_sum(
