@@ -235,3 +235,31 @@ class TestPlanner:
         text = EmbeddingStats().render(placed, t)
         assert "Planner Statistics" in text
         assert "t0" in text
+
+
+def test_plan_save_load_roundtrip(tmp_path):
+    """PlanLoader analog: saved plan reloads identically; stale context
+    refuses (reference planners.py:906-926)."""
+    from torchrec_tpu.planner.planners import load_plan, plan_hash, save_plan
+    from torchrec_tpu.distributed import ShardingEnv, construct_module_sharding_plan, row_wise, table_wise
+    from torchrec_tpu.modules import EmbeddingBagConfig
+    import jax, pytest
+
+    tables = [
+        EmbeddingBagConfig(name="a", num_embeddings=64, embedding_dim=16,
+                           feature_names=["fa"]),
+        EmbeddingBagConfig(name="b", num_embeddings=32, embedding_dim=16,
+                           feature_names=["fb"]),
+    ]
+    env = ShardingEnv.from_devices(jax.devices()[:8])
+    plan = construct_module_sharding_plan(
+        tables, {"a": row_wise(), "b": table_wise(3)}, env
+    )
+    ctx = {"world_size": 8, "tables": [t.name for t in tables]}
+    p = str(tmp_path / "plan.json")
+    save_plan(plan, p, context=ctx)
+    back = load_plan(p, context=ctx)
+    assert plan_hash(back) == plan_hash(plan)
+    assert back["b"].shards[0].rank == 3
+    with pytest.raises(ValueError):
+        load_plan(p, context={"world_size": 16})

@@ -182,3 +182,62 @@ def plan_hash(plan: EmbeddingModuleShardingPlan) -> str:
     return hashlib.sha256(
         json.dumps(payload, sort_keys=True).encode()
     ).hexdigest()
+
+
+def save_plan(
+    plan: EmbeddingModuleShardingPlan,
+    path: str,
+    context: Optional[dict] = None,
+) -> None:
+    """Persist a validated plan for reuse across restarts (reference
+    PlanLoader, planner/types.py:1854 + context-hash validation at
+    planners.py:906-926). ``context`` (e.g. {'world_size': 8, 'tables':
+    [...]}) is hashed; load_plan refuses a mismatched context."""
+    payload = {
+        "plan": {
+            name: {
+                "type": ps.sharding_type.value,
+                "kernel": ps.compute_kernel.value,
+                "shards": [
+                    [s.row_start, s.row_count, s.col_start, s.col_count, s.rank]
+                    for s in ps.shards
+                ],
+            }
+            for name, ps in plan.items()
+        },
+        "plan_hash": plan_hash(plan),
+        "context_hash": hashlib.sha256(
+            json.dumps(context or {}, sort_keys=True, default=str).encode()
+        ).hexdigest(),
+    }
+    with open(path, "w") as f:
+        json.dump(payload, f)
+
+
+def load_plan(
+    path: str, context: Optional[dict] = None
+) -> EmbeddingModuleShardingPlan:
+    """Load a saved plan; raises on context mismatch (stale plan guard)."""
+    with open(path) as f:
+        payload = json.load(f)
+    ctx_hash = hashlib.sha256(
+        json.dumps(context or {}, sort_keys=True, default=str).encode()
+    ).hexdigest()
+    if payload["context_hash"] != ctx_hash:
+        raise ValueError(
+            "saved plan context does not match the current topology/tables; "
+            "re-plan instead of reusing"
+        )
+    from torchrec_tpu.types import ComputeKernel, ShardingType
+
+    plan = EmbeddingModuleShardingPlan()
+    for name, d in payload["plan"].items():
+        plan[name] = ParameterSharding(
+            sharding_type=ShardingType(d["type"]),
+            compute_kernel=ComputeKernel(d["kernel"]),
+            ranks=sorted({s[4] for s in d["shards"] if s[4] >= 0}),
+            shards=[Shard(*s) for s in d["shards"]],
+        )
+    if plan_hash(plan) != payload["plan_hash"]:
+        raise ValueError("plan payload corrupted (hash mismatch)")
+    return plan
