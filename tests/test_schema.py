@@ -132,3 +132,32 @@ def test_metric_module_schema():
         assert required in values, required
     for method in ["init_state", "update", "compute", "should_compute"]:
         assert hasattr(RecMetricModule, method), method
+
+
+def test_fused_ebc_and_streamable():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from torchrec_tpu import KeyedJaggedTensor, Multistreamable, Pipelineable
+    from torchrec_tpu.modules import EmbeddingBagConfig, FusedEmbeddingBagCollection
+
+    febc = FusedEmbeddingBagCollection(
+        [EmbeddingBagConfig(name="t", num_embeddings=16, embedding_dim=8,
+                            feature_names=["f"])],
+        optimizer_type="rowwise_adagrad",
+        optimizer_kwargs={"learning_rate": 0.1},
+    )
+    params, states = febc.init_full_state(jax.random.key(0))
+    kjt = KeyedJaggedTensor(keys=["f"], values=jnp.asarray([1, 2], jnp.int32),
+                            lengths=jnp.asarray([[1, 1]], jnp.int32))
+    kt, p2, s2 = jax.jit(febc.forward_backward)(
+        params, states, kjt, jnp.ones((2, 8))
+    )
+    assert kt.values().shape == (2, 8)
+    assert not np.allclose(
+        np.asarray(febc.table_slice(p2, "t"))[1],
+        np.asarray(febc.table_slice(params, "t"))[1],
+    )
+    assert hasattr(Multistreamable, "record_stream")
+    assert hasattr(Pipelineable, "to")

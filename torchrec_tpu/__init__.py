@@ -11,6 +11,7 @@ from torchrec_tpu.sparse import (
     KeyedJaggedTensor,
     KeyedTensor,
 )
+from torchrec_tpu.streamable import Multistreamable, Pipelineable
 from torchrec_tpu.types import (
     ComputeKernel,
     DataType,
@@ -24,6 +25,8 @@ __all__ = [
     "JaggedTensor",
     "KeyedJaggedTensor",
     "KeyedTensor",
+    "Multistreamable",
+    "Pipelineable",
     "ComputeKernel",
     "DataType",
     "PoolingType",

@@ -16,6 +16,10 @@ from torchrec_tpu.modules.embedding_modules import (
     EmbeddingCollection,
     TableGroup,
 )
+from torchrec_tpu.modules.fused_embedding_modules import (
+    FusedEmbeddingBagCollection,
+)
+from torchrec_tpu.modules.kv_embedding import KeyValueEmbeddingBagCollection
 from torchrec_tpu.modules.embedding_tower import (
     EmbeddingTower,
     EmbeddingTowerCollection,
@@ -51,6 +55,8 @@ __all__ = [
     "EmbeddingBagCollection",
     "EmbeddingCollection",
     "TableGroup",
+    "FusedEmbeddingBagCollection",
+    "KeyValueEmbeddingBagCollection",
     "SwishLayerNorm",
     "CrossNet",
     "LowRankCrossNet",
