@@ -167,6 +167,16 @@ class _EmbeddingCollectionBase:
             self._group_row_offset.append(roff)
             self._group_features.append(feats)
 
+        # per-feature position WITHIN its table's feature list (for the
+        # count-matrix fast path: column = local_feature * B + batch)
+        self._feat_local = np.zeros(f_count + 1, dtype=np.int32)
+        table_feats: Dict[int, int] = {}
+        for fi in range(f_count):
+            ti = self._feature_table[fi]
+            self._feat_local[fi] = table_feats.get(ti, 0)
+            table_feats[ti] = self._feat_local[fi] + 1
+        self._max_feats_per_table = max(table_feats.values()) if table_feats else 1
+
     # -- public structural accessors (reference parity) -----------------------
     def feature_names(self) -> List[str]:
         return list(self._feature_names)
@@ -277,6 +287,324 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
             for fi in range(len(self._feature_names))
         ]
 
+    # ------------------------------------------------------ count-matrix path
+    def _group_small_feats(self, gi: int) -> List[int]:
+        """Logical feature ids of this group whose table is in the small
+        (count-matmul) region, in group order."""
+        return [
+            fi for fi in self._group_features[gi]
+            if self._tables[self._feature_table[fi]].num_embeddings
+            <= DENSE_GRAD_ROWS_THRESHOLD
+        ]
+
+    def _use_count_matmul(self, gi: int, b: int) -> bool:
+        """Small-table fast path gate: pooling AND gradient accumulation for
+        small tables run as size-bucketed batched matmuls against ONE
+        per-batch count tensor (built by a single scalar scatter, CSE-shared
+        by forward and backward). XLA's per-slot gather/segment-sum path is
+        issue-rate bound (~45 ns per scattered row on v5e); the count
+        scatter costs ~5 ns per slot and the MXU does the rest."""
+        g = self._groups[gi]
+        if g.small_rows == 0 or not self._group_small_feats(gi):
+            return False
+        plan = self._small_plan(gi)
+        return plan["flat_size"] * b * 4 <= 96 * 2**20
+
+    def _small_plan(self, gi: int) -> Dict:
+        """Static bucketed layout of this group's small tables: tables pad
+        to the next power of two rows and stack into per-bucket [n_t, R_pad]
+        tensors (FLOP waste <= 2x, and the MXU has FLOPs to burn)."""
+        cache = getattr(self, "_small_plan_cache", None)
+        if cache is None:
+            cache = self._small_plan_cache = {}
+        if gi in cache:
+            return cache[gi]
+        g = self._groups[gi]
+        k = self._max_feats_per_table
+        # small tables in group order
+        smalls = [
+            (i, name, off, rows)
+            for i, (name, off, rows) in enumerate(
+                zip(g.table_names, g.row_offsets, g.table_rows)
+            )
+            if off < g.small_rows
+        ]
+        buckets: Dict[int, List] = {}
+        for i, name, off, rows in smalls:
+            rpad = 1 << max(int(np.ceil(np.log2(max(rows, 1)))), 3)
+            buckets.setdefault(rpad, []).append((i, name, off, rows))
+        bucket_list = []
+        # per-feature scatter base (flat index, excluding row/batch terms)
+        f_count = len(self._feature_names)
+        feat_base = np.full(f_count + 1, -1, np.int64)
+        feat_roff = np.zeros(f_count + 1, np.int64)
+        flat_off = 0  # in units of k (column j) — multiplied by b at use
+        out_blocks = []  # (feature fi, flat column start) for routing
+        for rpad in sorted(buckets):
+            tabs = buckets[rpad]
+            # gather indices building Tb [n_t * rpad] from group blob rows
+            tb_idx = np.full(len(tabs) * rpad, -1, np.int64)
+            for pos, (ti_g, name, off, rows) in enumerate(tabs):
+                tb_idx[pos * rpad : pos * rpad + rows] = np.arange(off, off + rows)
+                tbl_idx = next(
+                    ii for ii, t in enumerate(self._tables) if t.name == name
+                )
+                for fi in [
+                    ii for ii, t in enumerate(self._feature_table)
+                    if t == tbl_idx
+                ]:
+                    j = int(self._feat_local[fi])
+                    feat_base[fi] = flat_off + (pos * rpad) * k + j
+                    feat_roff[fi] = off
+                    out_blocks.append((fi, flat_off + pos * (rpad * k) + j))
+            bucket_list.append(
+                {
+                    "rpad": rpad,
+                    "n_t": len(tabs),
+                    "tb_idx": tb_idx,
+                    "flat_off": flat_off,
+                    "tabs": tabs,
+                }
+            )
+            flat_off += len(tabs) * rpad * k
+        # acc routing in ROW units: small row -> (bucket, pos, local row)
+        # position within the concatenated [sum n_t*rpad] acc rows
+        total_rows_flat = sum(bk["n_t"] * bk["rpad"] for bk in bucket_list)
+        acc_src = np.full(g.small_rows, total_rows_flat, np.int64)
+        row_off = 0
+        for bk in bucket_list:
+            for pos, (ti_g, name, off, rows) in enumerate(bk["tabs"]):
+                acc_src[off : off + rows] = (
+                    row_off + pos * bk["rpad"] + np.arange(rows)
+                )
+            row_off += bk["n_t"] * bk["rpad"]
+        plan = {
+            "buckets": bucket_list,
+            "feat_base": feat_base,
+            "feat_roff": feat_roff,
+            "acc_src": acc_src,
+            "flat_size": flat_off,
+            "k": k,
+        }
+        cache[gi] = plan
+        return plan
+
+    def _count_tensor(
+        self, gi: int, ids_g, slot_feature, slot_batch, in_group, weights,
+        b: int,
+    ) -> jnp.ndarray:
+        """Flat count tensor C [flat_size * b] (bucketed layout; see
+        _small_plan): one scalar scatter over the whole slot stream."""
+        g = self._groups[gi]
+        plan = self._small_plan(gi)
+        k = plan["k"]
+        base = jnp.take(jnp.asarray(plan["feat_base"]), slot_feature)
+        roff = jnp.take(jnp.asarray(plan["feat_roff"]), slot_feature)
+        valid = in_group & (ids_g < g.small_rows) & (base >= 0)
+        local_row = (ids_g - roff).astype(jnp.int64)
+        flat = jnp.where(
+            valid,
+            (base + local_row * k) * b + slot_batch,
+            plan["flat_size"] * b,
+        )
+        w = (
+            weights.astype(jnp.float32)
+            if weights is not None
+            else jnp.ones(flat.shape, jnp.float32)
+        )
+        return jnp.zeros((plan["flat_size"] * b,), jnp.float32).at[flat].add(
+            jnp.where(valid, w, 0.0), mode="drop"
+        )
+
+    def _count_matrix_v1(
+        self, gi: int, ids_g, slot_feature, slot_batch, in_group, weights,
+        b: int,
+    ) -> jnp.ndarray:
+        """Compact count matrix C [small_rows, k*B] (columns = feature
+        position WITHIN the table x batch); consumed by per-table matmuls.
+        Smaller than the bucketed tensor (5 MB vs 20 MB at the headline
+        shapes) at the cost of one tiny matmul per small table."""
+        g = self._groups[gi]
+        k = self._max_feats_per_table
+        local = jnp.take(jnp.asarray(self._feat_local), slot_feature)
+        col = local * b + slot_batch
+        valid = in_group & (ids_g < g.small_rows)
+        flat = jnp.where(valid, ids_g * (k * b) + col, g.small_rows * k * b)
+        w = (
+            weights.astype(jnp.float32)
+            if weights is not None
+            else jnp.ones(flat.shape, jnp.float32)
+        )
+        C = jnp.zeros((g.small_rows * k * b,), jnp.float32).at[flat].add(
+            jnp.where(valid, w, 0.0), mode="drop"
+        )
+        return C.reshape(g.small_rows, k * b)
+
+    def _small_pool_matmul_v1(self, gi, C, table_f32, b):
+        g = self._groups[gi]
+        k = self._max_feats_per_table
+        n_gf = len(self._group_features[gi])
+        gpos = self._group_feature_pos[gi]
+        pooled = jnp.zeros((n_gf * b, g.dim), jnp.float32)
+        for ti_name, off, rows in zip(
+            g.table_names, g.row_offsets, g.table_rows
+        ):
+            if off >= g.small_rows:
+                continue
+            pool_all = jnp.dot(
+                C[off : off + rows].T, table_f32[off : off + rows],
+                preferred_element_type=jnp.float32,
+            )  # [k*B, dim]
+            tbl_idx = next(
+                ii for ii, t in enumerate(self._tables) if t.name == ti_name
+            )
+            for fi in [
+                ii for ii, t in enumerate(self._feature_table) if t == tbl_idx
+            ]:
+                p = int(gpos[fi])
+                j = int(self._feat_local[fi])
+                pooled = pooled.at[p * b : (p + 1) * b].set(
+                    pool_all[j * b : (j + 1) * b]
+                )
+        return pooled
+
+    def _small_acc_matmul_v1(self, gi, C, pooled_grad, b):
+        g = self._groups[gi]
+        k = self._max_feats_per_table
+        gpos = self._group_feature_pos[gi]
+        acc = jnp.zeros((g.small_rows, g.dim), jnp.float32)
+        for ti_name, off, rows in zip(
+            g.table_names, g.row_offsets, g.table_rows
+        ):
+            if off >= g.small_rows:
+                continue
+            tbl_idx = next(
+                ii for ii, t in enumerate(self._tables) if t.name == ti_name
+            )
+            G_t = jnp.zeros((k * b, g.dim), jnp.float32)
+            for fi in [
+                ii for ii, t in enumerate(self._feature_table) if t == tbl_idx
+            ]:
+                p = int(gpos[fi])
+                j = int(self._feat_local[fi])
+                G_t = jax.lax.dynamic_update_slice(
+                    G_t, pooled_grad[p * b : (p + 1) * b], (j * b, 0)
+                )
+            acc = jax.lax.dynamic_update_slice(
+                acc,
+                jnp.dot(C[off : off + rows], G_t,
+                        preferred_element_type=jnp.float32),
+                (off, 0),
+            )
+        touched = jnp.sum(C, axis=1) > 0
+        return acc, touched
+
+    # which small-table matmul implementation to use: "v1" (per-table
+    # matmuls over a compact C) or "bucketed" (batched einsums)
+    _CM_IMPL = "v1"
+
+    def _small_pool_matmul(
+        self, gi: int, C_flat: jnp.ndarray, table_f32: jnp.ndarray, b: int
+    ) -> jnp.ndarray:
+        """Forward small-table pooling: per-bucket batched matmuls.
+        Returns [n_gf*b, dim] contributions (zero rows for large features)."""
+        g = self._groups[gi]
+        plan = self._small_plan(gi)
+        k = plan["k"]
+        n_gf = len(self._group_features[gi])
+        outs = []  # per bucket: [n_t, k*b, dim]
+        for bk in plan["buckets"]:
+            Tb = jnp.take(
+                table_f32, jnp.asarray(np.maximum(bk["tb_idx"], 0)), axis=0
+            ) * jnp.asarray(bk["tb_idx"] >= 0, jnp.float32)[:, None]
+            Tb = Tb.reshape(bk["n_t"], bk["rpad"], g.dim)
+            Cb = C_flat[
+                bk["flat_off"] * b : (bk["flat_off"] + bk["n_t"] * bk["rpad"] * k) * b
+            ].reshape(bk["n_t"], bk["rpad"], k * b)
+            outs.append(
+                jnp.einsum(
+                    "trc,trd->tcd", Cb, Tb,
+                    preferred_element_type=jnp.float32,
+                ).reshape(bk["n_t"] * k * b, g.dim)
+            )
+        out_flat = jnp.concatenate(outs + [jnp.zeros((1, g.dim), jnp.float32)])
+        # static routing: group row p*b+batch -> out_flat row
+        gpos = self._group_feature_pos[gi]
+        src = np.full(n_gf * b, out_flat.shape[0] - 1, np.int64)
+        pos_in_flat = {}
+        cursor = 0
+        for bk in plan["buckets"]:
+            for pos, (ti_g, name, off, rows) in enumerate(bk["tabs"]):
+                tbl_idx = next(
+                    ii for ii, t in enumerate(self._tables) if t.name == name
+                )
+                for fi in [
+                    ii for ii, t in enumerate(self._feature_table)
+                    if t == tbl_idx
+                ]:
+                    j = int(self._feat_local[fi])
+                    p = int(gpos[fi])
+                    start = cursor + (pos * k + j) * b
+                    src[p * b : (p + 1) * b] = np.arange(start, start + b)
+            cursor += bk["n_t"] * k * b
+        return jnp.take(out_flat, jnp.asarray(src), axis=0)
+
+    def _small_acc_matmul(
+        self, gi: int, C_flat: jnp.ndarray, pooled_grad: jnp.ndarray, b: int
+    ):
+        """Backward small-table accumulation: acc [small_rows, dim] and
+        touched [small_rows] via per-bucket batched matmuls."""
+        g = self._groups[gi]
+        plan = self._small_plan(gi)
+        k = plan["k"]
+        gpos = self._group_feature_pos[gi]
+        accs = []
+        for bk in plan["buckets"]:
+            # G [n_t, k*b, dim]: each table's features' pooled grads
+            g_src = np.full(bk["n_t"] * k * b, pooled_grad.shape[0], np.int64)
+            for pos, (ti_g, name, off, rows) in enumerate(bk["tabs"]):
+                tbl_idx = next(
+                    ii for ii, t in enumerate(self._tables) if t.name == name
+                )
+                for fi in [
+                    ii for ii, t in enumerate(self._feature_table)
+                    if t == tbl_idx
+                ]:
+                    j = int(self._feat_local[fi])
+                    p = int(gpos[fi])
+                    st = (pos * k + j) * b
+                    g_src[st : st + b] = np.arange(p * b, (p + 1) * b)
+            padded = jnp.concatenate(
+                [pooled_grad, jnp.zeros((1, g.dim), pooled_grad.dtype)]
+            )
+            G = jnp.take(padded, jnp.asarray(g_src), axis=0).reshape(
+                bk["n_t"], k * b, g.dim
+            )
+            Cb = C_flat[
+                bk["flat_off"] * b : (bk["flat_off"] + bk["n_t"] * bk["rpad"] * k) * b
+            ].reshape(bk["n_t"], bk["rpad"], k * b)
+            accs.append(
+                jnp.einsum(
+                    "trc,tcd->trd", Cb, G,
+                    preferred_element_type=jnp.float32,
+                ).reshape(bk["n_t"] * bk["rpad"], g.dim)
+            )
+        acc_flat = jnp.concatenate(accs + [jnp.zeros((1, g.dim), jnp.float32)])
+        src = jnp.asarray(
+            np.minimum(plan["acc_src"], acc_flat.shape[0] - 1)
+        )
+        acc = jnp.take(acc_flat, src, axis=0)
+        # touched: per (table, row) sum of counts over (k features, batch)
+        row_sums = []
+        for bk in plan["buckets"]:
+            cb = C_flat[
+                bk["flat_off"] * b : (bk["flat_off"] + bk["n_t"] * bk["rpad"] * k) * b
+            ].reshape(bk["n_t"] * bk["rpad"], k * b)
+            row_sums.append(jnp.sum(cb, axis=1))
+        rs = jnp.concatenate(row_sums + [jnp.zeros((1,), jnp.float32)])
+        touched = jnp.take(rs, jnp.minimum(src, rs.shape[0] - 1)) > 0
+        return acc, touched
+
     def apply(self, params: Params, kjt: KeyedJaggedTensor) -> KeyedTensor:
         kjt, b, f, seg, slot_feature, slot_batch = self._prep(kjt)
         values = kjt.values()
@@ -286,27 +614,83 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
         # one fused gather+pool per group
         per_feature: List[Optional[jnp.ndarray]] = [None] * f
         for gi, g in enumerate(self._groups):
-            ids_g, seg_g, _, n_gf = self._group_indices(
+            ids_g, seg_g, in_group, n_gf = self._group_indices(
                 gi, values, seg, slot_feature, slot_batch, b
             )
             if n_gf == 0:
                 continue
-            # segments are non-decreasing when the stream is feature-major in
-            # module order and this group covers every feature (common case)
-            sorted_ok = (
-                kjt._sel == tuple(range(len(kjt._keys)))
-                and len(self._group_features[gi]) == f
-            )
-            pooled = pooled_lookup(
+            use_cm = self._use_count_matmul(gi, b)
+            table_f32 = (
                 params[g.key].astype(jnp.float32)
                 if g.data_type != DataType.FP32
-                else params[g.key],
-                ids_g,
-                seg_g,
-                n_gf * b,
-                weights,
-                indices_are_sorted=sorted_ok,
-            )  # [n_gf*B, dim]
+                else params[g.key]
+            )
+            if use_cm and self._max_unique is not None:
+                # COMPACT forward for the large-table slots: rank-compact
+                # the stream to the slot bound (the identical compaction the
+                # backward performs — XLA CSEs it), gather only those rows
+                # (8x less gather traffic at the DLRM headline shapes), and
+                # pool with one small segment-sum. Small-table slots are
+                # handled entirely by the count matmul below.
+                total = g.total_rows
+                u = min(self._max_unique, ids_g.shape[0])
+                valid_l = in_group & (ids_g >= g.small_rows)
+                key_l = jnp.where(valid_l, ids_g, total)
+                order = jnp.argsort(key_l)  # shared with the backward (CSE)
+                sids = jnp.take(key_l, order)[:u]
+                sseg = jnp.take(
+                    jnp.where(valid_l, seg_g, n_gf * b), order
+                )[:u]
+                rows = jnp.take(
+                    table_f32, jnp.minimum(sids, total - 1), axis=0,
+                    indices_are_sorted=True,
+                )
+                if weights is not None:
+                    w_s = jnp.take(weights, order)[:u]
+                    rows = rows * w_s[:, None].astype(rows.dtype)
+                rows = jnp.where((sids < total)[:, None], rows, 0.0)
+                pooled = jax.ops.segment_sum(
+                    rows, sseg, num_segments=n_gf * b
+                )
+            else:
+                if use_cm:
+                    # small-table slots leave the gather path (their pooling
+                    # comes from the count matmul below)
+                    seg_g = jnp.where(
+                        in_group & (ids_g < g.small_rows), n_gf * b, seg_g
+                    )
+                # segments are non-decreasing when the stream is
+                # feature-major in module order and this group covers every
+                # feature (common case)
+                sorted_ok = (
+                    kjt._sel == tuple(range(len(kjt._keys)))
+                    and len(self._group_features[gi]) == f
+                )
+                pooled = pooled_lookup(
+                    table_f32,
+                    ids_g,
+                    seg_g,
+                    n_gf * b,
+                    weights,
+                    indices_are_sorted=sorted_ok,
+                )  # [n_gf*B, dim]
+            if use_cm:
+                if self._CM_IMPL == "v1":
+                    C = self._count_matrix_v1(
+                        gi, ids_g, slot_feature, slot_batch, in_group,
+                        weights, b,
+                    )
+                    pooled = pooled + self._small_pool_matmul_v1(
+                        gi, C, table_f32, b
+                    )
+                else:
+                    C = self._count_tensor(
+                        gi, ids_g, slot_feature, slot_batch, in_group,
+                        weights, b,
+                    )
+                    pooled = pooled + self._small_pool_matmul(
+                        gi, C, table_f32, b
+                    )
             pooled = pooled.reshape(n_gf, b, g.dim)
             for local, fi in enumerate(self._group_features[gi]):
                 out = pooled[local]
@@ -350,12 +734,13 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                     gslice = gslice / denom[:, None]
                 parts.append(gslice)
             pooled_grad = jnp.concatenate(parts, axis=0)  # [n_gf*B, dim]
-            yield g, ids_g, seg_g, pooled_grad, in_group, weights
+            ctx = (gi, slot_feature, slot_batch, b)
+            yield g, ids_g, seg_g, pooled_grad, in_group, weights, ctx
 
     def _group_slot_grads(self, kjt: KeyedJaggedTensor, kt_grad: jnp.ndarray):
         """Per-group per-value-slot gradient rows (slot-order expansion):
         yields (group, ids_g, g_slots, in_group)."""
-        for g, ids_g, seg_g, pooled_grad, in_group, weights in (
+        for g, ids_g, seg_g, pooled_grad, in_group, weights, _ctx in (
             self._group_pooled_grads(kjt, kt_grad)
         ):
             n_gf_b = pooled_grad.shape[0]
@@ -412,9 +797,10 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
         """
         new_params = dict(params)
         new_states = dict(opt_states)
-        for g, ids_g, seg_g, pooled_grad, in_group, weights in (
+        for g, ids_g, seg_g, pooled_grad, in_group, weights, ctx in (
             self._group_pooled_grads(kjt, kt_grad)
         ):
+            gi, slot_feature, slot_batch, b = ctx
             small, total = g.small_rows, g.total_rows
             tbl, st = params[g.key], opt_states[g.key]
             if small < total:  # large-table rows: sort/dedup + sparse scatter
@@ -424,7 +810,36 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                     unique_bound=self._max_unique, weights=weights,
                 )
                 tbl, st = optimizer.update(tbl, st, uids, ugrads, lr=lr)
-            if small > 0:  # small-table rows: sort-free dense accumulator
+            if small > 0 and self._use_count_matmul(gi, b):
+                # count-matmul fast path (C is CSE-shared with the forward)
+                if self._CM_IMPL == "v1":
+                    C = self._count_matrix_v1(
+                        gi, ids_g, slot_feature, slot_batch, in_group,
+                        weights, b,
+                    )
+                    acc, touched = self._small_acc_matmul_v1(
+                        gi, C, pooled_grad, b
+                    )
+                else:
+                    C = self._count_tensor(
+                        gi, ids_g, slot_feature, slot_batch, in_group,
+                        weights, b,
+                    )
+                    acc, touched = self._small_acc_matmul(
+                        gi, C, pooled_grad, b
+                    )
+                st_s = {k: v[:small] for k, v in st.items()}
+                tbl_s, st_s = optimizer.dense_update(
+                    tbl[:small], st_s, acc, touched, lr=lr
+                )
+                tbl = jax.lax.dynamic_update_slice(tbl, tbl_s, (0, 0))
+                st = {
+                    k: jax.lax.dynamic_update_slice(
+                        st[k], st_s[k], (0,) * st[k].ndim
+                    )
+                    for k in st
+                }
+            elif small > 0:  # large batch: sort-free dense accumulator
                 valid_s = in_group & (ids_g < small)
                 g_slots = grad_rows(
                     pooled_grad, seg_g, pooled_grad.shape[0], weights

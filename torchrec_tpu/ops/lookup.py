@@ -148,6 +148,31 @@ def dedup_rows(
     return uniq_ids, uniq_grads
 
 
+def compact_stream(
+    valid: jnp.ndarray,
+    bound: int,
+    ids: jnp.ndarray,
+    sentinel_id: int,
+    *arrays: jnp.ndarray,
+) -> Tuple[jnp.ndarray, ...]:
+    """Compact the valid slots of a padded stream into a ``[bound]`` prefix
+    via cumsum-rank scatter, preserving relative order (use when order
+    matters; when it doesn't, argsort-and-slice is faster on TPU — XLA's
+    sort is ~40 us at 106k int32 while this compaction is ~0.5 ms). The
+    tail pads with ``sentinel_id`` (ids) / zeros (arrays); slots beyond
+    ``bound`` valid entries are dropped."""
+    rank = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    tgt = jnp.where(valid & (rank < bound), rank, bound)
+    ids_c = jnp.full((bound,), sentinel_id, ids.dtype).at[tgt].set(
+        ids, mode="drop"
+    )
+    outs = [ids_c]
+    for a in arrays:
+        pad = jnp.zeros((bound,) + a.shape[1:], a.dtype)
+        outs.append(pad.at[tgt].set(a, mode="drop"))
+    return tuple(outs)
+
+
 def dedup_rows_from_pooled(
     ids: jnp.ndarray,
     seg: jnp.ndarray,
@@ -174,27 +199,21 @@ def dedup_rows_from_pooled(
     """
     n = ids.shape[0]
     s = pooled_grad.shape[0]
-    key = jnp.where(valid, ids, num_rows)  # padding sorts to the end
     u = n if unique_bound is None or unique_bound >= n else unique_bound
-    if weights is None:
-        order = jnp.argsort(key)
-        sorted_ids = jnp.take(key, order)
-    else:
-        # co-sort weights with the keys (one extra int permute avoided by
-        # sorting the (key, weight) pair lexicographically on key only)
-        order = jnp.argsort(key)
-        sorted_ids = jnp.take(key, order)
-    # COMPACT SLICE: valid slots sort to the FRONT (invalid -> num_rows
-    # sentinel). ``unique_bound`` is documented as an upper bound on touched
-    # *slots*, so everything past it is padding — all row-width work below
-    # runs on [u] instead of [N] (5x less in the DLRM headline shapes).
-    sorted_ids = sorted_ids[:u]
+    # SORT then slice: valid slots sort to the front (invalid -> num_rows
+    # sentinel), so everything past the slot bound is padding and all
+    # row-width work below runs on [u] instead of [N]. (XLA's argsort is
+    # fast on TPU — ~40 us at 106k int32 — while a cumsum-rank compaction
+    # measured ~0.5 ms; sort-and-slice wins.)
+    key = jnp.where(valid, ids, num_rows)
+    order = jnp.argsort(key)
+    sorted_ids = jnp.take(key, order)[:u]
     order_u = order[:u]
-    sorted_seg = jnp.take(jnp.minimum(seg, s), order_u)  # [u] int
+    sorted_seg = jnp.take(jnp.minimum(seg, s), order_u)
     padded = jnp.concatenate(
         [pooled_grad, jnp.zeros((1, pooled_grad.shape[1]), pooled_grad.dtype)]
     )
-    # invalid slots must contribute zero even inside the slice window
+    # padding slots must contribute zero
     sorted_seg = jnp.where(sorted_ids < num_rows, sorted_seg, s)
     g_sorted = jnp.take(padded, sorted_seg, axis=0)  # gather from SMALL src
     if weights is not None:
