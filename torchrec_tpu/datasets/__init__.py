@@ -6,6 +6,8 @@ from torchrec_tpu.datasets.criteo import (
     BinaryCriteoUtils,
     InMemoryBinaryCriteoIterDataPipe,
     criteo_tsv_reader,
+    criteo_kaggle,
+    criteo_terabyte,
 )
 from torchrec_tpu.datasets.movielens import (
     MovieLensRatingsBatcher,
@@ -23,6 +25,8 @@ __all__ = [
     "BinaryCriteoUtils",
     "InMemoryBinaryCriteoIterDataPipe",
     "criteo_tsv_reader",
+    "criteo_kaggle",
+    "criteo_terabyte",
     "MovieLensRatingsBatcher",
     "movielens_20m",
     "movielens_25m",

@@ -190,3 +190,16 @@ class InMemoryBinaryCriteoIterDataPipe:
                 sparse_features=kjt,
                 labels=jnp.asarray(labels),
             )
+
+
+def criteo_terabyte(paths, **kwargs) -> "object":
+    """Reference criteo.py:143 — iterate rows across the 24 day files."""
+    def gen():
+        for p in paths:
+            yield from criteo_tsv_reader(p)
+    return gen()
+
+
+def criteo_kaggle(path, **kwargs) -> "object":
+    """Reference criteo.py:171 — the single Kaggle train.txt file."""
+    return criteo_tsv_reader(path)

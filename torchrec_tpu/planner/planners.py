@@ -137,6 +137,8 @@ class EmbeddingShardingPlanner:
                 "constraints, or add devices"
             )
         self.best_rating = best_rating
+        # retained for stats/dry-run reporting (planner/dry_run.py)
+        self.last_plan_options = best
         if self._debug:
             self._stats.log(best, self._topology)
         return _to_module_plan(best)
