@@ -637,16 +637,19 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 valid_l = in_group & (ids_g >= g.small_rows)
                 key_l = jnp.where(valid_l, ids_g, total)
                 order = jnp.argsort(key_l)  # shared with the backward (CSE)
-                sids = jnp.take(key_l, order)[:u]
+                order_u = order[:u]  # slice BEFORE gathering: a full-length
+                # scalar gather runs element-at-a-time on TPU (0.76 ms at
+                # 106k) while the sliced one touches only the bound
+                sids = jnp.take(key_l, order_u)
                 sseg = jnp.take(
-                    jnp.where(valid_l, seg_g, n_gf * b), order
-                )[:u]
+                    jnp.where(valid_l, seg_g, n_gf * b), order_u
+                )
                 rows = jnp.take(
                     table_f32, jnp.minimum(sids, total - 1), axis=0,
                     indices_are_sorted=True,
                 )
                 if weights is not None:
-                    w_s = jnp.take(weights, order)[:u]
+                    w_s = jnp.take(weights, order_u)
                     rows = rows * w_s[:, None].astype(rows.dtype)
                 rows = jnp.where((sids < total)[:, None], rows, 0.0)
                 pooled = jax.ops.segment_sum(

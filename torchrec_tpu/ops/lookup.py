@@ -207,8 +207,8 @@ def dedup_rows_from_pooled(
     # measured ~0.5 ms; sort-and-slice wins.)
     key = jnp.where(valid, ids, num_rows)
     order = jnp.argsort(key)
-    sorted_ids = jnp.take(key, order)[:u]
-    order_u = order[:u]
+    order_u = order[:u]  # slice BEFORE gathering (see module fwd note)
+    sorted_ids = jnp.take(key, order_u)
     sorted_seg = jnp.take(jnp.minimum(seg, s), order_u)
     padded = jnp.concatenate(
         [pooled_grad, jnp.zeros((1, pooled_grad.shape[1]), pooled_grad.dtype)]

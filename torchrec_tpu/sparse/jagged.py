@@ -65,16 +65,19 @@ def _repeat_with_oob_tail(
     """
     seg = jnp.concatenate(
         [per_segment.reshape(-1), jnp.array([oob_value], dtype=per_segment.dtype)]
-    )
+    ).astype(jnp.int32)
     lens = lengths.reshape(-1).astype(jnp.int32)
-    # run-start positions; empty segments scatter to the same position and
-    # the +1 marks accumulate, so cumsum skips them correctly
-    starts = jnp.cumsum(lens)  # end of each run = start of the next
-    marks = jnp.zeros((total,), jnp.int32).at[
-        jnp.concatenate([jnp.zeros((1,), jnp.int32), starts])
-    ].add(1, mode="drop")
-    idx = jnp.cumsum(marks) - 1  # [total], segment index per slot
-    return jnp.take(seg, jnp.minimum(idx, seg.shape[0] - 1))
+    # telescoping expansion with NO per-slot gather: scatter each run's
+    # VALUE DELTA at its start position, then cumsum. Consecutive deltas of
+    # empty runs accumulate at the same position and telescope away. (A
+    # [total]-element scalar gather runs element-at-a-time on TPU — 0.76 ms
+    # at 106k slots — while this is two vector passes.)
+    deltas = jnp.concatenate([seg[:1], seg[1:] - seg[:-1]])
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(lens)]
+    )
+    buf = jnp.zeros((total,), jnp.int32).at[starts].add(deltas, mode="drop")
+    return jnp.cumsum(buf)
 
 
 def jagged_to_padded_dense(
