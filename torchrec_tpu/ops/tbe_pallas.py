@@ -40,9 +40,9 @@ __all__ = ["row_scatter_add", "supports_row_scatter_add"]
 _CHUNK = 1024
 # rows per group (one aligned (G, lanes) vector add per group)
 _GROUP = 16
-# in-flight groups (NGRP * GROUP rows of read DMAs in flight); swept on v5e:
-# (16, 16) ~0.95 ms for 20.5k x 128 fp32 rows vs 2.2 ms for XLA scatter
-_NGRP = 16
+# in-flight groups (NGRP * GROUP rows of read DMAs in flight); swept
+# in-context on the headline bench on v5e: (16, 32) best
+_NGRP = 32
 
 
 def _row_scatter_add_kernel(
