@@ -262,3 +262,23 @@ class TestKeyedTensor:
             return t["a"] * 3
 
         np.testing.assert_allclose(f(kt), 3.0)
+
+
+def test_compact_stream_order_preserving():
+    """compact_stream: valid slots compact to an order-preserving prefix."""
+    import jax.numpy as jnp
+    import numpy as np
+    from torchrec_tpu.ops.lookup import compact_stream
+
+    ids = jnp.asarray([5, 9, 3, 7, 1, 8], jnp.int32)
+    valid = jnp.asarray([True, False, True, True, False, True])
+    seg = jnp.asarray([10, 11, 12, 13, 14, 15], jnp.int32)
+    ids_c, seg_c = compact_stream(valid, 4, ids, 99, seg)
+    np.testing.assert_array_equal(np.asarray(ids_c), [5, 3, 7, 8])
+    np.testing.assert_array_equal(np.asarray(seg_c), [10, 12, 13, 15])
+    # bound smaller than valid count drops the tail
+    ids_c2, = compact_stream(valid, 2, ids, 99)
+    np.testing.assert_array_equal(np.asarray(ids_c2), [5, 3])
+    # all-invalid pads with the sentinel
+    ids_c3, = compact_stream(jnp.zeros(6, bool), 3, ids, 99)
+    np.testing.assert_array_equal(np.asarray(ids_c3), [99, 99, 99])

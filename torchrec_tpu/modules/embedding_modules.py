@@ -45,6 +45,13 @@ from torchrec_tpu.ops.lookup import (
     sequence_lookup,
 )
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
 # tables with at most this many rows take the sort-free dense-gradient
 # update path (scatters into small targets are ~5x faster on TPU than into
 # multi-million-row tables, and a whole-table fp32 accumulator of 16k x dim
@@ -806,7 +813,7 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
             gi, slot_feature, slot_batch, b = ctx
             small, total = g.small_rows, g.total_rows
             tbl, st = params[g.key], opt_states[g.key]
-            if small < total:  # large-table rows: sort/dedup + sparse scatter
+            if small < total:  # large rows: sort/dedup + sparse scatter
                 valid_l = in_group & (ids_g >= small)
                 uids, ugrads = dedup_rows_from_pooled(
                     ids_g, seg_g, pooled_grad, valid_l, total,

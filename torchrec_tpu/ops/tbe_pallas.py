@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["row_scatter_add", "supports_row_scatter_add"]
+__all__ = ["row_scatter_add", "supports_row_scatter_add", "fused_sorted_sgd_apply"]
 
 # ids per grid step; deltas chunk = CHUNK * D * 4B in VMEM (double-buffered
 # by the pipeline) — 1024 * 128 * 4 = 512 KiB per buffer at D=128. Must be a
@@ -198,3 +198,190 @@ def supports_row_scatter_add(table: jnp.ndarray) -> bool:
     except Exception:  # pragma: no cover - no backend at trace time
         on_tpu = False
     return on_tpu and table.ndim == 2 and table.shape[1] % 128 == 0
+
+
+# --------------------------------------------------------------------------
+# Fused sorted-apply: run accumulation + SGD row RMW in ONE kernel.
+# Replaces the large-table backward tail after the argsort: the gradient
+# gather from the pooled cotangent, the run segment-sum, the unique-id
+# reconstruction AND the row_scatter_add pass.
+#
+# STATUS: correct (interpret + device) but MEASURED SLOWER in-context than
+# the XLA chain + row_scatter_add (6.7 vs 3.3 ms/step on the headline
+# bench): the per-slot (1,128) dynamic VMEM reads of the cotangent and the
+# per-slot semaphore traffic cost more than the XLA ops they replace
+# (which run as wide fused vector passes). Kept as groundwork — the
+# round-2 direction is batching the run accumulation into (8,128) tiles
+# before entering the DMA pipeline.
+# --------------------------------------------------------------------------
+
+_FSA_NSLOT = 32
+
+
+def _fused_sorted_sgd_kernel(
+    ids_ref,     # scalar-prefetch [U] sorted row ids (>= num_rows = skip)
+    nxt_ref,     # scalar-prefetch [U] ids shifted by one (OOB tail)
+    seg_ref,     # scalar-prefetch [U] pooled-grad row per slot
+    lr_ref,      # scalar-prefetch [1] f32 learning rate
+    pooled_ref,  # VMEM [S+1, D] cotangent rows (row S = zeros)
+    table_in,    # ANY (aliased with table_out)
+    table_out,   # ANY
+    acc,         # VMEM [8, D] run accumulator (row 0)
+    rowbuf,      # VMEM [NSLOT, 8, D] staged table rows
+    wrow,        # SMEM [NSLOT] row of this slot's pending write (-1 = none)
+    read_sems,   # DMA [NSLOT]
+    write_sems,  # DMA [NSLOT]
+    *,
+    num_rows: int,
+    u: int,
+    nslot: int,
+):
+    d = acc.shape[-1]
+
+    def read_dma(slot, row):
+        return pltpu.make_async_copy(
+            table_out.at[pl.ds(row, 1), :],
+            rowbuf.at[slot, pl.ds(0, 1), :],
+            read_sems.at[slot],
+        )
+
+    def write_dma(slot, row):
+        return pltpu.make_async_copy(
+            rowbuf.at[slot, pl.ds(0, 1), :],
+            table_out.at[pl.ds(row, 1), :],
+            write_sems.at[slot],
+        )
+
+    # init guards + accumulator; warm the read pipeline
+    for k in range(nslot):
+        wrow[k] = -1
+    acc[pl.ds(0, 1), :] = jnp.zeros((1, d), acc.dtype)
+    for j in range(min(nslot, u)):
+
+        @pl.when(ids_ref[j] < num_rows)
+        def _(j=j):
+            read_dma(j % nslot, ids_ref[j]).start()
+
+    def body(j, _):
+        slot = jax.lax.rem(j, nslot)
+        rid = ids_ref[j]
+        valid = rid < num_rows
+
+        @pl.when(valid)
+        def _():
+            # accumulate this slot's gradient row from the VMEM cotangent
+            g = pooled_ref[pl.ds(seg_ref[j], 1), :]
+            acc[pl.ds(0, 1), :] = acc[pl.ds(0, 1), :] - lr_ref[0] * g
+            # every valid slot's read was started; consume it
+            read_dma(slot, rid).wait()
+
+            @pl.when(nxt_ref[j] != rid)
+            def _():
+                # run boundary: apply the accumulated delta to the staged
+                # row and write it back
+                rowbuf[slot, pl.ds(0, 1), :] = (
+                    rowbuf[slot, pl.ds(0, 1), :] + acc[pl.ds(0, 1), :]
+                )
+                write_dma(slot, rid).start()
+                wrow[slot] = rid
+                acc[pl.ds(0, 1), :] = jnp.zeros((1, d), acc.dtype)
+
+        # keep the read pipeline full; drain this slot's pending write
+        # before its buffer is reused
+        nxt_j = j + nslot
+
+        @pl.when(nxt_j < u)
+        def _():
+            @pl.when(ids_ref[nxt_j] < num_rows)
+            def _():
+                pending = wrow[slot]
+
+                @pl.when(pending >= 0)
+                def _():
+                    write_dma(slot, pending).wait()
+                    wrow[slot] = -1
+
+                read_dma(slot, ids_ref[nxt_j]).start()
+
+        return 0
+
+    jax.lax.fori_loop(0, u, body, 0)
+
+    # drain remaining pending writes
+    def drain(k, _):
+        pending = wrow[k]
+
+        @pl.when(pending >= 0)
+        def _():
+            write_dma(k, pending).wait()
+            wrow[k] = -1
+
+        return 0
+
+    jax.lax.fori_loop(0, nslot, drain, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+def fused_sorted_sgd_apply(
+    table: jnp.ndarray,
+    sorted_ids: jnp.ndarray,
+    sorted_seg: jnp.ndarray,
+    pooled_grad: jnp.ndarray,
+    lr,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """In-place SGD over a SORTED slot stream: for each run of equal ids r,
+    ``table[r] -= lr * sum(pooled_grad[seg])`` over the run's slots.
+
+    sorted_ids: [U] ascending; >= table rows = padding (skipped).
+    sorted_seg: [U] rows into pooled_grad; OOB clamps to the zero row.
+    Cost is O(U) VMEM accumulation + 2 DMAs per UNIQUE row.
+    """
+    num_rows, d = table.shape
+    if d % 128:
+        raise ValueError(f"row width {d} must be a multiple of 128")
+    u = sorted_ids.shape[0]
+    s = pooled_grad.shape[0]
+    padded = jnp.concatenate(
+        [pooled_grad.astype(table.dtype), jnp.zeros((1, d), table.dtype)]
+    )
+    nxt = jnp.concatenate(
+        [sorted_ids[1:], jnp.full((1,), num_rows, sorted_ids.dtype)]
+    )
+    seg_c = jnp.minimum(sorted_seg, s).astype(jnp.int32)
+    nslot = min(_FSA_NSLOT, max(u, 1))
+    kernel = functools.partial(
+        _fused_sorted_sgd_kernel, num_rows=num_rows, u=u, nslot=nslot
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # pooled (padded)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # table
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((8, d), table.dtype),
+            pltpu.VMEM((nslot, 8, d), table.dtype),
+            pltpu.SMEM((nslot,), jnp.int32),
+            pltpu.SemaphoreType.DMA((nslot,)),
+            pltpu.SemaphoreType.DMA((nslot,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
+        input_output_aliases={5: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        sorted_ids.astype(jnp.int32),
+        nxt.astype(jnp.int32),
+        seg_c,
+        jnp.asarray([lr], jnp.float32),
+        padded,
+        table,
+    )
