@@ -282,3 +282,63 @@ def test_compact_stream_order_preserving():
     # all-invalid pads with the sentinel
     ids_c3, = compact_stream(jnp.zeros(6, bool), 3, ids, 99)
     np.testing.assert_array_equal(np.asarray(ids_c3), [99, 99, 99])
+
+
+def test_vbe_forward_backward():
+    """Variable batch per key (VBE): per-key dedup'd batches expand to the
+    global batch via inverse indices (reference jagged_tensor.py:2511-2552
+    + embeddingbag VBE path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from torchrec_tpu import KeyedJaggedTensor
+    from torchrec_tpu.modules import EmbeddingBagCollection, EmbeddingBagConfig
+    from torchrec_tpu.ops import SGD
+
+    # key 'a': 2 dedup'd examples; key 'b': 3; global batch 4
+    lengths = jnp.asarray([[2, 1, 0], [1, 1, 1]], jnp.int32)
+    values = jnp.asarray([4, 5, 6, 1, 2, 3], jnp.int32)
+    inv = jnp.asarray([[0, 0, 1, 1], [0, 1, 2, 2]], jnp.int32)
+    kjt = KeyedJaggedTensor(
+        keys=["a", "b"], values=values, lengths=lengths,
+        stride_per_key=(2, 3), inverse_indices=inv,
+    )
+    assert kjt.variable_stride_per_key()
+    assert kjt.stride_per_key() == (2, 3)
+
+    ebc = EmbeddingBagCollection([
+        EmbeddingBagConfig(name="ta", num_embeddings=10, embedding_dim=8,
+                           feature_names=["a"]),
+        EmbeddingBagConfig(name="tb", num_embeddings=10, embedding_dim=8,
+                           feature_names=["b"]),
+    ])
+    params = ebc.init(jax.random.key(0))
+    kt = jax.jit(ebc.apply)(params, kjt)
+    assert kt.values().shape == (4, 16)
+    Ta = np.asarray(ebc.table_slice(params, "ta"))
+    Tb = np.asarray(ebc.table_slice(params, "tb"))
+    got = np.asarray(kt.values())
+    # key a dedup rows: ex0 = T[4]+T[5], ex1 = T[6]; expanded [0,0,1,1]
+    np.testing.assert_allclose(got[0, :8], Ta[4] + Ta[5], rtol=1e-5)
+    np.testing.assert_allclose(got[1, :8], Ta[4] + Ta[5], rtol=1e-5)
+    np.testing.assert_allclose(got[2, :8], Ta[6], rtol=1e-5)
+    # key b rows [1,2,3] expanded [0,1,2,2]
+    np.testing.assert_allclose(got[0, 8:], Tb[1], rtol=1e-5)
+    np.testing.assert_allclose(got[3, 8:], Tb[3], rtol=1e-5)
+
+    # backward: each expanded copy contributes its cotangent
+    opt = SGD(learning_rate=1.0)
+    states = ebc.init_optimizer(params, opt)
+    cot = jnp.ones((4, 16), jnp.float32)
+    p2, _ = jax.jit(lambda p, s, k, c: ebc.apply_gradients(p, s, opt, k, c))(
+        params, states, kjt, cot
+    )
+    Ta2 = np.asarray(ebc.table_slice(p2, "ta"))
+    # row 4 appears in dedup ex0, which expands to global rows 0 and 1 -> grad 2
+    np.testing.assert_allclose(Ta2[4], Ta[4] - 2.0, rtol=1e-5)
+    np.testing.assert_allclose(Ta2[6], Ta[6] - 2.0, rtol=1e-5)  # rows 2,3
+    # permute keeps VBE metadata aligned
+    kjt_p = kjt.permute([1, 0])
+    assert kjt_p.stride_per_key() == (3, 2)
+    kt_p = ebc.apply(params, kjt_p.select_keys(["a", "b"]))
+    np.testing.assert_allclose(np.asarray(kt_p.values()), got, rtol=1e-5)

@@ -544,6 +544,8 @@ class _WindowedKJT(KeyedJaggedTensor):
         self._sel = tuple(range(len(self._keys)))
         self._start = start
         self._b_local = b_local
+        self._stride_per_key = None
+        self._inverse_indices = None
 
     def _view(self, sel):
         obj = object.__new__(_WindowedKJT)
@@ -554,6 +556,8 @@ class _WindowedKJT(KeyedJaggedTensor):
         obj._start = self._start
         obj._b_local = self._b_local
         obj._sel = tuple(sel)
+        obj._stride_per_key = None
+        obj._inverse_indices = None
         return obj
 
     def tree_flatten(self):
@@ -570,6 +574,8 @@ class _WindowedKJT(KeyedJaggedTensor):
         obj._values, obj._lengths, obj._weights, obj._start = children
         obj._sel = sel
         obj._b_local = b_local
+        obj._stride_per_key = None
+        obj._inverse_indices = None
         return obj
 
     def stride(self) -> int:

@@ -710,6 +710,15 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 per_feature[fi] = out
 
         dims = self.embedding_dims()
+        if kjt.variable_stride_per_key():
+            # VBE: expand each key's deduplicated pooled rows to the global
+            # batch via its inverse indices (reference embeddingbag.py VBE
+            # path with inverse-indices permute)
+            inv = kjt.inverse_indices()  # [F, B_out]
+            per_feature = [
+                jnp.take(per_feature[fi], inv[fi], axis=0)
+                for fi in range(f)
+            ]
         vals = jnp.concatenate(
             [per_feature[fi] for fi in range(f)], axis=1
         )
@@ -736,9 +745,20 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
             ids_g, seg_g, in_group, n_gf = self._group_indices(
                 gi, values, seg, slot_feature, slot_batch, b
             )
+            inv = (
+                kjt.inverse_indices()
+                if kjt.variable_stride_per_key()
+                else None
+            )
             parts = []
             for fi in feats:
                 gslice = kt_grad[:, dim_offsets[fi] : dim_offsets[fi + 1]]
+                if inv is not None:
+                    # VBE transpose: sum global-batch cotangents back onto
+                    # each key's deduplicated examples
+                    gslice = jax.ops.segment_sum(
+                        gslice, inv[fi], num_segments=b
+                    )
                 if self._poolings[fi] == PoolingType.MEAN and not self._is_weighted:
                     denom = jnp.maximum(lengths[fi].astype(gslice.dtype), 1.0)
                     gslice = gslice / denom[:, None]

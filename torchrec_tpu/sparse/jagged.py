@@ -249,7 +249,14 @@ class KeyedJaggedTensor:
         lengths: jnp.ndarray,
         weights: Optional[jnp.ndarray] = None,
         sel: Optional[Tuple[int, ...]] = None,
+        stride_per_key: Optional[Sequence[int]] = None,
+        inverse_indices: Optional[jnp.ndarray] = None,
     ):
+        """``stride_per_key``/``inverse_indices`` enable VBE (variable batch
+        per key, reference jagged_tensor.py:2511): key k carries
+        ``stride_per_key[k]`` deduplicated examples in lengths columns
+        ``[0, stride_k)`` (the rest zero), and ``inverse_indices [F, B_out]``
+        expands each key's pooled rows back to the global batch."""
         self._keys: Tuple[str, ...] = tuple(keys)
         self._values = values
         if lengths.ndim == 1:
@@ -259,6 +266,10 @@ class KeyedJaggedTensor:
         self._sel: Tuple[int, ...] = (
             tuple(sel) if sel is not None else tuple(range(len(self._keys)))
         )
+        self._stride_per_key: Optional[Tuple[int, ...]] = (
+            tuple(stride_per_key) if stride_per_key is not None else None
+        )
+        self._inverse_indices = inverse_indices
 
     # -- construction --------------------------------------------------------
     @staticmethod
@@ -318,14 +329,19 @@ class KeyedJaggedTensor:
 
     # -- pytree protocol ------------------------------------------------------
     def tree_flatten(self):
-        return (self._values, self._lengths, self._weights), (self._keys, self._sel)
+        return (
+            (self._values, self._lengths, self._weights, self._inverse_indices),
+            (self._keys, self._sel, self._stride_per_key),
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        keys, sel = aux
-        values, lengths, weights = children
+        keys, sel, stride_per_key = aux
+        values, lengths, weights, inverse_indices = children
         obj = object.__new__(cls)
         obj._keys = keys
+        obj._stride_per_key = stride_per_key
+        obj._inverse_indices = inverse_indices
         obj._values = values
         obj._lengths = lengths
         obj._weights = weights
@@ -427,6 +443,8 @@ class KeyedJaggedTensor:
                     self._lengths,
                     self._weights,
                     sel=self._sel[start : start + seg],
+                    stride_per_key=self._stride_per_key,
+                    inverse_indices=self._inverse_indices,
                 )
             )
             start += seg
@@ -443,6 +461,8 @@ class KeyedJaggedTensor:
             self._lengths,
             self._weights,
             sel=tuple(self._sel[i] for i in indices),
+            stride_per_key=self._stride_per_key,
+            inverse_indices=self._inverse_indices,
         )
 
     def select_keys(self, keys: Sequence[str]) -> "KeyedJaggedTensor":
@@ -533,6 +553,28 @@ class KeyedJaggedTensor:
         return _repeat_with_oob_tail(
             phys_off.astype(jnp.int32), self._lengths, self.capacity, 0
         )
+
+    def variable_stride_per_key(self) -> bool:
+        """True for VBE batches (reference :2511)."""
+        return self._stride_per_key is not None
+
+    def stride_per_key(self) -> Optional[Tuple[int, ...]]:
+        """Per-LOGICAL-key deduplicated batch sizes."""
+        if self._stride_per_key is None:
+            return None
+        return tuple(self._stride_per_key[p] for p in self._sel)
+
+    def inverse_indices_or_none(self) -> Optional[jnp.ndarray]:
+        if self._inverse_indices is None:
+            return None
+        return self._inverse_indices[jnp.asarray(self._sel, jnp.int32)]
+
+    def inverse_indices(self) -> jnp.ndarray:
+        """[F_logical, B_out] per-key map from global batch row ->
+        deduplicated per-key example (reference :2552)."""
+        if self._inverse_indices is None:
+            raise ValueError("not a VBE KeyedJaggedTensor")
+        return self._inverse_indices[jnp.asarray(self._sel, jnp.int32)]
 
     def sync(self) -> "KeyedJaggedTensor":
         """No-op (reference :2511 syncs cached fields across CPU/GPU)."""
