@@ -177,3 +177,36 @@ def test_sharded_dlrm_converges_on_learnable_task():
             auc_state = auc.update(auc_state, preds, aux["labels"].reshape(-1))
     final_auc = float(auc.compute(auc_state)["auc-default|window_auc"])
     assert final_auc > 0.9, f"sharded DLRM failed to learn: AUC={final_auc}"
+
+
+def test_dmp_shards_deepfm_family():
+    """DMP works for any model exposing the (ebc, forward_sparse,
+    forward_dense, init) contract — here SimpleDeepFMNN."""
+    import optax
+    from torchrec_tpu.models import SimpleDeepFMNN
+
+    ebc = EmbeddingBagCollection([
+        EmbeddingBagConfig(name="t0", num_embeddings=500, embedding_dim=16,
+                           feature_names=["f0"]),
+        EmbeddingBagConfig(name="t1", num_embeddings=50, embedding_dim=16,
+                           feature_names=["f1"]),
+    ])
+    model = SimpleDeepFMNN(
+        num_dense_features=4, embedding_bag_collection=ebc,
+        hidden_layer_size=16, deep_fm_dimension=8,
+    )
+    env = ShardingEnv.from_devices(jax.devices()[:WORLD])
+    dmp = DistributedModelParallel(model, env, batch_size=16)
+    emb_opt = RowWiseAdagrad(learning_rate=0.05)
+    tx = optax.sgd(0.01)
+    state = dmp.init_train_state(jax.random.key(0), emb_opt, tx)
+    step = dmp.make_train_step(emb_opt, tx, example_state=state)
+
+    from torchrec_tpu.datasets import RandomRecDataset
+    ds = iter(RandomRecDataset(keys=["f0", "f1"], batch_size=16,
+                               hash_sizes=[500, 50], num_dense=4))
+    losses = []
+    for _ in range(3):
+        state, aux = step(state, next(ds))
+        losses.append(float(np.asarray(aux["loss"])))
+    assert all(np.isfinite(l) for l in losses)

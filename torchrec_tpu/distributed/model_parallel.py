@@ -88,7 +88,17 @@ class DistributedModelParallel:
     ):
         self.model = model
         self.env = env if env is not None else ShardingEnv.from_devices()
-        tables = model.embedding_bag_collection._tables
+        ebc = getattr(model, "embedding_bag_collection", None) or getattr(
+            model, "ebc", None
+        )
+        if ebc is None:
+            raise TypeError(
+                "model must expose its EmbeddingBagCollection as "
+                "`.embedding_bag_collection` or `.ebc` (the DMP model "
+                "contract also needs forward_sparse/forward_dense/init)"
+            )
+        self._ebc_module = ebc
+        tables = ebc._tables
         if plan is None:
             if planner is None:
                 # cost-model planner on the matching topology (the reference
@@ -108,7 +118,7 @@ class DistributedModelParallel:
             plan = planner.plan(tables)
         self.plan = plan
         self.sharded_ebc = ShardedEmbeddingBagCollection(
-            model.embedding_bag_collection, self.plan, self.env
+            self._ebc_module, self.plan, self.env
         )
 
     # ---------------------------------------------------------------- state
