@@ -28,7 +28,8 @@ def main(batch_size=256):
         over_arch_layer_sizes=(128, 64),
     )
     params = model.init(jax.random.key(0))
-    predictor = quantize_inference_model(model, params)
+    sparse = params.pop("sparse")
+    predictor = quantize_inference_model(model, sparse, params)
     ds = iter(RandomRecDataset(
         keys=model.embedding_bag_collection.feature_names(),
         batch_size=batch_size, hash_sizes=[100_000], num_dense=13,
@@ -37,13 +38,24 @@ def main(batch_size=256):
     kjt = batch.sparse_features
 
     def step(c, d):
-        out = predictor.apply(d["dense"] + c[0] * 0, d["kjt"])
-        return c + out[:1] * 0 + out[:1]
+        # non-foldable carry dependence on BOTH inputs (anything XLA can
+        # fold to a constant loop-hoists; see CLAUDE.md measurement notes)
+        bump = (c[0] == jnp.inf).astype(jnp.float32)
+        from torchrec_tpu.sparse import KeyedJaggedTensor
+
+        k = d["kjt"]
+        kjt2 = KeyedJaggedTensor(
+            keys=k.keys(),
+            values=k.values() + bump.astype(jnp.int32),
+            lengths=k.lengths(),
+        )
+        out = predictor.apply(d["dense"] + bump, kjt2)
+        return out[:1]
 
     r = benchmark_scanned(
         "quant_dlrm_predict", step,
         jnp.zeros((1,)), {"dense": batch.dense_features, "kjt": kjt},
-        iters=100, batch_size=batch_size,
+        iters=2000, batch_size=batch_size,
     )
     print(r.json_line())
 

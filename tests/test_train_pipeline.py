@@ -108,3 +108,32 @@ def test_staged_pipeline_stage_transforms_batch():
     while (aux := pipe.progress(it)) is not None:
         out.append(aux)
     assert len(out) == 2
+
+
+def test_eval_step_no_mutation():
+    """Eval pipeline: forward + loss only, params untouched."""
+    import optax
+    from torchrec_tpu.training import init_train_state, make_eval_step
+    from torchrec_tpu.datasets import RandomRecDataset
+    from torchrec_tpu.models import DLRM
+    from torchrec_tpu.modules import EmbeddingBagCollection, EmbeddingBagConfig
+    from torchrec_tpu.ops import SGD
+
+    model = DLRM(
+        embedding_bag_collection=EmbeddingBagCollection([
+            EmbeddingBagConfig(name="t", num_embeddings=50, embedding_dim=8,
+                               feature_names=["f"]),
+        ]),
+        dense_in_features=4,
+        dense_arch_layer_sizes=(8, 8),
+        over_arch_layer_sizes=(8,),
+    )
+    state = init_train_state(model, jax.random.key(0), SGD(), optax.sgd(0.1))
+    ev = jax.jit(make_eval_step(model))
+    batch = next(iter(RandomRecDataset(keys=["f"], batch_size=8,
+                                       hash_sizes=[50], num_dense=4)))
+    aux = ev(state, batch)
+    assert np.isfinite(float(np.asarray(aux["loss"])))
+    aux2 = ev(state, batch)
+    np.testing.assert_array_equal(np.asarray(aux["logits"]),
+                                  np.asarray(aux2["logits"]))

@@ -35,3 +35,14 @@ __all__ = [
     "pooled_lookup",
     "sequence_lookup",
 ]
+from torchrec_tpu.ops.tbe_pallas import (  # noqa: E402
+    fused_sorted_sgd_apply,
+    row_scatter_add,
+    supports_row_scatter_add,
+)
+
+__all__ += [
+    "row_scatter_add",
+    "supports_row_scatter_add",
+    "fused_sorted_sgd_apply",
+]

@@ -28,7 +28,7 @@ from torchrec_tpu.models.dlrm import DLRM, bce_with_logits
 from torchrec_tpu.ops.fused_optim import EmbeddingOptimizer
 from torchrec_tpu.sparse import KeyedJaggedTensor
 
-__all__ = ["TrainState", "Batch", "make_train_step", "init_train_state"]
+__all__ = ["TrainState", "Batch", "make_train_step", "make_eval_step", "make_semi_sync_train_step", "init_train_state"]
 
 
 @jax.tree_util.register_dataclass
@@ -215,3 +215,29 @@ def make_semi_sync_train_step(
 
     init_carry = SemiSyncCarry(kjt=None, emb_grad=None)
     return step, init_carry, flush
+
+
+def make_eval_step(
+    model: DLRM,
+    loss_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = bce_with_logits,
+):
+    """Forward-only evaluation step (EvalPipelineSparseDist analog,
+    reference train_pipelines.py:2259): returns
+    ``eval_step(state, batch) -> aux`` with loss/logits/labels for metric
+    updates; no parameter mutation, safe to jit without donation."""
+
+    def eval_step(state: TrainState, batch: Batch):
+        emb_values = model.forward_sparse(
+            {"sparse": state.sparse_params}, batch.sparse_features
+        )
+        logits = model.forward_dense(
+            state.dense_params, batch.dense_features, emb_values
+        )
+        loss = loss_fn(logits, batch.labels.astype(jnp.float32))
+        return {
+            "loss": loss,
+            "logits": logits,
+            "labels": batch.labels,
+        }
+
+    return eval_step
