@@ -199,3 +199,94 @@ def test_movielens_batcher(tmp_path):
     assert len(batches) == 2
     assert batches[0].sparse_features.keys() == ["user", "movie"]
     assert set(np.asarray(batches[0].labels)) <= {0.0, 1.0}
+
+
+def test_criteo_pipe_feeds_dmp_training(tmp_path):
+    """Ingest -> DMP training integration: a criteo-format file trains the
+    sharded DLRM end-to-end (golden_training over real ingest)."""
+    import optax
+    from torchrec_tpu.datasets import (
+        BinaryCriteoUtils,
+        DEFAULT_CAT_NAMES,
+        InMemoryBinaryCriteoIterDataPipe,
+    )
+    from torchrec_tpu.distributed import ShardingEnv
+    from torchrec_tpu.distributed.model_parallel import DistributedModelParallel
+    from torchrec_tpu.models import DLRM
+    from torchrec_tpu.ops import RowWiseAdagrad
+
+    rng = np.random.default_rng(0)
+    rows = []
+    for _ in range(64):
+        label = rng.integers(0, 2)
+        ints = rng.integers(0, 100, 13)
+        cats = [format(int(x), "x") for x in rng.integers(0, 1 << 20, 26)]
+        rows.append("\t".join([str(label)] + [str(v) for v in ints] + cats))
+    tsv = tmp_path / "day.tsv"
+    tsv.write_text("\n".join(rows) + "\n")
+    BinaryCriteoUtils.tsv_to_npys(
+        str(tsv), str(tmp_path / "d.npy"), str(tmp_path / "s.npy"),
+        str(tmp_path / "l.npy"),
+    )
+    pipe = InMemoryBinaryCriteoIterDataPipe(
+        dense_paths=[str(tmp_path / "d.npy")],
+        sparse_paths=[str(tmp_path / "s.npy")],
+        labels_paths=[str(tmp_path / "l.npy")],
+        batch_size=16, hashes=[500] * 26,
+    )
+    tables = [
+        EmbeddingBagConfig(name=f"t{i}", num_embeddings=500, embedding_dim=16,
+                           feature_names=[name])
+        for i, name in enumerate(DEFAULT_CAT_NAMES)
+    ]
+    model = DLRM(
+        embedding_bag_collection=EmbeddingBagCollection(tables),
+        dense_in_features=13,
+        dense_arch_layer_sizes=(32, 16),
+        over_arch_layer_sizes=(16,),
+    )
+    env = ShardingEnv.from_devices(jax.devices()[:8])
+    dmp = DistributedModelParallel(model, env, batch_size=16)
+    from torchrec_tpu.ops import RowWiseAdagrad
+    emb_opt = RowWiseAdagrad(learning_rate=0.05)
+    tx = optax.sgd(0.01)
+    state = dmp.init_train_state(jax.random.key(0), emb_opt, tx)
+    step = dmp.make_train_step(emb_opt, tx, example_state=state)
+    for batch in pipe:
+        state, aux = step(state, batch)
+        assert np.isfinite(float(np.asarray(aux["loss"])))
+
+
+def test_dmp_trains_dcn_and_projection_variants():
+    import optax
+    from torchrec_tpu.datasets import RandomRecDataset
+    from torchrec_tpu.distributed import ShardingEnv
+    from torchrec_tpu.distributed.model_parallel import DistributedModelParallel
+    from torchrec_tpu.models import DLRM_DCN, DLRM_Projection
+    from torchrec_tpu.ops import SGD
+
+    tables = [
+        EmbeddingBagConfig(name="t", num_embeddings=200, embedding_dim=16,
+                           feature_names=["f"]),
+    ]
+    for cls, kwargs in [
+        (DLRM_DCN, dict(dcn_num_layers=2, dcn_low_rank_dim=8)),
+        (DLRM_Projection, dict(interaction_branch1_layer_sizes=(16, 16),
+                               interaction_branch2_layer_sizes=(16, 16))),
+    ]:
+        model = cls(
+            embedding_bag_collection=EmbeddingBagCollection(tables),
+            dense_in_features=4,
+            dense_arch_layer_sizes=(16, 16),
+            over_arch_layer_sizes=(16,),
+            **kwargs,
+        )
+        env = ShardingEnv.from_devices(jax.devices()[:8])
+        dmp = DistributedModelParallel(model, env, batch_size=8)
+        opt, tx = SGD(learning_rate=0.05), optax.sgd(0.01)
+        state = dmp.init_train_state(jax.random.key(0), opt, tx)
+        step = dmp.make_train_step(opt, tx, example_state=state)
+        batch = next(iter(RandomRecDataset(keys=["f"], batch_size=8,
+                                           hash_sizes=[200], num_dense=4)))
+        state, aux = step(state, batch)
+        assert np.isfinite(float(np.asarray(aux["loss"]))), cls.__name__
