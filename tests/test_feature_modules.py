@@ -200,3 +200,35 @@ def test_kjt_pool_roundtrip():
     one = pool.lookup(st, jnp.asarray([2], jnp.int32))
     np.testing.assert_array_equal(np.asarray(one.lengths()), [[1], [0]])
     np.testing.assert_array_equal(np.asarray(one.values())[:1], [12])
+
+
+def test_tower_sharding_plan_colocates_tables():
+    """Tower sharding: all tables of one tower land on the same rank
+    (reference embedding_tower_sharding.py)."""
+    from torchrec_tpu.distributed import ShardingEnv, tower_sharding_plan
+
+    def i_init(key):
+        return {"w": jax.random.normal(key, (16, 4))}
+
+    def i_apply(p, x):
+        return x @ p["w"]
+
+    towers = []
+    for i in range(3):
+        tables = [
+            EmbeddingBagConfig(name=f"t{i}_{j}", num_embeddings=100 * (i + 1),
+                               embedding_dim=16, feature_names=[f"f{i}_{j}"])
+            for j in range(2)
+        ]
+        towers.append(EmbeddingTower(
+            EmbeddingBagCollection(tables), i_init, i_apply))
+    env = ShardingEnv.from_devices(jax.devices()[:4])
+    plan = tower_sharding_plan(towers, env)
+    assert len(plan) == 6
+    for i in range(3):
+        r0 = plan[f"t{i}_0"].shards[0].rank
+        r1 = plan[f"t{i}_1"].shards[0].rank
+        assert r0 == r1, f"tower {i} split across ranks"
+    # the three towers spread over different ranks (load balancing)
+    ranks = {plan[f"t{i}_0"].shards[0].rank for i in range(3)}
+    assert len(ranks) == 3

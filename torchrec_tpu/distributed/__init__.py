@@ -8,6 +8,7 @@ from torchrec_tpu.distributed.sharding_plan import (
     row_wise,
     table_row_wise,
     table_wise,
+    tower_sharding_plan,
 )
 from torchrec_tpu.distributed.qcomms import CommType, QCommsConfig
 from torchrec_tpu.distributed.types import (
@@ -19,6 +20,7 @@ from torchrec_tpu.distributed.types import (
 )
 
 __all__ = [
+    "tower_sharding_plan",
     "CommType",
     "QCommsConfig",
     "ShardedEmbeddingBagCollection",

@@ -8,6 +8,8 @@ Capability parity with torchrec/distributed/sharding_plan.py
 from __future__ import annotations
 
 import math
+
+import numpy as np
 from typing import Dict, List, Optional, Sequence
 
 from torchrec_tpu.distributed.types import (
@@ -184,3 +186,31 @@ def construct_module_sharding_plan(
         if name not in plan:
             raise ValueError(f"table {name!r} missing from plan")
     return plan
+
+
+def tower_sharding_plan(
+    towers,
+    env: ShardingEnv,
+) -> EmbeddingModuleShardingPlan:
+    """Place each tower's tables together on one rank (the reference's
+    embedding_tower_sharding.py contract: a tower — embeddings + its
+    interaction — shards as a UNIT so its interaction runs colocated with
+    its lookups). Towers round-robin over ranks by descending size."""
+    sizes = sorted(
+        range(len(towers)),
+        key=lambda i: -sum(
+            t.num_embeddings * t.embedding_dim
+            for t in towers[i].embedding._tables
+        ),
+    )
+    load = [0] * env.world_size
+    per_param = {}
+    all_tables = []
+    for ti in sizes:
+        tower = towers[ti]
+        rank = int(np.argmin(load))
+        for t in tower.embedding._tables:
+            per_param[t.name] = table_wise(rank)
+            load[rank] += t.num_embeddings * t.embedding_dim
+            all_tables.append(t)
+    return construct_module_sharding_plan(all_tables, per_param, env)
