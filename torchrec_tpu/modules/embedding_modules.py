@@ -643,20 +643,24 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 u = min(self._max_unique, ids_g.shape[0])
                 valid_l = in_group & (ids_g >= g.small_rows)
                 key_l = jnp.where(valid_l, ids_g, total)
-                order = jnp.argsort(key_l)  # shared with the backward (CSE)
-                order_u = order[:u]  # slice BEFORE gathering: a full-length
-                # scalar gather runs element-at-a-time on TPU (0.76 ms at
-                # 106k) while the sliced one touches only the bound
-                sids = jnp.take(key_l, order_u)
-                sseg = jnp.take(
-                    jnp.where(valid_l, seg_g, n_gf * b), order_u
-                )
+                seg_l = jnp.where(valid_l, seg_g, n_gf * b)
+                # multi-operand sort co-sorts the payloads inside the sort
+                # network — no permutation gathers (20.5k scalar gathers
+                # cost 0.14 ms EACH on TPU). Shared with the backward (CSE).
+                if weights is None:
+                    sk, ss = jax.lax.sort((key_l, seg_l), num_keys=1)
+                    sids, sseg = sk[:u], ss[:u]
+                    w_s = None
+                else:
+                    sk, ss, sw = jax.lax.sort(
+                        (key_l, seg_l, weights), num_keys=1
+                    )
+                    sids, sseg, w_s = sk[:u], ss[:u], sw[:u]
                 rows = jnp.take(
                     table_f32, jnp.minimum(sids, total - 1), axis=0,
                     indices_are_sorted=True,
                 )
-                if weights is not None:
-                    w_s = jnp.take(weights, order_u)
+                if w_s is not None:
                     rows = rows * w_s[:, None].astype(rows.dtype)
                 rows = jnp.where((sids < total)[:, None], rows, 0.0)
                 pooled = jax.ops.segment_sum(
