@@ -60,12 +60,22 @@ def _scatter_add_rows(
     XLA's scatter lowering streams the WHOLE table (cost O(table), measured
     2.3x slower at 20k rows into 1.4M x 128 on v5e)."""
     from torchrec_tpu.ops.tbe_pallas import (
-        row_scatter_add,
+        row_scatter_write,
         supports_row_scatter_add,
     )
 
     if supports_row_scatter_add(table):
-        return row_scatter_add(table, unique_ids, deltas.astype(table.dtype))
+        # XLA's row gather is issue-cheap (~13 ns/row); reading the old
+        # rows in XLA and handing the kernel a WRITE-ONLY pass halves the
+        # kernel's DMA issue cost vs the read-modify-write form
+        # (0.55 vs 1.00 ms at 20.5k rows into 1.4M x 128 on v5e)
+        old_rows = jnp.take(
+            table, unique_ids, axis=0, mode="fill", fill_value=0.0,
+            indices_are_sorted=True,
+        )
+        return row_scatter_write(
+            table, unique_ids, old_rows + deltas.astype(table.dtype)
+        )
     return table.at[unique_ids].add(
         deltas.astype(table.dtype),
         mode="drop",

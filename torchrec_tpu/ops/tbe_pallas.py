@@ -385,3 +385,106 @@ def fused_sorted_sgd_apply(
         padded,
         table,
     )
+
+
+# --------------------------------------------------------------------------
+# Write-only row scatter: XLA's row GATHER is fast (~13 ns/row), so the
+# read half of the RMW can run as `jnp.take` + add in XLA, leaving the
+# kernel a single write DMA per row (half the DMA issue cost of the RMW
+# form).
+# --------------------------------------------------------------------------
+
+def _row_scatter_write_kernel(
+    rows_ref,   # SMEM [CHUNK] target rows (OOB = skip)
+    vals_ref,   # VMEM [CHUNK, D] replacement rows
+    table_in,   # ANY (aliased)
+    table_out,  # ANY
+    write_sems,  # DMA [NGRP]
+    *,
+    num_rows: int,
+    chunk: int,
+    group: int,
+    ngrp: int,
+):
+    n_groups = chunk // group
+
+    def row_of(gi, r):
+        return rows_ref[gi * group + r]
+
+    def start_writes(slot, gi):
+        for r in range(group):
+
+            @pl.when(row_of(gi, r) < num_rows)
+            def _(r=r):
+                pltpu.make_async_copy(
+                    vals_ref.at[pl.ds(gi * group + r, 1), :],
+                    table_out.at[pl.ds(row_of(gi, r), 1), :],
+                    write_sems.at[slot],
+                ).start()
+
+    def wait_writes(slot, gi):
+        for r in range(group):
+
+            @pl.when(row_of(gi, r) < num_rows)
+            def _(r=r):
+                pltpu.make_async_copy(
+                    vals_ref.at[pl.ds(gi * group + r, 1), :],
+                    table_out.at[pl.ds(row_of(gi, r), 1), :],
+                    write_sems.at[slot],
+                ).wait()
+
+    for gi in range(min(ngrp, n_groups)):
+        start_writes(gi % ngrp, gi)
+
+    def body(gi, _):
+        slot = gi % ngrp
+        wait_writes(slot, gi)
+        nxt = gi + ngrp
+
+        @pl.when(nxt < n_groups)
+        def _():
+            start_writes(slot, nxt)
+
+        return 0
+
+    jax.lax.fori_loop(0, min(ngrp, n_groups) and n_groups, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+def row_scatter_write(
+    table: jnp.ndarray,
+    rows: jnp.ndarray,
+    values: jnp.ndarray,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``table[rows] = values`` for DISTINCT rows, in place; OOB skipped."""
+    num_rows, d = table.shape
+    if d % 128:
+        raise ValueError(f"row width {d} must be a multiple of 128")
+    u = rows.shape[0]
+    chunk = _CHUNK
+    pad = (-u) % chunk
+    if pad:
+        rows = jnp.concatenate([rows, jnp.full((pad,), num_rows, rows.dtype)])
+        values = jnp.concatenate([values, jnp.zeros((pad, d), values.dtype)])
+    n_chunks = rows.shape[0] // chunk
+    kernel = functools.partial(
+        _row_scatter_write_kernel,
+        num_rows=num_rows, chunk=chunk, group=_GROUP, ngrp=_NGRP,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((chunk,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((_NGRP,))],
+        input_output_aliases={2: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(rows, values.astype(table.dtype), table)
