@@ -263,3 +263,45 @@ def test_plan_save_load_roundtrip(tmp_path):
     assert back["b"].shards[0].rank == 3
     with pytest.raises(ValueError):
         load_plan(p, context={"world_size": 16})
+
+
+def test_offload_scaleup_proposer_grows_caches_into_free_hbm():
+    """Reference EmbeddingOffloadScaleupProposer (proposers.py:471): a table
+    that cannot fit in HBM plans as host-offloaded, and the proposer scales
+    its cache factor up as far as memory allows (bigger cache = better
+    rated perf)."""
+    from torchrec_tpu.modules import EmbeddingBagConfig
+    from torchrec_tpu.planner import (
+        EmbeddingOffloadScaleupProposer,
+        EmbeddingShardingPlanner,
+        ParameterConstraints,
+        Topology,
+    )
+    from torchrec_tpu.types import ComputeKernel, ShardingType
+
+    # 400M rows x 128 fp32 = 205 GB >> 8 x 16 GiB HBM: must offload
+    huge = EmbeddingBagConfig(
+        name="huge", num_embeddings=400_000_000, embedding_dim=128,
+        feature_names=["fh"],
+    )
+    topo = Topology(world_size=8, generation="v5e")
+    constraints = {
+        "huge": ParameterConstraints(
+            sharding_types=[ShardingType.ROW_WISE],
+            compute_kernels=[ComputeKernel.FUSED_HOST_OFFLOAD],
+            cache_load_factor=0.05,
+        )
+    }
+    planner = EmbeddingShardingPlanner(
+        topo,
+        constraints=constraints,
+        proposers=[EmbeddingOffloadScaleupProposer()],
+    )
+    plan = planner.plan([huge])
+    ps = plan["huge"]
+    assert ps.compute_kernel == ComputeKernel.FUSED_HOST_OFFLOAD
+    assert ps.sharding_type == ShardingType.ROW_WISE
+    # the scaled-up cache proposals rate better (fewer DDR misses), so the
+    # winner must carry a scaled factor > the base 0.05
+    best = planner.last_plan_options[0]
+    assert best.cache_load_factor is not None and best.cache_load_factor > 0.05

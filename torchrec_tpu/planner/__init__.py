@@ -6,6 +6,7 @@ from torchrec_tpu.planner.partitioners import (
 from torchrec_tpu.planner.perf_models import NoopPerfModel, NoopStorageModel
 from torchrec_tpu.planner.planners import EmbeddingShardingPlanner, plan_hash
 from torchrec_tpu.planner.proposers import (
+    EmbeddingOffloadScaleupProposer,
     DynamicProgrammingProposer,
     GreedyProposer,
     GridSearchProposer,
@@ -31,6 +32,7 @@ from torchrec_tpu.planner.types import (
 )
 
 __all__ = [
+    "EmbeddingOffloadScaleupProposer",
     "EmbeddingEnumerator",
     "GreedyPerfPartitioner",
     "MemoryBalancedPartitioner",

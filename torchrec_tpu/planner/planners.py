@@ -114,13 +114,24 @@ class EmbeddingShardingPlanner:
                 if time.monotonic() > deadline:
                     break
                 key = tuple(
-                    (o.name, o.sharding_type.value, o.compute_kernel.value)
+                    (
+                        o.name,
+                        o.sharding_type.value,
+                        o.compute_kernel.value,
+                        o.cache_load_factor,
+                    )
                     for o in sorted(proposal, key=lambda o: o.name)
                 )
                 if key in cache:
                     continue
                 cache.add(key)
                 self.num_proposals += 1
+                # proposers may mutate option parameters (e.g. cache scale);
+                # re-estimate anything they marked dirty
+                for o in proposal:
+                    if any(sh.perf is None for sh in o.shards):
+                        self._perf_estimator.estimate(o)
+                        self._storage_estimator.estimate(o)
                 try:
                     placed = self._partitioner.partition(
                         proposal, self._topology, hbm_reserve=reserve

@@ -149,3 +149,40 @@ class DynamicProgrammingProposer:
                 continue
             seen.add(key)
             yield list(choices)
+
+
+class EmbeddingOffloadScaleupProposer:
+    """Scale host-offloaded tables' HBM caches into leftover device memory
+    (reference proposers.py:471 EmbeddingOffloadScaleupProposer, driven by
+    EmbeddingOffloadStats cacheability).
+
+    Takes the greedy base proposal; for every option with the
+    FUSED_HOST_OFFLOAD kernel, yields variants with progressively larger
+    cache load factors — the partitioner rejects the ones that no longer
+    fit and the perf model picks the best survivor (bigger caches = fewer
+    host fetches = better perf estimate)."""
+
+    def __init__(self, scales=(None, 0.4, 0.6, 0.8)):
+        self._scales = scales
+        self._base = GreedyProposer(max_proposals=1)
+
+    def propose(self, options: Sequence[ShardingOption]):
+        for base in self._base.propose(options):
+            offloaded = [
+                i for i, o in enumerate(base)
+                if o.compute_kernel.value == "fused_host_offload"
+            ]
+            if not offloaded:
+                yield base
+                return
+            for scale in self._scales:
+                prop = [o.clone() for o in base]
+                if scale is not None:
+                    for i in offloaded:
+                        prop[i].cache_load_factor = scale
+                        for sh in prop[i].shards:
+                            # mark dirty: the planner re-estimates options
+                            # whose shards lost their cost annotations
+                            sh.perf = None
+                            sh.storage = None
+                yield prop

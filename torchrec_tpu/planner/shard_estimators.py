@@ -70,7 +70,7 @@ class EmbeddingPerfEstimator:
         ddr_penalty = 0.0
         if o.compute_kernel == ComputeKernel.FUSED_HOST_OFFLOAD:
             # cache_load_factor fraction resident in HBM; misses stream DDR
-            clf = 0.2
+            clf = o.cache_load_factor or 0.2
             ddr_penalty = (fwd_bytes + bwd_bytes) * (1 - clf) * (
                 1.0 / t.ddr_bw - 1.0 / hbm_bw
             )
@@ -139,9 +139,10 @@ class EmbeddingStorageEstimator:
             )
             total = table_bytes + opt_bytes + act_bytes
             if option.compute_kernel == ComputeKernel.FUSED_HOST_OFFLOAD:
-                clf = 0.2
+                clf = option.cache_load_factor or 0.2
                 s.storage = Storage(
-                    hbm=int(total * clf) + act_bytes, ddr=table_bytes
+                    hbm=int((table_bytes + opt_bytes) * clf) + act_bytes,
+                    ddr=table_bytes,
                 )
             elif option.compute_kernel == ComputeKernel.KEY_VALUE:
                 s.storage = Storage(hbm=act_bytes, ddr=table_bytes + opt_bytes)

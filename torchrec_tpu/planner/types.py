@@ -128,6 +128,10 @@ class ShardingOption:
     shards: List[PlannerShard]
     pooling_factor: float = constants.POOLING_FACTOR
     is_weighted: bool = False
+    # HBM cache fraction for FUSED_HOST_OFFLOAD / KEY_VALUE kernels
+    # (reference CacheParams.load_factor); scaled by the offload-scaleup
+    # proposer to use leftover HBM
+    cache_load_factor: Optional[float] = None
 
     @property
     def name(self) -> str:
@@ -157,6 +161,7 @@ class ShardingOption:
             shards=[dataclasses.replace(s) for s in self.shards],
             pooling_factor=self.pooling_factor,
             is_weighted=self.is_weighted,
+            cache_load_factor=self.cache_load_factor,
         )
 
 
