@@ -232,3 +232,121 @@ def test_tower_sharding_plan_colocates_tables():
     # the three towers spread over different ranks (load balancing)
     ranks = {plan[f"t{i}_0"].shards[0].rank for i in range(3)}
     assert len(ranks) == 3
+
+
+# ----------------------------------------------------- sharded tower colln
+class _TestShardedTowers:
+    """Shared fixture builder for sharded-tower tests."""
+
+    @staticmethod
+    def build(n_towers=3, dims=(16, 8, 16), outs=(4, 2, 3)):
+        towers = []
+        for i in range(n_towers):
+            def i_init(key, out=outs[i], d=dims[i]):
+                return {"w": jax.random.normal(key, (2 * d, out)) * 0.3,
+                        "b": jnp.zeros((out,))}
+
+            def i_apply(p, x):
+                return jax.nn.relu(x @ p["w"]) + p["b"]
+
+            tables = [
+                EmbeddingBagConfig(
+                    name=f"st{i}_{j}", num_embeddings=20 + 10 * i,
+                    embedding_dim=dims[i], feature_names=[f"sf{i}_{j}"])
+                for j in range(2)
+            ]
+            towers.append(EmbeddingTower(
+                EmbeddingBagCollection(tables), i_init, i_apply))
+        return towers
+
+
+def test_sharded_tower_collection_matches_unsharded():
+    """Sharded forward == EmbeddingTowerCollection oracle; params
+    round-trip through shard/unshard (reference
+    embedding_tower_sharding.py ShardedEmbeddingTowerCollection)."""
+    from torchrec_tpu.distributed import (
+        ShardedEmbeddingTowerCollection,
+        ShardingEnv,
+    )
+
+    towers = _TestShardedTowers.build()
+    etc = EmbeddingTowerCollection(towers)
+    params = etc.init(jax.random.key(0))
+
+    env = ShardingEnv.from_devices(jax.devices()[:4])
+    setc = ShardedEmbeddingTowerCollection(towers, env)
+    sparams = setc.shard_params(params)
+
+    keys = [f"sf{i}_{j}" for i in range(3) for j in range(2)]
+    lens = np.random.RandomState(0).randint(0, 3, size=(6, 8)).astype(np.int32)
+    n = int(lens.sum())
+    vals = np.random.RandomState(1).randint(0, 20, size=n).astype(np.int32)
+    kjt = make_kjt(lens, vals, keys)
+
+    want = np.asarray(etc.apply(params, kjt))
+    got = np.asarray(setc.apply(sparams, kjt))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # round-trip: unshard must reproduce the original param dict
+    back = setc.unshard_params(sparams)
+    assert set(back) == set(params)
+    for k in params:
+        np.testing.assert_allclose(np.asarray(back[k]),
+                                   np.asarray(params[k]), rtol=1e-6)
+
+    # towers spread over ranks (placement actually distributes)
+    assert len(set(setc._owner)) == 3
+
+
+def test_sharded_tower_collection_grads_match():
+    """jax.grad straight through the shard_mapped tower forward equals the
+    unsharded oracle's grads (interaction params stay replicated-in-sync)."""
+    from jax import shard_map
+
+    from torchrec_tpu.distributed import (
+        ShardedEmbeddingTowerCollection,
+        ShardingEnv,
+    )
+
+    towers = _TestShardedTowers.build()
+    etc = EmbeddingTowerCollection(towers)
+    params = etc.init(jax.random.key(2))
+    env = ShardingEnv.from_devices(jax.devices()[:4])
+    setc = ShardedEmbeddingTowerCollection(towers, env)
+    sparams = setc.shard_params(params)
+
+    keys = [f"sf{i}_{j}" for i in range(3) for j in range(2)]
+    lens = np.random.RandomState(3).randint(0, 3, size=(6, 8)).astype(np.int32)
+    n = int(lens.sum())
+    vals = np.random.RandomState(4).randint(0, 20, size=n).astype(np.int32)
+    kjt = make_kjt(lens, vals, keys)
+
+    def sharded_loss(p, k):
+        out = setc.apply(p, k)  # [B, sum_out] batch-sharded
+        return jnp.sum(out * out)
+
+    def oracle_loss(p, k):
+        out = etc.apply(p, k)
+        return jnp.sum(out * out)
+
+    g_sharded = jax.grad(sharded_loss)(sparams, kjt)
+    g_oracle = jax.grad(oracle_loss)(params, kjt)
+
+    # interaction grads compare directly (replicated layout)
+    for k in g_oracle:
+        if ".interaction." in k:
+            np.testing.assert_allclose(
+                np.asarray(g_sharded[k]), np.asarray(g_oracle[k]),
+                rtol=1e-4, atol=1e-5)
+    # embedding grads: map the blob cotangents back to per-table layout
+    emb_g = {k: v for k, v in g_sharded.items() if not k.startswith("tower_")}
+    tables_g = setc._sebc.unshard_params(emb_g)
+    for i, tower in enumerate(towers):
+        for t in tower.embedding._tables:
+            want = np.asarray(tower.embedding.table_slice(
+                {k[len(f"tower_{i}.embedding."):]: v
+                 for k, v in g_oracle.items()
+                 if k.startswith(f"tower_{i}.embedding.")}, t.name))
+            np.testing.assert_allclose(
+                tables_g[t.name], want, rtol=1e-4, atol=1e-5,
+                err_msg=t.name)

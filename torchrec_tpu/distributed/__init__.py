@@ -1,4 +1,7 @@
 from torchrec_tpu.distributed.embedding import ShardedEmbeddingCollection
+from torchrec_tpu.distributed.embedding_tower_sharding import (
+    ShardedEmbeddingTowerCollection,
+)
 from torchrec_tpu.distributed.embeddingbag import ShardedEmbeddingBagCollection
 from torchrec_tpu.distributed.sharding_plan import (
     column_wise,
@@ -24,6 +27,7 @@ __all__ = [
     "CommType",
     "QCommsConfig",
     "ShardedEmbeddingBagCollection",
+    "ShardedEmbeddingTowerCollection",
     "ShardedEmbeddingCollection",
     "column_wise",
     "construct_module_sharding_plan",

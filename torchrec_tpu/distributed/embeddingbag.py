@@ -284,6 +284,43 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
                 off += dp_dims[key]
         return out
 
+    def pooled_local_partial(
+        self, params: Params, kjt: KeyedJaggedTensor
+    ) -> jnp.ndarray:
+        """Local partial pooled sums ``[B, total_dim]`` (inside shard_map)
+        with NO output dist: complete rows for locally-owned (TW) tables,
+        zeros elsewhere. Building block for tower sharding — the tower's
+        interaction runs colocated with its lookups and only the (small)
+        interaction outputs hit the wire (reference
+        embedding_tower_sharding.py contract)."""
+        if self._dp_ebc is not None:
+            raise NotImplementedError(
+                "pooled_local_partial requires a plan without DATA_PARALLEL"
+            )
+        d = jax.lax.axis_index(self._env.shard_axis)
+        kjt, b, f, seg, slot_feature, slot_batch = self._slot_arrays(kjt)
+        values = kjt.values()
+        weights = kjt.weights() if self._ebc.is_weighted() else None
+        lengths = kjt.lengths()
+        out = jnp.zeros((b, self._total_dim), jnp.float32)
+        for c in self._classes:
+            blob = params[c.key]
+            blob = blob.reshape(blob.shape[-2], blob.shape[-1])
+            pooled = self._class_pooled_local(
+                c, blob, values, weights, slot_feature, slot_batch, b, d
+            ).reshape(c.num_vf, b, c.width)
+            scale = self._mean_scale(c, lengths, b)
+            if scale is not None:
+                # 1/len is linear in the partial sums — safe pre-reduction
+                pooled = pooled * scale[:, :, None]
+            pooled = jnp.transpose(pooled, (1, 0, 2))
+            for i, fi in enumerate(c.vf_feature):
+                col = int(self._feature_col_off[fi]) + c.vf_col_start[i]
+                out = jax.lax.dynamic_update_slice(
+                    out, pooled[:, i, :], (0, col)
+                )
+        return out
+
     def sparse_grads_local(
         self, kjt: KeyedJaggedTensor, out_grad: jnp.ndarray
     ) -> Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]:
