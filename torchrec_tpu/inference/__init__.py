@@ -8,4 +8,15 @@ __all__ = [
     "QuantPredictor",
     "quantize_inference_model",
     "shard_quant_model",
+    "PredictorServer",
+    "PredictorClient",
 ]
+
+
+def __getattr__(name):
+    # grpc transport imports lazily: it shells out to protoc on first use.
+    if name in ("PredictorServer", "PredictorClient"):
+        from torchrec_tpu.inference import grpc_server
+
+        return getattr(grpc_server, name)
+    raise AttributeError(name)
