@@ -305,3 +305,70 @@ def test_offload_scaleup_proposer_grows_caches_into_free_hbm():
     # winner must carry a scaled factor > the base 0.05
     best = planner.last_plan_options[0]
     assert best.cache_load_factor is not None and best.cache_load_factor > 0.05
+
+
+def test_kernel_enum_parity_pricing():
+    """Every reference compute kernel has a member with TPU-meaningful
+    perf/storage pricing (reference embedding_types.py:87-108)."""
+    from torchrec_tpu.modules import EmbeddingBagConfig
+    from torchrec_tpu.planner import (
+        EmbeddingEnumerator,
+        EmbeddingPerfEstimator,
+        EmbeddingStorageEstimator,
+        ParameterConstraints,
+        Topology,
+    )
+    from torchrec_tpu.types import ComputeKernel, ShardingType
+
+    table = EmbeddingBagConfig(
+        name="t", num_embeddings=10_000_000, embedding_dim=128,
+        feature_names=["f"],
+    )
+    topo = Topology(world_size=8, generation="v5e")
+    perf_est = EmbeddingPerfEstimator(topo)
+    stor_est = EmbeddingStorageEstimator(topo)
+
+    def priced(kernel, clf=None):
+        enum = EmbeddingEnumerator(topo, constraints={
+            "t": ParameterConstraints(
+                sharding_types=[ShardingType.TABLE_WISE],
+                compute_kernels=[kernel],
+                cache_load_factor=clf,
+            )
+        })
+        (o,) = enum.enumerate([table])
+        perf_est.estimate(o)
+        stor_est.estimate(o)
+        return o
+
+    CK = ComputeKernel
+    fused = priced(CK.FUSED)
+    host = priced(CK.FUSED_HOST)
+    offload = priced(CK.FUSED_HOST_OFFLOAD, clf=0.3)
+    ssd = priced(CK.SSD_VIRTUAL_TABLE, clf=0.3)
+    dram_ssd = priced(CK.DRAM_SSD_VIRTUAL_TABLE, clf=0.3)
+    quant = priced(CK.QUANT)
+    quant_off = priced(CK.QUANT_HOST_OFFLOAD, clf=0.3)
+
+    def total(o):
+        return sum(s.perf.total for s in o.shards)
+
+    # slower tiers must price strictly slower
+    assert total(fused) < total(offload) < total(host)
+    assert total(offload) < total(dram_ssd) < total(ssd)
+    # inference kernels have no backward cost
+    assert all(s.perf.bwd_compute == 0 and s.perf.bwd_comms == 0
+               for s in quant.shards)
+    assert total(quant) < total(fused)
+    # storage tiers land where the kernel puts the table
+    (sf,), (sh,), (so,), (ss,), (sq,) = (
+        fused.shards, host.shards, offload.shards, ssd.shards,
+        quant_off.shards,
+    )
+    assert sf.storage.ddr == 0 and sf.storage.ssd == 0
+    assert sh.storage.ddr > 0 and sh.storage.hbm < sf.storage.hbm
+    assert 0 < so.storage.hbm < sf.storage.hbm and so.storage.ddr > 0
+    assert ss.storage.ssd > 0 and ss.storage.ddr == 0
+    assert sq.storage.ddr > 0  # quantized table bytes in host RAM
+    # quant table bytes shrink with the quant dtype in HBM-resident form
+    assert priced(CK.QUANT).shards[0].storage.hbm <= sf.storage.hbm

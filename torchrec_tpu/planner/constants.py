@@ -25,6 +25,10 @@ DCN_BW = 25e9  # bytes/s per host
 # host DRAM tier (UVM analog: pinned_host offload)
 DDR_MEM_BW = 100e9
 DDR_CAP = 512 * GiB
+# local NVMe tier behind SSD virtual-table kernels (reference models SSD
+# TBE the same way: a slow backing store behind a DRAM/HBM cache)
+SSD_BW = 2e9
+SSD_CAP = 4096 * GiB
 
 # backward touches the row twice (grad scatter + optimizer state): the
 # reference models bwd as 2x fwd compute (constants.py:26)

@@ -72,9 +72,7 @@ class EmbeddingEnumerator:
                             pooling_factor=c.pooling_factor(),
                             is_weighted=c.is_weighted,
                             cache_load_factor=(
-                                c.cache_load_factor
-                                if k == ComputeKernel.FUSED_HOST_OFFLOAD
-                                else None
+                                c.cache_load_factor if k.uses_cache() else None
                             ),
                         )
                     )

@@ -67,18 +67,39 @@ class EmbeddingPerfEstimator:
         bwd_bytes = fwd_bytes * constants.BACKWARD_COMPUTE_MULTIPLIER
 
         hbm_bw = t.hbm_bw
-        ddr_penalty = 0.0
-        if o.compute_kernel == ComputeKernel.FUSED_HOST_OFFLOAD:
-            # cache_load_factor fraction resident in HBM; misses stream DDR
-            clf = o.cache_load_factor or 0.2
-            ddr_penalty = (fwd_bytes + bwd_bytes) * (1 - clf) * (
-                1.0 / t.ddr_bw - 1.0 / hbm_bw
+        ck = o.compute_kernel
+        is_quant = ck.is_quant()
+        if is_quant:
+            bwd_bytes = 0.0  # inference kernels: no backward
+        # slow-tier miss traffic (reference kernel_bw_lookup analog):
+        # resident fraction (cache_load_factor) is served at HBM speed;
+        # misses stream the backing tier.
+        slow_penalty = 0.0
+        touched = fwd_bytes + bwd_bytes
+        if ck.is_host_resident() or ck.is_ssd_backed():
+            clf = (o.cache_load_factor or 0.2) if ck.uses_cache() else 0.0
+            slow_bw = (
+                t.ssd_bw
+                if ck == ComputeKernel.SSD_VIRTUAL_TABLE
+                else t.ddr_bw
             )
+            slow_penalty = touched * (1 - clf) * (1.0 / slow_bw - 1.0 / hbm_bw)
+            if ck == ComputeKernel.DRAM_SSD_VIRTUAL_TABLE:
+                # misses past the DRAM tier hit NVMe
+                slow_penalty += (
+                    touched * (1 - clf) ** 2 * (1.0 / t.ssd_bw - 1.0 / t.ddr_bw)
+                )
 
         fwd_compute = fwd_bytes / hbm_bw + constants.KERNEL_OVERHEAD_S
-        bwd_compute = (
-            bwd_bytes / hbm_bw + constants.KERNEL_OVERHEAD_S + ddr_penalty
+        bwd_compute = 0.0 if is_quant else (
+            bwd_bytes / hbm_bw + constants.KERNEL_OVERHEAD_S
         )
+        # lump miss traffic into the backward term (training) or the
+        # forward term (inference kernels, which have no backward)
+        if is_quant:
+            fwd_compute += slow_penalty
+        else:
+            bwd_compute += slow_penalty
 
         # comms: pooled output rows this shard produces must reach the batch
         # owners; grads come back the same way
@@ -104,6 +125,8 @@ class EmbeddingPerfEstimator:
         input_dist = ids_here * 4 * (w - 1) / (w * t.ici_bw)
         if st == ShardingType.DATA_PARALLEL:
             input_dist = 0.0
+        if is_quant:
+            bwd_comms = 0.0
 
         return Perf(
             fwd_compute=fwd_compute,
@@ -126,25 +149,46 @@ class EmbeddingStorageEstimator:
         self._optimizer = optimizer
 
     def estimate(self, option: ShardingOption) -> None:
-        opt_mult = constants.OPTIMIZER_STATE_MULTIPLIER.get(
-            self._optimizer, 1.0
+        ck = option.compute_kernel
+        opt_mult = (
+            0.0
+            if ck.is_quant()
+            else constants.OPTIMIZER_STATE_MULTIPLIER.get(self._optimizer, 1.0)
         )
         elem = option.table.data_type.bytes_per_element
         for s in option.shards:
             table_bytes = int(s.row_count * s.col_count * elem)
             opt_bytes = int(s.row_count * s.col_count * 4 * opt_mult)
-            # activations: pooled output + gathered grad rows
+            # activations: pooled output (+ gathered grad rows when training)
             act_bytes = int(
-                self._batch * s.col_count * 4 * option.table.num_features() * 2
+                self._batch * s.col_count * 4 * option.table.num_features()
+                * (1 if ck.is_quant() else 2)
             )
-            total = table_bytes + opt_bytes + act_bytes
-            if option.compute_kernel == ComputeKernel.FUSED_HOST_OFFLOAD:
-                clf = option.cache_load_factor or 0.2
+            resident = table_bytes + opt_bytes
+            clf = (option.cache_load_factor or 0.2) if ck.uses_cache() else 0.0
+            if ck in (ComputeKernel.FUSED_HOST_OFFLOAD,
+                      ComputeKernel.QUANT_HOST_OFFLOAD):
                 s.storage = Storage(
-                    hbm=int((table_bytes + opt_bytes) * clf) + act_bytes,
-                    ddr=table_bytes,
+                    hbm=int(resident * clf) + act_bytes, ddr=table_bytes
                 )
-            elif option.compute_kernel == ComputeKernel.KEY_VALUE:
-                s.storage = Storage(hbm=act_bytes, ddr=table_bytes + opt_bytes)
+            elif ck in (ComputeKernel.FUSED_HOST, ComputeKernel.QUANT_HOST):
+                s.storage = Storage(hbm=act_bytes, ddr=resident)
+            elif ck in (ComputeKernel.KEY_VALUE,
+                        ComputeKernel.DRAM_VIRTUAL_TABLE):
+                # bounded HBM row cache (kv_embedding cache_rows ~ clf)
+                s.storage = Storage(
+                    hbm=int(resident * clf) + act_bytes, ddr=resident
+                )
+            elif ck == ComputeKernel.SSD_VIRTUAL_TABLE:
+                s.storage = Storage(
+                    hbm=int(resident * clf) + act_bytes, ddr=0, ssd=resident
+                )
+            elif ck == ComputeKernel.DRAM_SSD_VIRTUAL_TABLE:
+                # DRAM mid-tier cache over NVMe, HBM cache on top
+                s.storage = Storage(
+                    hbm=int(resident * clf) + act_bytes,
+                    ddr=int(resident * min(1.0, clf * 4)),
+                    ssd=resident,
+                )
             else:
-                s.storage = Storage(hbm=total, ddr=0)
+                s.storage = Storage(hbm=resident + act_bytes, ddr=0)

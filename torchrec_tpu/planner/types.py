@@ -50,6 +50,8 @@ class Topology:
         self.vmem = gen["vmem"]
         self.dcn_bw = constants.DCN_BW
         self.ddr_bw = constants.DDR_MEM_BW
+        self.ssd_bw = constants.SSD_BW
+        self.ssd_cap = constants.SSD_CAP
         if self.local_world_size is None:
             self.local_world_size = self.world_size
 
@@ -97,11 +99,16 @@ class Storage:
 
     hbm: int = 0
     ddr: int = 0
+    ssd: int = 0  # NVMe tier behind *_SSD_* virtual-table kernels
 
     def __add__(self, other: "Storage") -> "Storage":
-        return Storage(self.hbm + other.hbm, self.ddr + other.ddr)
+        return Storage(
+            self.hbm + other.hbm, self.ddr + other.ddr, self.ssd + other.ssd
+        )
 
     def fits(self, cap: "Storage") -> bool:
+        # ssd is treated as elastic (multi-TB local NVMe); partitioners
+        # bound only the hbm/ddr tiers, matching the reference partitioner.
         return self.hbm <= cap.hbm and self.ddr <= cap.ddr
 
 

@@ -90,14 +90,69 @@ class ComputeKernel(enum.Enum):
       - DENSE: gradients materialized (for DATA_PARALLEL tables).
       - FUSED: Pallas/XLA table-batched lookup with sparse in-backward
         optimizer update (FBGEMM TBE's role).
-      - FUSED_HOST_OFFLOAD: table lives in host RAM (``pinned_host`` memory
-        kind), rows staged to HBM on demand (UVM-caching analog).
-      - QUANT: int8/fp8 inference lookup with dequant-in-kernel.
-      - KEY_VALUE: host-side KV store backing (SSD analog).
+      - FUSED_HOST: table fully host-resident (``pinned_host`` memory
+        kind); every lookup streams over PCIe (FUSED_UVM analog).
+      - FUSED_HOST_OFFLOAD: host-resident table with an HBM row cache,
+        rows staged on demand (FUSED_UVM_CACHING analog).
+      - QUANT / QUANT_HOST / QUANT_HOST_OFFLOAD: int8/fp8 inference lookup
+        with dequant-in-kernel, device- / host- / cached-host-resident
+        (QUANT / QUANT_UVM / QUANT_UVM_CACHING analogs).
+      - KEY_VALUE: host KV store backing a fully materialized table
+        (SSD TBE analog; torchrec_tpu.modules.kv_embedding).
+      - DRAM_VIRTUAL_TABLE / SSD_VIRTUAL_TABLE / DRAM_SSD_VIRTUAL_TABLE:
+        KV-backed *virtual* (unbounded-id) tables — the C++ IDTransformer +
+        parameter-server tier (torchrec_tpu.dynamic_embedding) with the
+        named storage behind it.
+      - CUSTOMIZED_KERNEL: user-registered lookup implementation hook.
+    FUSED_TRITON has no member: it is the reference's GPU-only Triton
+    fallback for FUSED; on TPU the XLA/Pallas path IS the only backend.
     """
 
     DENSE = "dense"
     FUSED = "fused"
+    FUSED_HOST = "fused_host"
     FUSED_HOST_OFFLOAD = "fused_host_offload"
     QUANT = "quant"
+    QUANT_HOST = "quant_host"
+    QUANT_HOST_OFFLOAD = "quant_host_offload"
     KEY_VALUE = "key_value"
+    DRAM_VIRTUAL_TABLE = "dram_virtual_table"
+    SSD_VIRTUAL_TABLE = "ssd_virtual_table"
+    DRAM_SSD_VIRTUAL_TABLE = "dram_ssd_virtual_table"
+    CUSTOMIZED_KERNEL = "customized_kernel"
+
+    def is_quant(self) -> bool:
+        return self in (
+            ComputeKernel.QUANT,
+            ComputeKernel.QUANT_HOST,
+            ComputeKernel.QUANT_HOST_OFFLOAD,
+        )
+
+    def is_host_resident(self) -> bool:
+        """Table bytes live in host RAM (PCIe on the lookup path)."""
+        return self in (
+            ComputeKernel.FUSED_HOST,
+            ComputeKernel.FUSED_HOST_OFFLOAD,
+            ComputeKernel.QUANT_HOST,
+            ComputeKernel.QUANT_HOST_OFFLOAD,
+            ComputeKernel.KEY_VALUE,
+            ComputeKernel.DRAM_VIRTUAL_TABLE,
+        )
+
+    def is_ssd_backed(self) -> bool:
+        return self in (
+            ComputeKernel.SSD_VIRTUAL_TABLE,
+            ComputeKernel.DRAM_SSD_VIRTUAL_TABLE,
+        )
+
+    def uses_cache(self) -> bool:
+        """A bounded fast-tier row cache fronts the table (cache_load_factor
+        applies); reference analog: UVM_CACHING / SSD kernels."""
+        return self in (
+            ComputeKernel.FUSED_HOST_OFFLOAD,
+            ComputeKernel.QUANT_HOST_OFFLOAD,
+            ComputeKernel.KEY_VALUE,
+            ComputeKernel.DRAM_VIRTUAL_TABLE,
+            ComputeKernel.SSD_VIRTUAL_TABLE,
+            ComputeKernel.DRAM_SSD_VIRTUAL_TABLE,
+        )
