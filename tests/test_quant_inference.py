@@ -15,7 +15,7 @@ from torchrec_tpu.quant import (
     dequantize_table,
     quantize_table,
 )
-from torchrec_tpu.types import DataType
+from torchrec_tpu.types import DataType, PoolingType
 from tests.test_dlrm import make_data, make_model
 from tests.test_embedding_modules import ebc_fixture
 
@@ -91,3 +91,95 @@ class TestInferenceFlow:
         out = serve(batch.dense_features, batch.sparse_features)
         ref = pred.jitted()(batch.dense_features, batch.sparse_features)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4)
+
+
+class TestShardedQuantTableWise:
+    """Distinct TW all-to-one serving layout (reference
+    quant_embeddingbag.py:171 + EmbeddingsAllToOne)."""
+
+    def _mesh(self):
+        return jax.sharding.Mesh(np.array(jax.devices()[:8]), ("serve",))
+
+    @pytest.mark.parametrize("dt", [DataType.INT8, DataType.INT4, DataType.FP8])
+    def test_matches_unsharded(self, dt):
+        from torchrec_tpu.inference.sharded_quant import (
+            ShardedQuantEmbeddingBagCollection,
+        )
+        from torchrec_tpu.quant import QuantEmbeddingBagCollection
+
+        ebc, params, nk, kjt, _ = ebc_fixture()
+        qebc = QuantEmbeddingBagCollection(ebc, dt)
+        qp = qebc.quantize_from(params)
+        ref = qebc.apply(qp, kjt)
+
+        sq = ShardedQuantEmbeddingBagCollection(qebc, self._mesh())
+        sqp = sq.shard_qparams(qp)
+        out = sq.apply(sqp, kjt)
+        assert out.keys() == ref.keys()
+        np.testing.assert_allclose(
+            np.asarray(out.values()), np.asarray(ref.values()),
+            rtol=1e-5, atol=1e-5,
+        )
+
+    def test_params_physically_sharded(self):
+        from torchrec_tpu.inference.sharded_quant import (
+            ShardedQuantEmbeddingBagCollection,
+        )
+        from torchrec_tpu.quant import QuantEmbeddingBagCollection
+
+        ebc, params, nk, kjt, _ = ebc_fixture()
+        qebc = QuantEmbeddingBagCollection(ebc, DataType.INT8)
+        sq = ShardedQuantEmbeddingBagCollection(qebc, self._mesh())
+        sqp = sq.shard_qparams(qebc.quantize_from(params))
+        for cls_params in sqp.values():
+            for v in cls_params.values():
+                # leading (device) axis sharded: each chip holds 1/W rows
+                shard_shapes = {
+                    s.data.shape for s in v.addressable_shards
+                }
+                assert all(sh[0] == 1 for sh in shard_shapes), shard_shapes
+        # every table must be placed on exactly one device
+        assert set(sq.placement) == {"t0", "t1", "t2"}
+
+    @pytest.mark.parametrize("pooling", [PoolingType.MEAN])
+    def test_mean_and_weighted(self, pooling):
+        from torchrec_tpu.inference.sharded_quant import (
+            ShardedQuantEmbeddingBagCollection,
+        )
+        from torchrec_tpu.quant import QuantEmbeddingBagCollection
+
+        for weighted in (False, True):
+            ebc, params, nk, kjt, _ = ebc_fixture(
+                pooling=PoolingType.SUM if weighted else pooling,
+                weighted=weighted,
+            )
+            qebc = QuantEmbeddingBagCollection(ebc, DataType.INT8)
+            qp = qebc.quantize_from(params)
+            ref = qebc.apply(qp, kjt)
+            sq = ShardedQuantEmbeddingBagCollection(qebc, self._mesh())
+            out = sq.apply(sq.shard_qparams(qp), kjt)
+            np.testing.assert_allclose(
+                np.asarray(out.values()), np.asarray(ref.values()),
+                rtol=1e-5, atol=1e-5,
+            )
+
+    def test_explicit_placement_respected(self):
+        from torchrec_tpu.inference.sharded_quant import (
+            ShardedQuantEmbeddingBagCollection,
+        )
+        from torchrec_tpu.quant import QuantEmbeddingBagCollection
+
+        ebc, params, nk, kjt, _ = ebc_fixture()
+        qebc = QuantEmbeddingBagCollection(ebc, DataType.INT8)
+        qp = qebc.quantize_from(params)
+        ref = qebc.apply(qp, kjt)
+        place = {"t0": 3, "t1": 3, "t2": 5}
+        sq = ShardedQuantEmbeddingBagCollection(
+            qebc, self._mesh(), placement=place
+        )
+        assert sq.placement == place
+        out = sq.apply(sq.shard_qparams(qp), kjt)
+        np.testing.assert_allclose(
+            np.asarray(out.values()), np.asarray(ref.values()),
+            rtol=1e-5, atol=1e-5,
+        )

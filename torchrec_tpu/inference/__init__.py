@@ -3,11 +3,15 @@ from torchrec_tpu.inference.modules import (
     quantize_inference_model,
     shard_quant_model,
 )
+from torchrec_tpu.inference.sharded_quant import (
+    ShardedQuantEmbeddingBagCollection,
+)
 
 __all__ = [
     "QuantPredictor",
     "quantize_inference_model",
     "shard_quant_model",
+    "ShardedQuantEmbeddingBagCollection",
     "PredictorServer",
     "PredictorClient",
 ]

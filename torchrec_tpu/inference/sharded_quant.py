@@ -1,0 +1,266 @@
+"""Table-wise sharded quantized inference — the distinct multi-device
+"one-to-all input / all-to-one output" serving layout.
+
+Capability parity with the reference's single-process multi-device
+inference path (torchrec/distributed/quant_embeddingbag.py:171
+ShardedQuantEmbeddingBagCollection; input via KJTOneToAll
+dist_data.py:1242, output via EmbeddingsAllToOne dist_data.py:1630;
+planned by shard_quant_model with TW defaults, inference/modules.py:490).
+
+TPU-native shape: ONE SPMD program over a 1-axis ``serve`` mesh.
+
+* Placement: whole tables greedy byte-balanced across devices (or a
+  caller-provided table->device map, e.g. from the planner's TW pass).
+* Storage: per (dim, quant-format) class, every device's tables pack into
+  one row-stacked quant blob; the ``[W, rows_pad, D]`` stack is sharded on
+  its leading axis, so each chip physically holds only its tables' bytes
+  (unlike the replicated fast path in inference/modules.py).
+* Input one-to-all: the KJT is replicated (free at trace level — the same
+  host feeds every chip in single-process serving, exactly KJTOneToAll's
+  role).
+* Compute: each device looks up ONLY its local features (placement arrays
+  ``row_off[device, feature]`` indexed with ``lax.axis_index``; non-local
+  slots masked to zero rows) and pools locally.
+* Output all-to-one: a single ``psum`` over ``serve`` materializes the full
+  ``[B, sum(dims)]`` KeyedTensor; fetching any one replica is the
+  EmbeddingsAllToOne hop (use ``out_device`` to pin it).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+
+from torchrec_tpu.quant.embedding_modules import (
+    QuantEmbeddingBagCollection,
+    QuantParams,
+)
+from torchrec_tpu.sparse import KeyedJaggedTensor, KeyedTensor
+from torchrec_tpu.types import PoolingType
+
+__all__ = ["ShardedQuantEmbeddingBagCollection", "balance_tables"]
+
+P = jax.sharding.PartitionSpec
+
+
+def balance_tables(
+    sizes: Dict[str, int], world_size: int
+) -> Dict[str, int]:
+    """Greedy byte-balanced table->device placement (largest first), the
+    TW default shard_quant_model plans (reference inference/modules.py:490)."""
+    load = [0] * world_size
+    out: Dict[str, int] = {}
+    for name in sorted(sizes, key=lambda n: -sizes[n]):
+        d = int(np.argmin(load))
+        out[name] = d
+        load[d] += sizes[name]
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class _QuantClass:
+    """One (dim, quant-format) class of table-wise placed tables."""
+
+    key: str
+    dim: int
+    fmt: str  # "int8" | "int4" | "fp8"
+    feature_ids: Tuple[int, ...]  # global feature ids, class order
+    # [W, F] local blob row offset of each feature's table (-1 = not local)
+    row_off: np.ndarray
+    rows_pad: int  # uniform per-device blob rows (max over devices)
+    # host-side: table -> (device, row offset) for state assembly
+    table_place: Dict[str, Tuple[int, int]]
+
+
+class ShardedQuantEmbeddingBagCollection:
+    """forward(KJT) -> KeyedTensor with physically table-wise quant params.
+
+    ``shard_qparams`` turns single-blob :class:`QuantEmbeddingBagCollection`
+    params into the sharded stacks; ``apply`` runs the SPMD program.
+    """
+
+    def __init__(
+        self,
+        qebc: QuantEmbeddingBagCollection,
+        mesh: jax.sharding.Mesh,
+        axis: str = "serve",
+        placement: Optional[Dict[str, int]] = None,
+    ):
+        self._qebc = qebc
+        self._ebc = qebc.unquantized
+        self._mesh = mesh
+        self._axis = axis
+        w = int(mesh.shape[axis])
+        self._w = w
+        ebc = self._ebc
+        fmt = {"INT8": "int8", "INT4": "int4", "FP8": "fp8"}[
+            qebc.data_type.value
+        ]
+        self._fmt = fmt
+
+        tables = list(ebc.embedding_bag_configs())
+        if placement is None:
+            elem = {"int8": 1.0, "int4": 0.5, "fp8": 1.0}[fmt]
+            placement = balance_tables(
+                {
+                    t.name: int(t.num_embeddings * t.embedding_dim * elem)
+                    for t in tables
+                },
+                w,
+            )
+        self.placement = dict(placement)
+
+        feat_of_table: Dict[str, List[int]] = {}
+        for i, ti in enumerate(ebc._feature_table):
+            feat_of_table.setdefault(ebc._tables[ti].name, []).append(i)
+
+        f = len(ebc.feature_names())
+        classes: Dict[int, List] = {}
+        for t in tables:
+            classes.setdefault(t.embedding_dim, []).append(t)
+        self._classes: List[_QuantClass] = []
+        for dim, cls_tables in sorted(classes.items()):
+            row_off = np.full((w, f), -1, np.int32)
+            cursor = [0] * w
+            place: Dict[str, Tuple[int, int]] = {}
+            feats: List[int] = []
+            for t in cls_tables:
+                d = placement[t.name]
+                place[t.name] = (d, cursor[d])
+                for fi in feat_of_table.get(t.name, []):
+                    row_off[d, fi] = cursor[d]
+                    feats.append(fi)
+                cursor[d] += t.num_embeddings
+            self._classes.append(
+                _QuantClass(
+                    key=f"serve_d{dim}_{fmt}",
+                    dim=dim,
+                    fmt=fmt,
+                    feature_ids=tuple(sorted(feats)),
+                    row_off=row_off,
+                    rows_pad=max(max(cursor), 1),
+                    table_place=place,
+                )
+            )
+
+    # ------------------------------------------------------------ params
+    def shard_qparams(self, qparams: QuantParams) -> Dict[str, Dict[str, jnp.ndarray]]:
+        """Single-blob quant params -> per-class ``[W, rows_pad, ...]``
+        stacks, placed with the leading axis sharded over the serve mesh."""
+        ebc = self._ebc
+        by_table: Dict[str, Dict[str, np.ndarray]] = {}
+        for g in ebc.groups:
+            qt = {k: np.asarray(v) for k, v in qparams[g.key].items()}
+            for name, rows, off in zip(
+                g.table_names, g.table_rows, g.row_offsets
+            ):
+                by_table[name] = {
+                    k: v[off: off + rows] for k, v in qt.items()
+                }
+        out: Dict[str, Dict[str, jnp.ndarray]] = {}
+        sh = jax.sharding.NamedSharding(self._mesh, P(self._axis))
+        for c in self._classes:
+            any_tbl = next(iter(c.table_place))
+            parts = {
+                k: np.zeros((self._w, c.rows_pad) + v.shape[1:], v.dtype)
+                for k, v in by_table[any_tbl].items()
+            }
+            for name, (d, roff) in c.table_place.items():
+                for k, v in by_table[name].items():
+                    parts[k][d, roff: roff + v.shape[0]] = v
+            out[c.key] = {
+                k: jax.device_put(jnp.asarray(v), sh)
+                for k, v in parts.items()
+            }
+        return out
+
+    # ----------------------------------------------------------- forward
+    def _forward_local(self, sharded_qparams, kjt: KeyedJaggedTensor):
+        """Runs INSIDE shard_map: local lookups + psum all-to-one."""
+        ebc = self._ebc
+        kjt, b, f, seg, slot_feature, slot_batch = ebc._prep(kjt)
+        values = kjt.values()
+        weights = kjt.weights() if ebc.is_weighted() else None
+        lengths = kjt.lengths()
+        d = jax.lax.axis_index(self._axis)
+        per_feature: List[Optional[jnp.ndarray]] = [None] * f
+        for c in self._classes:
+            n_cf = len(c.feature_ids)
+            if n_cf == 0:
+                continue
+            # class-local feature index, -1 for other classes' features
+            cf = np.full(f + 1, -1, np.int32)
+            for j, fi in enumerate(c.feature_ids):
+                cf[fi] = j
+            cfeat = jnp.take(jnp.asarray(cf), slot_feature)  # [N]
+            off_f = jnp.take(  # this device's row offsets, [F]
+                jnp.asarray(c.row_off), d, axis=0
+            )
+            local_off = jnp.take(
+                jnp.concatenate([off_f, jnp.array([-1], jnp.int32)]),
+                slot_feature,
+            )
+            valid = (cfeat >= 0) & (local_off >= 0)
+            rows_idx = jnp.where(valid, local_off + values, 0)
+            qt = sharded_qparams[c.key]
+            if c.fmt == "int4":
+                from torchrec_tpu.sparse.tensor_types import unpack_int4
+
+                packed = jnp.take(qt["q4"][0], rows_idx, axis=0, mode="clip")
+                rows = unpack_int4(packed).astype(jnp.float32)
+                s = jnp.take(qt["scale"][0], rows_idx, mode="clip")
+                z = jnp.take(qt["zero"][0], rows_idx, mode="clip")
+                rows = rows * s[:, None] + z[:, None]
+            else:
+                rows = jnp.take(
+                    qt["q"][0], rows_idx, axis=0, mode="clip"
+                ).astype(jnp.float32)
+                if c.fmt == "int8":
+                    s = jnp.take(qt["scale"][0], rows_idx, mode="clip")
+                    z = jnp.take(qt["zero"][0], rows_idx, mode="clip")
+                    rows = rows * s[:, None] + z[:, None]
+            if weights is not None:
+                rows = rows * weights[:, None]
+            rows = jnp.where(valid[:, None], rows, 0.0)
+            seg_c = jnp.where(valid, cfeat * b + slot_batch, n_cf * b)
+            pooled = jax.ops.segment_sum(
+                rows, seg_c, num_segments=n_cf * b + 1
+            )[: n_cf * b].reshape(n_cf, b, c.dim)
+            # all-to-one: every feature's owner contributes its block
+            pooled = jax.lax.psum(pooled, self._axis)
+            for j, fi in enumerate(c.feature_ids):
+                out = pooled[j]
+                if (
+                    ebc._poolings[fi] == PoolingType.MEAN
+                    and not ebc.is_weighted()
+                ):
+                    denom = jnp.maximum(lengths[fi].astype(out.dtype), 1.0)
+                    out = out / denom[:, None]
+                per_feature[fi] = out
+        vals = jnp.concatenate(per_feature, axis=1)
+        return vals
+
+    def apply(
+        self, sharded_qparams, kjt: KeyedJaggedTensor
+    ) -> KeyedTensor:
+        ebc = self._ebc
+        param_specs = jax.tree.map(lambda _: P(self._axis), sharded_qparams)
+        kjt_specs = jax.tree.map(lambda _: P(), kjt)
+        fn = shard_map(
+            self._forward_local,
+            mesh=self._mesh,
+            in_specs=(param_specs, kjt_specs),
+            out_specs=P(),
+            check_vma=False,
+        )
+        vals = fn(sharded_qparams, kjt)
+        return KeyedTensor(
+            keys=ebc.feature_names(),
+            length_per_key=ebc.embedding_dims(),
+            values=vals,
+        )
