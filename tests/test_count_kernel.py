@@ -1,0 +1,152 @@
+"""Sorted count-matmul kernel + the v3 shared-sort EBC path.
+
+Reference analog: the histogram/counts passes of FBGEMM's TBE backward
+(torchrec/distributed/batched_embedding_kernel.py:3725); here they are a
+block-diagonal one-hot MXU matmul over an id-sorted slot stream
+(ops/tbe_pallas.py::sorted_count_matrix) instead of scatters.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchrec_tpu.modules import EmbeddingBagCollection, EmbeddingBagConfig
+from torchrec_tpu.ops import SGD
+from torchrec_tpu.ops.tbe_pallas import sorted_count_matrix
+from torchrec_tpu.sparse import KeyedJaggedTensor
+
+
+@pytest.mark.parametrize(
+    "small,kb,n_small,n_large,weighted",
+    [
+        (1000, 64, 5000, 300, False),
+        (3, 8, 50, 0, False),
+        (700, 128, 4000, 100, True),
+        (512, 64, 0, 100, False),  # no small slots
+        (5000, 64, 2000, 0, False),
+        (19454, 64, 8600, 2048, False),  # many row blocks
+    ],
+)
+def test_kernel_matches_oracle(small, kb, n_small, n_large, weighted):
+    rng = np.random.default_rng(small + n_small)
+    ids_small = rng.integers(0, small, size=n_small)
+    ids = np.concatenate(
+        [ids_small, rng.integers(small, small + 10_000, size=n_large)]
+    ).astype(np.int32)
+    cols = rng.integers(0, kb, size=ids.shape[0]).astype(np.int32)
+    # integer weights stay exact through the kernel's bf16 one-hots
+    w = rng.integers(1, 4, size=ids.shape[0]).astype(np.float32) if weighted else None
+    order = np.argsort(ids, kind="stable")
+    C = np.asarray(
+        sorted_count_matrix(
+            jnp.asarray(ids[order]),
+            jnp.asarray(cols[order]),
+            small,
+            kb,
+            jnp.asarray(w[order]) if weighted else None,
+            interpret=True,
+        )
+    )
+    oracle = np.zeros((small, kb), np.float32)
+    for i in range(n_small):
+        oracle[ids[i], cols[i]] += w[i] if weighted else 1.0
+    assert C.shape == (small, kb)
+    np.testing.assert_array_equal(C, oracle)
+
+
+def test_kernel_empty_stream():
+    C = np.asarray(
+        sorted_count_matrix(
+            jnp.zeros((0,), jnp.int32), jnp.zeros((0,), jnp.int32), 100, 16,
+            interpret=True,
+        )
+    )
+    assert C.shape == (100, 16) and np.abs(C).max() == 0.0
+
+
+@pytest.fixture
+def forced_v3():
+    EmbeddingBagCollection._CM_IMPL = "v3"
+    EmbeddingBagCollection._CM_FORCE_V3 = True
+    yield
+    EmbeddingBagCollection._CM_IMPL = "v3"
+    EmbeddingBagCollection._CM_FORCE_V3 = False
+
+
+def _mixed_ebc():
+    rng = np.random.default_rng(3)
+    tables = [
+        EmbeddingBagConfig(
+            name=f"t{i}", num_embeddings=r, embedding_dim=16,
+            feature_names=[f"f{i}"],
+        )
+        for i, r in enumerate([50, 4000, 300_000, 7, 120_000])
+    ]
+    ebc = EmbeddingBagCollection(tables, max_unique_gradient_rows=600)
+    params = ebc.init(jax.random.key(1))
+    B = 8
+    keys = [f"f{i}" for i in range(5)]
+    lengths = rng.integers(0, 6, size=(5 * B,)).astype(np.int32)
+    vals = np.concatenate(
+        [
+            rng.integers(
+                0, tables[i].num_embeddings,
+                size=int(lengths[i * B: (i + 1) * B].sum()),
+            )
+            for i in range(5)
+        ]
+    ).astype(np.int32)
+    kjt = KeyedJaggedTensor.from_lengths(
+        keys, jnp.asarray(vals), jnp.asarray(lengths)
+    )
+    cot = jnp.asarray(rng.normal(size=(B, 5 * 16)).astype(np.float32))
+    return ebc, params, kjt, cot, B, keys
+
+
+def test_v3_matches_v2_forward_and_gradients(forced_v3):
+    ebc, params, kjt, cot, _, _ = _mixed_ebc()
+    opt = SGD(learning_rate=0.1)
+    states = ebc.init_optimizer(params, opt)
+    res = {}
+    for impl, force in [("v2", False), ("v3", True)]:
+        EmbeddingBagCollection._CM_IMPL = impl
+        EmbeddingBagCollection._CM_FORCE_V3 = force
+        out = np.asarray(ebc.apply(params, kjt).values())
+        p2, s2 = ebc.apply_gradients(params, states, opt, kjt, cot)
+        res[impl] = (out, jax.tree.map(np.asarray, (p2, s2)))
+    np.testing.assert_allclose(res["v2"][0], res["v3"][0], atol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
+        res["v2"][1], res["v3"][1],
+    )
+
+
+def test_v3_zero_batch(forced_v3):
+    ebc, params, kjt, cot, B, keys = _mixed_ebc()
+    opt = SGD(learning_rate=0.1)
+    states = ebc.init_optimizer(params, opt)
+    kjt0 = KeyedJaggedTensor.from_lengths(
+        keys, jnp.zeros((0,), jnp.int32), jnp.zeros((5 * B,), jnp.int32)
+    )
+    out0 = np.asarray(ebc.apply(params, kjt0).values())
+    assert np.abs(out0).max() == 0.0
+    p0, _ = ebc.apply_gradients(params, states, opt, kjt0, cot)
+    for k in p0:
+        np.testing.assert_array_equal(np.asarray(p0[k]), np.asarray(params[k]))
+
+
+def test_v3_falls_back_when_unsupported(forced_v3):
+    """Weighted EBCs (bf16 one-hot precision) must silently take v2."""
+    rng = np.random.default_rng(0)
+    tables = [
+        EmbeddingBagConfig(
+            name="t0", num_embeddings=100, embedding_dim=8,
+            feature_names=["f0"],
+        )
+    ]
+    ebc = EmbeddingBagCollection(
+        tables, is_weighted=True, max_unique_gradient_rows=64
+    )
+    assert ebc._cm_impl(0, jnp.ones((4,))) == "v2"
+    assert ebc._cm_impl(0, None) == "v3"  # forced on CPU by the fixture

@@ -40,6 +40,7 @@ from torchrec_tpu.ops.lookup import (
     accumulate_dense,
     dedup_rows,
     dedup_rows_from_pooled,
+    dedup_rows_from_sorted,
     grad_rows,
     pooled_lookup,
     sequence_lookup,
@@ -535,10 +536,65 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
         return acc, touched
 
     # which count-matrix builder to use for the small-table matmul path:
-    # "v2" (row-granular one-hot segment-sum; ~2.5 ns/slot measured) or
-    # "v1" (flat scalar scatter-add; ~9.6 ns/slot). A/B on bench.py showed
-    # v2 worth ~0.05 ms/step at the headline shapes.
-    _CM_IMPL = "v2"
+    #   "v3": shared group-wide sort + Pallas block-diagonal one-hot
+    #         count-matmul (ops/tbe_pallas.py::sorted_count_matrix, ~115 us
+    #         at the DLRM headline shapes vs ~770 us for the v2 scatter);
+    #         requires TPU (or _CM_FORCE_V3 for interpret-mode tests),
+    #         unweighted, one feature per table, and max_unique set —
+    #         otherwise falls back to v2 per group.
+    #   "v2": row-granular one-hot segment-sum (~2.5 ns/slot).
+    #   "v1": flat scalar scatter-add (~9.6 ns/slot).
+    _CM_IMPL = "v3"
+    _CM_FORCE_V3 = False  # tests: run v3 with interpret kernels off-TPU
+
+    def _cm_impl(self, gi: int, weights) -> str:
+        impl = self._CM_IMPL
+        if impl != "v3":
+            return impl
+        if (
+            weights is not None
+            or self._max_feats_per_table != 1
+            or self._max_unique is None
+        ):
+            return "v2"
+        if self._CM_FORCE_V3:
+            return "v3"
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:  # pragma: no cover - no backend at trace time
+            on_tpu = False
+        return "v3" if on_tpu else "v2"
+
+    def _sorted_stream_v3(self, gi, ids_g, seg_g, in_group, weights, b):
+        """ONE ascending sort of the whole group slot stream by stacked row
+        id (small tables first by layout, then large, then invalid
+        sentinels). Forward compact gather, backward dedup, and the count
+        kernel all consume it; identical expressions here and in the
+        backward make XLA CSE the sort across the step."""
+        g = self._groups[gi]
+        total = g.total_rows
+        n_gf = len(self._group_features[gi])
+        key = jnp.where(in_group, ids_g, total)
+        seg = jnp.where(in_group, seg_g, n_gf * b)
+        if weights is None:
+            sk, ss = jax.lax.sort((key, seg), num_keys=1)
+            sw = None
+        else:
+            sk, ss, sw = jax.lax.sort((key, seg, weights), num_keys=1)
+        n_small = jnp.sum((key < g.small_rows).astype(jnp.int32))
+        return sk, ss, sw, n_small
+
+    def _count_matrix_v3(self, gi: int, sk, ss, b: int) -> jnp.ndarray:
+        """C from the sorted stream — zero scatters (Pallas MXU kernel).
+        Only valid when every table has one feature (column = batch slot:
+        ``ss % b``); the gate in _cm_impl guarantees it."""
+        from torchrec_tpu.ops.tbe_pallas import sorted_count_matrix
+
+        g = self._groups[gi]
+        return sorted_count_matrix(
+            sk, ss % jnp.int32(b), g.small_rows, b,
+            interpret=self._CM_FORCE_V3,
+        )
 
     def _small_pool_matmul(
         self, gi: int, C_flat: jnp.ndarray, table_f32: jnp.ndarray, b: int
@@ -657,12 +713,38 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
             if n_gf == 0:
                 continue
             use_cm = self._use_count_matmul(gi, b)
+            impl = self._cm_impl(gi, weights)
             table_f32 = (
                 params[g.key].astype(jnp.float32)
                 if g.data_type != DataType.FP32
                 else params[g.key]
             )
-            if use_cm and self._max_unique is not None:
+            C = None
+            if use_cm and impl == "v3":
+                # shared-sort path: one sort feeds the compact large-table
+                # forward AND the count kernel (and the backward, via CSE)
+                total = g.total_rows
+                small = g.small_rows
+                N = ids_g.shape[0]
+                u = min(self._max_unique, N)
+                sk, ss, sw, n_small = self._sorted_stream_v3(
+                    gi, ids_g, seg_g, in_group, weights, b
+                )
+                sids = jax.lax.dynamic_slice(sk, (n_small,), (u,))
+                sseg = jax.lax.dynamic_slice(ss, (n_small,), (u,))
+                in_range = (sids >= small) & (sids < total)
+                rows = jnp.take(
+                    table_f32, jnp.minimum(sids, total - 1), axis=0,
+                    indices_are_sorted=True,
+                )
+                rows = jnp.where(in_range[:, None], rows, 0.0)
+                pooled = jax.ops.segment_sum(
+                    rows,
+                    jnp.where(in_range, sseg, n_gf * b),
+                    num_segments=n_gf * b,
+                )
+                C = self._count_matrix_v3(gi, sk, ss, b)
+            elif use_cm and self._max_unique is not None:
                 # COMPACT forward for the large-table slots: rank-compact
                 # the stream to the slot bound (the identical compaction the
                 # backward performs — XLA CSEs it), gather only those rows
@@ -719,8 +801,12 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                     indices_are_sorted=sorted_ok,
                 )  # [n_gf*B, dim]
             if use_cm:
-                if self._CM_IMPL in ("v1", "v2"):
-                    cm = (self._count_matrix_v2 if self._CM_IMPL == "v2"
+                if C is not None:  # v3: built from the shared sort above
+                    pooled = pooled + self._small_pool_matmul_v1(
+                        gi, C, table_f32, b
+                    )
+                elif impl in ("v1", "v2"):
+                    cm = (self._count_matrix_v2 if impl == "v2"
                           else self._count_matrix_v1)
                     C = cm(
                         gi, ids_g, slot_feature, slot_batch, in_group,
@@ -869,17 +955,39 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
             gi, slot_feature, slot_batch, b = ctx
             small, total = g.small_rows, g.total_rows
             tbl, st = params[g.key], opt_states[g.key]
-            if small < total:  # large rows: sort/dedup + sparse scatter
-                valid_l = in_group & (ids_g >= small)
-                uids, ugrads = dedup_rows_from_pooled(
-                    ids_g, seg_g, pooled_grad, valid_l, total,
-                    unique_bound=self._max_unique, weights=weights,
+            use_cm = self._use_count_matmul(gi, b)
+            impl = self._cm_impl(gi, weights)
+            v3 = use_cm and impl == "v3"
+            if v3:
+                # identical expression to the forward's -> XLA CSEs the
+                # sort (and the count kernel) across the whole train step
+                sk, ss, sw, n_small = self._sorted_stream_v3(
+                    gi, ids_g, seg_g, in_group, weights, b
                 )
+            if small < total:  # large rows: sort/dedup + sparse scatter
+                if v3:
+                    u = min(self._max_unique, ids_g.shape[0])
+                    uids, ugrads = dedup_rows_from_sorted(
+                        jax.lax.dynamic_slice(sk, (n_small,), (u,)),
+                        jax.lax.dynamic_slice(ss, (n_small,), (u,)),
+                        pooled_grad, total, lo_row=small,
+                    )
+                else:
+                    valid_l = in_group & (ids_g >= small)
+                    uids, ugrads = dedup_rows_from_pooled(
+                        ids_g, seg_g, pooled_grad, valid_l, total,
+                        unique_bound=self._max_unique, weights=weights,
+                    )
                 tbl, st = optimizer.update(tbl, st, uids, ugrads, lr=lr)
-            if small > 0 and self._use_count_matmul(gi, b):
+            if small > 0 and use_cm:
                 # count-matmul fast path (C is CSE-shared with the forward)
-                if self._CM_IMPL in ("v1", "v2"):
-                    cm = (self._count_matrix_v2 if self._CM_IMPL == "v2"
+                if v3:
+                    C = self._count_matrix_v3(gi, sk, ss, b)
+                    acc, touched = self._small_acc_matmul_v1(
+                        gi, C, pooled_grad, b
+                    )
+                elif impl in ("v1", "v2"):
+                    cm = (self._count_matrix_v2 if impl == "v2"
                           else self._count_matrix_v1)
                     C = cm(
                         gi, ids_g, slot_feature, slot_batch, in_group,

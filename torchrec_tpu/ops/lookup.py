@@ -30,6 +30,7 @@ __all__ = [
     "grad_rows",
     "dedup_rows",
     "dedup_rows_from_pooled",
+    "dedup_rows_from_sorted",
     "accumulate_dense",
 ]
 
@@ -239,6 +240,55 @@ def dedup_rows_from_pooled(
     sentinels = num_rows + jnp.arange(u, dtype=sorted_ids.dtype)
     uniq_ids = sentinels.at[jnp.minimum(run_id, u - 1)].min(
         jnp.where(run_id < u, sorted_ids, jnp.int32(2**31 - 1)),
+        indices_are_sorted=True,
+    )
+    return uniq_ids, uniq_grads
+
+
+def dedup_rows_from_sorted(
+    sorted_ids: jnp.ndarray,
+    sorted_seg: jnp.ndarray,
+    pooled_grad: jnp.ndarray,
+    num_rows: int,
+    lo_row: int = 0,
+    w_sorted: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """The post-sort tail of :func:`dedup_rows_from_pooled` for callers
+    that already hold an id-ascending window of the slot stream (the
+    shared-sort count-matmul path: ONE group-wide sort feeds the small-table
+    count kernel, the compact forward, and this backward). Slots with ids
+    outside ``[lo_row, num_rows)`` (small-table slots at the window head,
+    padding sentinels at the tail) contribute nothing; their positions still
+    occupy unique-slot capacity, matching the ``max_unique_gradient_rows``
+    contract.
+    """
+    u = sorted_ids.shape[0]
+    s = pooled_grad.shape[0]
+    if u == 0:  # zero-capacity stream (empty batch)
+        return (
+            jnp.zeros((0,), sorted_ids.dtype),
+            jnp.zeros((0, pooled_grad.shape[1]), pooled_grad.dtype),
+        )
+    in_range = (sorted_ids >= lo_row) & (sorted_ids < num_rows)
+    ids_m = jnp.where(in_range, sorted_ids, num_rows)
+    seg_m = jnp.where(in_range, jnp.minimum(sorted_seg, s), s)
+    padded = jnp.concatenate(
+        [pooled_grad, jnp.zeros((1, pooled_grad.shape[1]), pooled_grad.dtype)]
+    )
+    g_sorted = jnp.take(padded, seg_m, axis=0)
+    if w_sorted is not None:
+        g_sorted = g_sorted * w_sorted[:, None].astype(g_sorted.dtype)
+    is_new = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (ids_m[1:] != ids_m[:-1]).astype(jnp.int32)]
+    )
+    run_id = jnp.cumsum(is_new) - 1  # non-decreasing
+    uniq_grads = jax.ops.segment_sum(
+        g_sorted, run_id, num_segments=u, indices_are_sorted=True
+    )
+    sentinels = num_rows + jnp.arange(u, dtype=ids_m.dtype)
+    uniq_ids = sentinels.at[jnp.minimum(run_id, u - 1)].min(
+        jnp.where(run_id < u, ids_m, jnp.int32(2**31 - 1)),
         indices_are_sorted=True,
     )
     return uniq_ids, uniq_grads

@@ -488,3 +488,148 @@ def row_scatter_write(
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(rows, values.astype(table.dtype), table)
+
+
+# --------------------------------------------------------------------------
+# Sorted count-matmul: build the small-table count matrix C[small_rows, KB]
+# (C[r, c] = sum of w over slots with id r and column c) from an id-SORTED
+# slot stream with ZERO scatters. XLA's scatter build is issue-rate bound
+# (~7 ns per slot -> 0.77 ms at the DLRM headline shapes); here each
+# 512-row block only compares the slots that sorting proved belong to it
+# (block-diagonal one-hots generated in VMEM) and reduces them with one MXU
+# matmul — compute-bound at ~bf16 speed instead of scatter-issue bound.
+#
+# Reference analog: the histogram/"counts" passes FBGEMM's TBE backward
+# performs per table before its segmented reduction
+# (torchrec/distributed/batched_embedding_kernel.py:3725 wraps them).
+# --------------------------------------------------------------------------
+
+# rows per grid block (C block = RB x KB f32) and slots per chunk: one
+# (RB, CK) one-hot compare + (RB, CK) @ (CK, KB) matmul per chunk.
+# Swept on v5e at the DLRM headline shapes (86k small slots, 19.4k rows,
+# KB=64): (512, 2048) ~ 114 us; (256/1024 x 1024/4096) within 25%.
+_CM_RB = 512
+_CM_CK = 2048
+
+
+def _sorted_count_body(
+    c_lo_ref,  # SMEM [NB] int32: first slot-chunk of block j
+    c_hi_ref,  # SMEM [NB] int32: one past last slot-chunk of block j
+    ids_ref,  # VMEM [NC, CK] int32 sorted ids (pad sentinel >= NB*RB)
+    col_ref,  # VMEM [NC, CK] int32 column of each slot
+    w_ref,  # VMEM [NC, CK] f32 per-slot weight (or None)
+    out_ref,  # VMEM [RB, KB] f32: C block j
+    *,
+    rb: int,
+    ck: int,
+    kb: int,
+):
+    j = pl.program_id(0)
+    row0 = j * rb
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (ck, kb), 1)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (rb, ck), 0) + row0
+
+    def chunk(c, acc):
+        ids = ids_ref[c]  # [CK]
+        cols = col_ref[c]
+        # block-diagonal one-hot: slots of OTHER row blocks (or padding /
+        # large-table / invalid slots) match no row and contribute zero
+        oh = (row_iota == ids[None, :]).astype(jnp.bfloat16)
+        a = (cols[:, None] == col_iota).astype(jnp.bfloat16)
+        if w_ref is not None:
+            a = a * w_ref[c][:, None].astype(jnp.bfloat16)
+        return acc + jax.lax.dot(
+            oh, a, preferred_element_type=jnp.float32
+        )
+
+    acc = jnp.zeros((rb, kb), jnp.float32)
+    out_ref[...] = jax.lax.fori_loop(c_lo_ref[j], c_hi_ref[j], chunk, acc)
+
+
+def _sorted_count_kernel_nw(c_lo, c_hi, ids, col, out, *, rb, ck, kb):
+    _sorted_count_body(c_lo, c_hi, ids, col, None, out, rb=rb, ck=ck, kb=kb)
+
+
+def _sorted_count_kernel_w(c_lo, c_hi, ids, col, w, out, *, rb, ck, kb):
+    _sorted_count_body(c_lo, c_hi, ids, col, w, out, rb=rb, ck=ck, kb=kb)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("small_rows", "kb", "interpret")
+)
+def sorted_count_matrix(
+    sorted_ids: jnp.ndarray,
+    sorted_col: jnp.ndarray,
+    small_rows: int,
+    kb: int,
+    sorted_w: jnp.ndarray | None = None,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """C[small_rows, kb] from an ascending-sorted slot stream.
+
+    ``sorted_ids``: [N] int32, ascending; entries >= ``small_rows`` (large
+    tables / padding sentinels, which sort to the back) are ignored.
+    ``sorted_col``: [N] int32 target column per slot (junk allowed wherever
+    ids >= small_rows). ``sorted_w``: optional [N] f32 per-slot weights
+    (1.0 semantics when omitted). Weights must be exactly representable in
+    bf16 for bit-exactness with the scatter path; counts (w=1) always are.
+    """
+    n = sorted_ids.shape[0]
+    if n == 0:  # zero-capacity stream (empty batch)
+        return jnp.zeros((small_rows, kb), jnp.float32)
+    rb, ck = _CM_RB, _CM_CK
+    nb = max(-(-small_rows // rb), 1)
+    small_pad = nb * rb
+    pad = (-n) % ck
+    if pad:
+        sorted_ids = jnp.concatenate(
+            [sorted_ids, jnp.full((pad,), small_pad, sorted_ids.dtype)]
+        )
+        sorted_col = jnp.concatenate(
+            [sorted_col, jnp.zeros((pad,), sorted_col.dtype)]
+        )
+        if sorted_w is not None:
+            sorted_w = jnp.concatenate(
+                [sorted_w, jnp.zeros((pad,), sorted_w.dtype)]
+            )
+    nc = sorted_ids.shape[0] // ck
+    # ids >= small_pad can never match a row; clamp so the searchsorted
+    # boundaries below stay within the sorted prefix
+    ids2d = sorted_ids.reshape(nc, ck)
+    col2d = sorted_col.reshape(nc, ck)
+    # block j's slots live in [searchsorted(j*RB), searchsorted((j+1)*RB));
+    # widen to whole chunks — neighbours' slots auto-mask in the compare
+    bounds = jnp.searchsorted(
+        sorted_ids, jnp.arange(nb + 1, dtype=sorted_ids.dtype) * rb
+    ).astype(jnp.int32)
+    c_lo = bounds[:-1] // ck
+    c_hi = jnp.minimum(-(-bounds[1:] // ck), nc)
+    c_lo = jnp.minimum(c_lo, c_hi)
+
+    kernel = functools.partial(
+        _sorted_count_kernel_w if sorted_w is not None
+        else _sorted_count_kernel_nw,
+        rb=rb, ck=ck, kb=kb,
+    )
+    operands = [ids2d, col2d]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    if sorted_w is not None:
+        operands.append(sorted_w.reshape(nc, ck).astype(jnp.float32))
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((rb, kb), lambda j, c_lo, c_hi: (j, 0)),
+    )
+    c = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((small_pad, kb), jnp.float32),
+        interpret=interpret,
+    )(c_lo, c_hi, *operands)
+    return c[:small_rows]
