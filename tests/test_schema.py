@@ -93,8 +93,11 @@ def test_optimizer_schema():
     from torchrec_tpu.ops import SGD, Adam, RowWiseAdagrad, make_optimizer
     from torchrec_tpu.ops.fused_optim import EmbeddingOptimizer
 
+    # ids_sorted: position-layout dedup (v3) passes False so the XLA
+    # sorted-gather/scatter hints stay honest
     assert sig_params(EmbeddingOptimizer.update) == [
         "self", "table", "state", "unique_ids", "unique_grads", "lr",
+        "ids_sorted",
     ]
     assert sig_params(EmbeddingOptimizer.dense_update) == [
         "self", "table", "state", "grad", "touched", "lr",

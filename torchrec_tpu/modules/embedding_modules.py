@@ -978,7 +978,11 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                         ids_g, seg_g, pooled_grad, valid_l, total,
                         unique_bound=self._max_unique, weights=weights,
                     )
-                tbl, st = optimizer.update(tbl, st, uids, ugrads, lr=lr)
+                # v3's position-layout ids interleave OOB sentinels with
+                # real rows — not ascending
+                tbl, st = optimizer.update(
+                    tbl, st, uids, ugrads, lr=lr, ids_sorted=not v3
+                )
             if small > 0 and use_cm:
                 # count-matmul fast path (C is CSE-shared with the forward)
                 if v3:

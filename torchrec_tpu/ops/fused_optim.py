@@ -52,7 +52,8 @@ Params = Dict[str, jnp.ndarray]
 
 
 def _scatter_add_rows(
-    table: jnp.ndarray, unique_ids: jnp.ndarray, deltas: jnp.ndarray
+    table: jnp.ndarray, unique_ids: jnp.ndarray, deltas: jnp.ndarray,
+    ids_sorted: bool = True,
 ) -> jnp.ndarray:
     """table[unique_ids] += deltas for sorted all-distinct ids (OOB
     sentinels dropped). On TPU with lane-aligned rows this dispatches to the
@@ -71,7 +72,7 @@ def _scatter_add_rows(
         # (0.55 vs 1.00 ms at 20.5k rows into 1.4M x 128 on v5e)
         old_rows = jnp.take(
             table, unique_ids, axis=0, mode="fill", fill_value=0.0,
-            indices_are_sorted=True,
+            indices_are_sorted=ids_sorted,
         )
         return row_scatter_write(
             table, unique_ids, old_rows + deltas.astype(table.dtype)
@@ -80,7 +81,7 @@ def _scatter_add_rows(
         deltas.astype(table.dtype),
         mode="drop",
         unique_indices=True,
-        indices_are_sorted=True,
+        indices_are_sorted=ids_sorted,
     )
 
 
@@ -100,6 +101,7 @@ class EmbeddingOptimizer:
         unique_ids: jnp.ndarray,
         unique_grads: jnp.ndarray,
         lr: jnp.ndarray | float | None = None,
+        ids_sorted: bool = True,
     ) -> Tuple[jnp.ndarray, Params]:
         raise NotImplementedError
 
@@ -128,13 +130,14 @@ class SGD(EmbeddingOptimizer):
     def init(self, table: jnp.ndarray) -> Params:
         return {}
 
-    def update(self, table, state, unique_ids, unique_grads, lr=None):
+    def update(self, table, state, unique_ids, unique_grads, lr=None,
+               ids_sorted=True):
         lr = self._lr(lr)
         g = unique_grads.astype(jnp.float32)
         if self.weight_decay:
-            rows = jnp.take(table, unique_ids, axis=0, mode="fill", fill_value=0, indices_are_sorted=True)
+            rows = jnp.take(table, unique_ids, axis=0, mode="fill", fill_value=0, indices_are_sorted=ids_sorted)
             g = g + self.weight_decay * rows.astype(jnp.float32)
-        new_table = _scatter_add_rows(table, unique_ids, -lr * g)
+        new_table = _scatter_add_rows(table, unique_ids, -lr * g, ids_sorted=ids_sorted)
         return new_table, state
 
     def dense_update(self, table, state, grad, touched, lr=None):
@@ -175,20 +178,21 @@ class RowWiseAdagrad(EmbeddingOptimizer):
             )
         }
 
-    def update(self, table, state, unique_ids, unique_grads, lr=None):
+    def update(self, table, state, unique_ids, unique_grads, lr=None,
+               ids_sorted=True):
         lr = self._lr(lr)
         g = unique_grads.astype(jnp.float32)
         if self.weight_decay:
-            rows = jnp.take(table, unique_ids, axis=0, mode="fill", fill_value=0, indices_are_sorted=True)
+            rows = jnp.take(table, unique_ids, axis=0, mode="fill", fill_value=0, indices_are_sorted=ids_sorted)
             g = g + self.weight_decay * rows.astype(jnp.float32)
         gsq = jnp.mean(g * g, axis=1)  # [N]
-        mom = state["momentum"].at[unique_ids].add(gsq, mode="drop", unique_indices=True, indices_are_sorted=True)
+        mom = state["momentum"].at[unique_ids].add(gsq, mode="drop", unique_indices=True, indices_are_sorted=ids_sorted)
         mom_rows = jnp.take(
             mom, unique_ids, axis=0, mode="fill", fill_value=1.0,
-            indices_are_sorted=True,
+            indices_are_sorted=ids_sorted,
         )
         delta = -lr * g / (jnp.sqrt(mom_rows)[:, None] + self.eps)
-        new_table = _scatter_add_rows(table, unique_ids, delta)
+        new_table = _scatter_add_rows(table, unique_ids, delta, ids_sorted=ids_sorted)
         return new_table, {"momentum": mom}
 
     def dense_update(self, table, state, grad, touched, lr=None):
@@ -227,24 +231,25 @@ class Adam(EmbeddingOptimizer):
             "steps": jnp.zeros((table.shape[0],), jnp.int32),
         }
 
-    def update(self, table, state, unique_ids, unique_grads, lr=None):
+    def update(self, table, state, unique_ids, unique_grads, lr=None,
+               ids_sorted=True):
         lr = self._lr(lr)
         g = unique_grads.astype(jnp.float32)
         if self.weight_decay:
-            rows = jnp.take(table, unique_ids, axis=0, mode="fill", fill_value=0, indices_are_sorted=True)
+            rows = jnp.take(table, unique_ids, axis=0, mode="fill", fill_value=0, indices_are_sorted=ids_sorted)
             g = g + self.weight_decay * rows.astype(jnp.float32)
-        steps = state["steps"].at[unique_ids].add(1, mode="drop", unique_indices=True, indices_are_sorted=True)
-        t = jnp.take(steps, unique_ids, mode="fill", fill_value=1, indices_are_sorted=True).astype(jnp.float32)
-        m_rows = jnp.take(state["m"], unique_ids, axis=0, mode="fill", fill_value=0, indices_are_sorted=True)
-        v_rows = jnp.take(state["v"], unique_ids, axis=0, mode="fill", fill_value=0, indices_are_sorted=True)
+        steps = state["steps"].at[unique_ids].add(1, mode="drop", unique_indices=True, indices_are_sorted=ids_sorted)
+        t = jnp.take(steps, unique_ids, mode="fill", fill_value=1, indices_are_sorted=ids_sorted).astype(jnp.float32)
+        m_rows = jnp.take(state["m"], unique_ids, axis=0, mode="fill", fill_value=0, indices_are_sorted=ids_sorted)
+        v_rows = jnp.take(state["v"], unique_ids, axis=0, mode="fill", fill_value=0, indices_are_sorted=ids_sorted)
         m_new = self.beta1 * m_rows + (1 - self.beta1) * g
         v_new = self.beta2 * v_rows + (1 - self.beta2) * g * g
-        m = state["m"].at[unique_ids].set(m_new, mode="drop", unique_indices=True, indices_are_sorted=True)
-        v = state["v"].at[unique_ids].set(v_new, mode="drop", unique_indices=True, indices_are_sorted=True)
+        m = state["m"].at[unique_ids].set(m_new, mode="drop", unique_indices=True, indices_are_sorted=ids_sorted)
+        v = state["v"].at[unique_ids].set(v_new, mode="drop", unique_indices=True, indices_are_sorted=ids_sorted)
         m_hat = m_new / (1 - self.beta1 ** t)[:, None]
         v_hat = v_new / (1 - self.beta2 ** t)[:, None]
         delta = -lr * m_hat / (jnp.sqrt(v_hat) + self.eps)
-        new_table = _scatter_add_rows(table, unique_ids, delta)
+        new_table = _scatter_add_rows(table, unique_ids, delta, ids_sorted=ids_sorted)
         return new_table, {"m": m, "v": v, "steps": steps}
 
     def dense_update(self, table, state, grad, touched, lr=None):
@@ -281,21 +286,22 @@ class PartialRowWiseAdam(EmbeddingOptimizer):
             "steps": jnp.zeros((table.shape[0],), jnp.int32),
         }
 
-    def update(self, table, state, unique_ids, unique_grads, lr=None):
+    def update(self, table, state, unique_ids, unique_grads, lr=None,
+               ids_sorted=True):
         lr = self._lr(lr)
         g = unique_grads.astype(jnp.float32)
-        steps = state["steps"].at[unique_ids].add(1, mode="drop", unique_indices=True, indices_are_sorted=True)
-        t = jnp.take(steps, unique_ids, mode="fill", fill_value=1, indices_are_sorted=True).astype(jnp.float32)
-        m_rows = jnp.take(state["m"], unique_ids, axis=0, mode="fill", fill_value=0, indices_are_sorted=True)
-        v_rows = jnp.take(state["v"], unique_ids, mode="fill", fill_value=0, indices_are_sorted=True)
+        steps = state["steps"].at[unique_ids].add(1, mode="drop", unique_indices=True, indices_are_sorted=ids_sorted)
+        t = jnp.take(steps, unique_ids, mode="fill", fill_value=1, indices_are_sorted=ids_sorted).astype(jnp.float32)
+        m_rows = jnp.take(state["m"], unique_ids, axis=0, mode="fill", fill_value=0, indices_are_sorted=ids_sorted)
+        v_rows = jnp.take(state["v"], unique_ids, mode="fill", fill_value=0, indices_are_sorted=ids_sorted)
         m_new = self.beta1 * m_rows + (1 - self.beta1) * g
         v_new = self.beta2 * v_rows + (1 - self.beta2) * jnp.mean(g * g, axis=1)
-        m = state["m"].at[unique_ids].set(m_new, mode="drop", unique_indices=True, indices_are_sorted=True)
-        v = state["v"].at[unique_ids].set(v_new, mode="drop", unique_indices=True, indices_are_sorted=True)
+        m = state["m"].at[unique_ids].set(m_new, mode="drop", unique_indices=True, indices_are_sorted=ids_sorted)
+        v = state["v"].at[unique_ids].set(v_new, mode="drop", unique_indices=True, indices_are_sorted=ids_sorted)
         m_hat = m_new / (1 - self.beta1 ** t)[:, None]
         v_hat = v_new / (1 - self.beta2 ** t)
         delta = -lr * m_hat / (jnp.sqrt(v_hat)[:, None] + self.eps)
-        new_table = _scatter_add_rows(table, unique_ids, delta)
+        new_table = _scatter_add_rows(table, unique_ids, delta, ids_sorted=ids_sorted)
         return new_table, {"m": m, "v": v, "steps": steps}
 
     def dense_update(self, table, state, grad, touched, lr=None):
@@ -329,16 +335,17 @@ class Adagrad(EmbeddingOptimizer):
             "sum": jnp.full(table.shape, self.initial_accumulator_value, jnp.float32)
         }
 
-    def update(self, table, state, unique_ids, unique_grads, lr=None):
+    def update(self, table, state, unique_ids, unique_grads, lr=None,
+               ids_sorted=True):
         lr = self._lr(lr)
         g = unique_grads.astype(jnp.float32)
         s = state["sum"].at[unique_ids].add(
-            g * g, mode="drop", unique_indices=True, indices_are_sorted=True
+            g * g, mode="drop", unique_indices=True, indices_are_sorted=ids_sorted
         )
         s_rows = jnp.take(s, unique_ids, axis=0, mode="fill", fill_value=1.0,
-                          indices_are_sorted=True)
+                          indices_are_sorted=ids_sorted)
         delta = -lr * g / (jnp.sqrt(s_rows) + self.eps)
-        return _scatter_add_rows(table, unique_ids, delta), {"sum": s}
+        return _scatter_add_rows(table, unique_ids, delta, ids_sorted=ids_sorted), {"sum": s}
 
     def dense_update(self, table, state, grad, touched, lr=None):
         lr = self._lr(lr)
@@ -370,21 +377,22 @@ class LarsSGD(EmbeddingOptimizer):
         ratio = self.eta * wn / (gn + self.weight_decay * wn + self.eps)
         return jnp.where(wn > 0, ratio, 1.0)
 
-    def update(self, table, state, unique_ids, unique_grads, lr=None):
+    def update(self, table, state, unique_ids, unique_grads, lr=None,
+               ids_sorted=True):
         lr = self._lr(lr)
         g = unique_grads.astype(jnp.float32)
         w_rows = jnp.take(table, unique_ids, axis=0, mode="fill", fill_value=0,
-                          indices_are_sorted=True)
+                          indices_are_sorted=ids_sorted)
         if self.weight_decay:
             g = g + self.weight_decay * w_rows.astype(jnp.float32)
         scaled = lr * self._trust(w_rows, g)[:, None] * g
         m_rows = jnp.take(state["m"], unique_ids, axis=0, mode="fill",
-                          fill_value=0, indices_are_sorted=True)
+                          fill_value=0, indices_are_sorted=ids_sorted)
         m_new = self.momentum * m_rows + scaled
         m = state["m"].at[unique_ids].set(
-            m_new, mode="drop", unique_indices=True, indices_are_sorted=True
+            m_new, mode="drop", unique_indices=True, indices_are_sorted=ids_sorted
         )
-        return _scatter_add_rows(table, unique_ids, -m_new), {"m": m}
+        return _scatter_add_rows(table, unique_ids, -m_new, ids_sorted=ids_sorted), {"m": m}
 
     def dense_update(self, table, state, grad, touched, lr=None):
         lr = self._lr(lr)
@@ -419,27 +427,28 @@ class LAMB(EmbeddingOptimizer):
             "steps": jnp.zeros((table.shape[0],), jnp.int32),
         }
 
-    def _row_v(self, state, unique_ids, g):
+    def _row_v(self, state, unique_ids, g, ids_sorted=True):
         v_rows = jnp.take(state["v"], unique_ids, axis=0, mode="fill",
-                          fill_value=0, indices_are_sorted=True)
+                          fill_value=0, indices_are_sorted=ids_sorted)
         return self.beta2 * v_rows + (1 - self.beta2) * g * g
 
-    def update(self, table, state, unique_ids, unique_grads, lr=None):
+    def update(self, table, state, unique_ids, unique_grads, lr=None,
+               ids_sorted=True):
         lr = self._lr(lr)
         g = unique_grads.astype(jnp.float32)
         steps = state["steps"].at[unique_ids].add(
-            1, mode="drop", unique_indices=True, indices_are_sorted=True
+            1, mode="drop", unique_indices=True, indices_are_sorted=ids_sorted
         )
         t = jnp.take(steps, unique_ids, mode="fill", fill_value=1,
-                     indices_are_sorted=True).astype(jnp.float32)
+                     indices_are_sorted=ids_sorted).astype(jnp.float32)
         m_rows = jnp.take(state["m"], unique_ids, axis=0, mode="fill",
-                          fill_value=0, indices_are_sorted=True)
+                          fill_value=0, indices_are_sorted=ids_sorted)
         m_new = self.beta1 * m_rows + (1 - self.beta1) * g
-        v_new = self._row_v(state, unique_ids, g)
+        v_new = self._row_v(state, unique_ids, g, ids_sorted)
         m_hat = m_new / (1 - self.beta1 ** t)[:, None]
         v_hat = v_new / (1 - self.beta2 ** t)[:, None]
         w_rows = jnp.take(table, unique_ids, axis=0, mode="fill", fill_value=0,
-                          indices_are_sorted=True).astype(jnp.float32)
+                          indices_are_sorted=ids_sorted).astype(jnp.float32)
         u = m_hat / (jnp.sqrt(v_hat) + self.eps)
         if self.weight_decay:
             u = u + self.weight_decay * w_rows
@@ -448,12 +457,12 @@ class LAMB(EmbeddingOptimizer):
         trust = jnp.where((wn > 0) & (un > 0), wn / (un + self.eps), 1.0)
         delta = -lr * trust[:, None] * u
         m = state["m"].at[unique_ids].set(
-            m_new, mode="drop", unique_indices=True, indices_are_sorted=True
+            m_new, mode="drop", unique_indices=True, indices_are_sorted=ids_sorted
         )
         v = state["v"].at[unique_ids].set(
-            v_new, mode="drop", unique_indices=True, indices_are_sorted=True
+            v_new, mode="drop", unique_indices=True, indices_are_sorted=ids_sorted
         )
-        return _scatter_add_rows(table, unique_ids, delta), {
+        return _scatter_add_rows(table, unique_ids, delta, ids_sorted=ids_sorted), {
             "m": m, "v": v, "steps": steps,
         }
 
@@ -490,31 +499,32 @@ class PartialRowWiseLAMB(LAMB):
             "steps": jnp.zeros((table.shape[0],), jnp.int32),
         }
 
-    def _row_v(self, state, unique_ids, g):
+    def _row_v(self, state, unique_ids, g, ids_sorted=True):
         v_rows = jnp.take(state["v"], unique_ids, mode="fill", fill_value=0,
-                          indices_are_sorted=True)
+                          indices_are_sorted=ids_sorted)
         v_new = self.beta2 * v_rows + (1 - self.beta2) * jnp.mean(g * g, axis=1)
         return v_new[:, None]
 
-    def update(self, table, state, unique_ids, unique_grads, lr=None):
+    def update(self, table, state, unique_ids, unique_grads, lr=None,
+               ids_sorted=True):
         # the [R]-shaped v needs its own scatter; reuse LAMB via a view
         lr = self._lr(lr)
         g = unique_grads.astype(jnp.float32)
         steps = state["steps"].at[unique_ids].add(
-            1, mode="drop", unique_indices=True, indices_are_sorted=True
+            1, mode="drop", unique_indices=True, indices_are_sorted=ids_sorted
         )
         t = jnp.take(steps, unique_ids, mode="fill", fill_value=1,
-                     indices_are_sorted=True).astype(jnp.float32)
+                     indices_are_sorted=ids_sorted).astype(jnp.float32)
         m_rows = jnp.take(state["m"], unique_ids, axis=0, mode="fill",
-                          fill_value=0, indices_are_sorted=True)
+                          fill_value=0, indices_are_sorted=ids_sorted)
         m_new = self.beta1 * m_rows + (1 - self.beta1) * g
         v_rows = jnp.take(state["v"], unique_ids, mode="fill", fill_value=0,
-                          indices_are_sorted=True)
+                          indices_are_sorted=ids_sorted)
         v_new = self.beta2 * v_rows + (1 - self.beta2) * jnp.mean(g * g, axis=1)
         m_hat = m_new / (1 - self.beta1 ** t)[:, None]
         v_hat = (v_new / (1 - self.beta2 ** t))[:, None]
         w_rows = jnp.take(table, unique_ids, axis=0, mode="fill", fill_value=0,
-                          indices_are_sorted=True).astype(jnp.float32)
+                          indices_are_sorted=ids_sorted).astype(jnp.float32)
         u = m_hat / (jnp.sqrt(v_hat) + self.eps)
         if self.weight_decay:
             u = u + self.weight_decay * w_rows
@@ -523,12 +533,12 @@ class PartialRowWiseLAMB(LAMB):
         trust = jnp.where((wn > 0) & (un > 0), wn / (un + self.eps), 1.0)
         delta = -lr * trust[:, None] * u
         m = state["m"].at[unique_ids].set(
-            m_new, mode="drop", unique_indices=True, indices_are_sorted=True
+            m_new, mode="drop", unique_indices=True, indices_are_sorted=ids_sorted
         )
         v = state["v"].at[unique_ids].set(
-            v_new, mode="drop", unique_indices=True, indices_are_sorted=True
+            v_new, mode="drop", unique_indices=True, indices_are_sorted=ids_sorted
         )
-        return _scatter_add_rows(table, unique_ids, delta), {
+        return _scatter_add_rows(table, unique_ids, delta, ids_sorted=ids_sorted), {
             "m": m, "v": v, "steps": steps,
         }
 

@@ -261,6 +261,11 @@ def dedup_rows_from_sorted(
     padding sentinels at the tail) contribute nothing; their positions still
     occupy unique-slot capacity, matching the ``max_unique_gradient_rows``
     contract.
+
+    Unlike :func:`dedup_rows_from_pooled`, the result is in POSITION layout:
+    all-distinct but NOT ascending (each run's id sits at its first slot
+    position, every other position holds a distinct OOB sentinel). Pass
+    ``ids_sorted=False`` to the optimizer update.
     """
     u = sorted_ids.shape[0]
     s = pooled_grad.shape[0]
@@ -278,18 +283,24 @@ def dedup_rows_from_sorted(
     g_sorted = jnp.take(padded, seg_m, axis=0)
     if w_sorted is not None:
         g_sorted = g_sorted * w_sorted[:, None].astype(g_sorted.dtype)
+    # POSITION layout, zero extra scatters: each run's gradient sum lands at
+    # its FIRST slot position (segment target = cummax of run starts); every
+    # other slot carries a distinct OOB sentinel and a zero-garbage grad the
+    # consumer drops. Rank-compacting instead costs a ~150-180 us scatter
+    # (scalar scatter-min or limb segment-sum — both issue-rate bound) for
+    # no benefit: the update path skips OOB rows either way. The ids are NOT
+    # ascending (real ids interleave with sentinels), so consumers must pass
+    # ids_sorted=False to the optimizer.
+    pos = jnp.arange(u, dtype=jnp.int32)
     is_new = jnp.concatenate(
-        [jnp.ones((1,), jnp.int32),
-         (ids_m[1:] != ids_m[:-1]).astype(jnp.int32)]
+        [jnp.ones((1,), jnp.bool_), ids_m[1:] != ids_m[:-1]]
     )
-    run_id = jnp.cumsum(is_new) - 1  # non-decreasing
+    start_pos = jax.lax.cummax(jnp.where(is_new, pos, 0))
     uniq_grads = jax.ops.segment_sum(
-        g_sorted, run_id, num_segments=u, indices_are_sorted=True
+        g_sorted, start_pos, num_segments=u, indices_are_sorted=True
     )
-    sentinels = num_rows + jnp.arange(u, dtype=ids_m.dtype)
-    uniq_ids = sentinels.at[jnp.minimum(run_id, u - 1)].min(
-        jnp.where(run_id < u, ids_m, jnp.int32(2**31 - 1)),
-        indices_are_sorted=True,
+    uniq_ids = jnp.where(
+        is_new & (ids_m < num_rows), ids_m, num_rows + pos
     )
     return uniq_ids, uniq_grads
 

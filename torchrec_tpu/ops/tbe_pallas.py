@@ -71,7 +71,7 @@ def _row_scatter_add_kernel(
     def start_reads(slot, gi):
         for r in range(group):
 
-            @pl.when(row_of(gi, r) < num_rows)
+            @pl.when(row_of(gi, r).astype(jnp.uint32) < num_rows)
             def _(r=r):
                 pltpu.make_async_copy(
                     table_out.at[pl.ds(row_of(gi, r), 1), :],
@@ -84,7 +84,7 @@ def _row_scatter_add_kernel(
         # same deterministic order they were started
         for r in range(group):
 
-            @pl.when(row_of(gi, r) < num_rows)
+            @pl.when(row_of(gi, r).astype(jnp.uint32) < num_rows)
             def _(r=r):
                 pltpu.make_async_copy(
                     table_out.at[pl.ds(row_of(gi, r), 1), :],
@@ -95,7 +95,7 @@ def _row_scatter_add_kernel(
     def start_writes(slot, gi):
         for r in range(group):
 
-            @pl.when(row_of(gi, r) < num_rows)
+            @pl.when(row_of(gi, r).astype(jnp.uint32) < num_rows)
             def _(r=r):
                 pltpu.make_async_copy(
                     scratch.at[slot, pl.ds(r, 1), :],
@@ -414,7 +414,7 @@ def _row_scatter_write_kernel(
     def start_writes(slot, gi):
         for r in range(group):
 
-            @pl.when(row_of(gi, r) < num_rows)
+            @pl.when(row_of(gi, r).astype(jnp.uint32) < num_rows)
             def _(r=r):
                 pltpu.make_async_copy(
                     vals_ref.at[pl.ds(gi * group + r, 1), :],
@@ -425,7 +425,7 @@ def _row_scatter_write_kernel(
     def wait_writes(slot, gi):
         for r in range(group):
 
-            @pl.when(row_of(gi, r) < num_rows)
+            @pl.when(row_of(gi, r).astype(jnp.uint32) < num_rows)
             def _(r=r):
                 pltpu.make_async_copy(
                     vals_ref.at[pl.ds(gi * group + r, 1), :],
