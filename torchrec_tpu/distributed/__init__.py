@@ -42,3 +42,15 @@ __all__ = [
     "ShardingEnv",
     "ShardingPlan",
 ]
+
+
+def __getattr__(name):
+    if name in ("MemoryStashingManager", "stash_to_host", "restore_to_device"):
+        from torchrec_tpu.distributed import memory_stashing
+
+        return getattr(memory_stashing, name)
+    if name in ("EmbDimBucketer", "EmbDimBucketerPolicy"):
+        from torchrec_tpu.distributed import embedding_dim_bucketer
+
+        return getattr(embedding_dim_bucketer, name)
+    raise AttributeError(name)

@@ -51,3 +51,14 @@ from torchrec_tpu.metrics import metrics_extra as _extra
 from torchrec_tpu.metrics.metrics_extra import *  # noqa: F401,F403
 from torchrec_tpu.metrics.metrics_extra import TowerQPSMetric  # noqa: F401
 __all__ = list(__all__) + list(_extra.__all__)
+
+
+def __getattr__(name):
+    if name == "CPUOffloadedMetricModule":
+        from torchrec_tpu.metrics.cpu_offloaded import CPUOffloadedMetricModule
+
+        return CPUOffloadedMetricModule
+    raise AttributeError(name)
+
+
+__all__ = list(__all__) + ["CPUOffloadedMetricModule"]
