@@ -29,12 +29,20 @@ MLPERF_ROWS = [
 ]
 BASELINE_S_PER_EPOCH = 0.019  # FusedEBC, 8x V100 (benchmarks/README.md:51)
 
-SCALE = 128  # the headline config divides the 5 largest tables' rows by 128
+# the headline config divides table rows by 128; the reference also
+# publishes /64 and /32 (same 0.019 s/epoch baseline, benchmarks/README.md:
+# 51-53) — select with `python bench.py 64`
+SCALE = 128
 BATCH = 64
 IDS_PER_FEATURE = 64
 BATCHES_PER_EPOCH = 10
 DIM = 128
 LR = 0.02
+
+
+def set_scale(scale: int) -> None:
+    global SCALE
+    SCALE = scale
 
 
 def build():
@@ -149,7 +157,9 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "fused_ebc_train_s_per_epoch_mlperf_div128",
+                "metric": (
+                    f"fused_ebc_train_s_per_epoch_mlperf_div{SCALE}"
+                ),
                 "value": value,
                 "unit": "s/epoch",
                 "vs_baseline": BASELINE_S_PER_EPOCH / value,
@@ -159,4 +169,8 @@ def main():
 
 
 if __name__ == "__main__":
+    import sys
+
+    if len(sys.argv) > 1:
+        set_scale(int(sys.argv[1]))
     main()

@@ -39,10 +39,12 @@ __all__ = ["row_scatter_add", "supports_row_scatter_add", "fused_sorted_sgd_appl
 # Mosaic requires the block shape to match.
 _CHUNK = 1024
 # rows per group (one aligned (G, lanes) vector add per group)
-_GROUP = 16
-# in-flight groups (NGRP * GROUP rows of read DMAs in flight); swept
-# in-context on the headline bench on v5e: (16, 32) best
-_NGRP = 32
+_GROUP = 32
+# in-flight groups (NGRP * GROUP rows of write DMAs in flight); swept
+# in-context on the headline bench on v5e (post position-layout dedup):
+# (32, 16) 1.62 ms/step; (16, 32) 1.65; (16, 64)/(32, 32)/(64, 8-16)
+# within 1.64; (8, 64) 1.90
+_NGRP = 16
 
 
 def _row_scatter_add_kernel(
