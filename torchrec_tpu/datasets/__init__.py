@@ -1,3 +1,4 @@
+"""Dataset readers and synthetic generators (reference torchrec/datasets/__init__.py)."""
 from torchrec_tpu.datasets.criteo import (
     CAT_FEATURE_COUNT,
     DEFAULT_CAT_NAMES,

@@ -23,6 +23,8 @@ __all__ = ["RandomRecDataset"]
 
 @dataclasses.dataclass
 class RandomRecDataset:
+    """Synthetic dense+KJT+label batches (reference datasets/random.py:125)."""
+
     keys: Sequence[str]
     batch_size: int
     hash_sizes: Sequence[int]  # per key (or broadcast one)

@@ -1,3 +1,4 @@
+"""Sharded modules, comms, and orchestration (reference torchrec/distributed/__init__.py)."""
 from torchrec_tpu.distributed.embedding import ShardedEmbeddingCollection
 from torchrec_tpu.distributed.embedding_tower_sharding import (
     ShardedEmbeddingTowerCollection,

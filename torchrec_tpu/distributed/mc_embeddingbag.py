@@ -37,6 +37,8 @@ __all__ = ["ShardedManagedCollisionEmbeddingBagCollection"]
 
 
 class ShardedManagedCollisionEmbeddingBagCollection:
+    """Sharded MC-EBC: RW-sharded remappers feeding the sharded EBC (reference distributed/mc_embeddingbag.py)."""
+
     def __init__(
         self,
         mc_ebc: ManagedCollisionEmbeddingBagCollection,

@@ -28,6 +28,8 @@ __all__ = ["TrackingMode", "ModelDeltaTracker"]
 
 
 class TrackingMode:
+    """What the delta tracker records per batch (reference model_tracker/types.py:52)."""
+
     ID_ONLY = "id_only"  # reference types.py:52
     EMBEDDING = "embedding"  # ids + current rows at publish
 

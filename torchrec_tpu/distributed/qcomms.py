@@ -33,6 +33,8 @@ __all__ = [
 
 
 class CommType:
+    """Reduced-precision wire formats for collectives (reference fbgemm_qcomm_codec.py:55 CommType)."""
+
     FP32 = "fp32"
     FP16 = "fp16"
     BF16 = "bf16"

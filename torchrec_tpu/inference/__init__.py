@@ -1,3 +1,4 @@
+"""Inference conversion, sharded serving, and transports (reference torchrec/inference/__init__.py)."""
 from torchrec_tpu.inference.modules import (
     QuantPredictor,
     quantize_inference_model,

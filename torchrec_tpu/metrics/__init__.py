@@ -1,3 +1,4 @@
+"""Training metrics (reference torchrec/metrics/__init__.py)."""
 from torchrec_tpu.metrics.metric_module import (
     MetricsConfig,
     RecMetricEnum,

@@ -43,6 +43,8 @@ __all__ = [
 
 
 class RecMetricEnum(enum.Enum):
+    """Metric registry names (reference metrics_config.py:21-61)."""
+
     NE = "ne"
     NE_POSITIVE = "ne_positive"
     UNWEIGHTED_NE = "unweighted_ne"

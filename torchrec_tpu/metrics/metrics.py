@@ -91,6 +91,8 @@ class NEMetric(_SumStateMetric):
 
 
 class LogLossMetric(_SumStateMetric):
+    """Windowed binary log-loss (reference torchrec/metrics/ne.py building blocks)."""
+
     metric_name = "logloss"
     fields = ("ce_sum", "weight_sum")
 
@@ -120,6 +122,8 @@ class CalibrationMetric(_SumStateMetric):
 
 
 class CTRMetric(_SumStateMetric):
+    """Predicted/label click-through rate (reference torchrec/metrics/ctr.py)."""
+
     metric_name = "ctr"
     fields = ("label_sum", "weight_sum")
 
@@ -169,6 +173,8 @@ class NMSEMetric(_SumStateMetric):
 
 
 class MAEMetric(_SumStateMetric):
+    """Mean absolute error (reference torchrec/metrics/mae.py)."""
+
     metric_name = "mae"
     fields = ("ae_sum", "weight_sum")
 
@@ -198,6 +204,8 @@ class _ThresholdMetric(_SumStateMetric):
 
 
 class AccuracyMetric(_ThresholdMetric):
+    """Thresholded accuracy (reference torchrec/metrics/accuracy.py)."""
+
     metric_name = "accuracy"
 
     def _compute(self, s):
@@ -208,6 +216,8 @@ class AccuracyMetric(_ThresholdMetric):
 
 
 class PrecisionMetric(_ThresholdMetric):
+    """Thresholded precision (reference torchrec/metrics/precision.py)."""
+
     metric_name = "precision"
 
     def _compute(self, s):
@@ -217,6 +227,8 @@ class PrecisionMetric(_ThresholdMetric):
 
 
 class RecallMetric(_ThresholdMetric):
+    """Thresholded recall (reference torchrec/metrics/recall.py)."""
+
     metric_name = "recall"
 
     def _compute(self, s):

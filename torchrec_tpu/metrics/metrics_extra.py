@@ -94,6 +94,8 @@ def _recalibrate(p, alpha: float):
 
 
 class RecalibratedNEMetric(NEMetric):
+    """NE after probability recalibration (reference torchrec/metrics/recalibrated_ne.py)."""
+
     metric_name = "recalibrated_ne"
 
     def __init__(self, tasks=None, recalibration_coefficient: float = 1.0):
@@ -108,6 +110,8 @@ class RecalibratedNEMetric(NEMetric):
 
 
 class RecalibratedCalibrationMetric(CalibrationMetric):
+    """Calibration after recalibration (reference torchrec/metrics/recalibrated_calibration.py)."""
+
     metric_name = "recalibrated_calibration"
 
     def __init__(self, tasks=None, recalibration_coefficient: float = 1.0):
@@ -136,6 +140,8 @@ class ServingNEMetric(NEMetric):
 
 
 class ServingCalibrationMetric(CalibrationMetric):
+    """Serving-side calibration (reference torchrec/metrics/serving_calibration.py)."""
+
     metric_name = "serving_calibration"
 
     def _compute(self, s):
@@ -451,6 +457,8 @@ class _SessionPRBase(RecMetric):
 
 
 class RecallSessionLevelMetric(_SessionPRBase):
+    """Session-level recall (reference torchrec/metrics/recall_session.py)."""
+
     metric_name = "recall_session_level"
 
     def _compute(self, s):
@@ -461,6 +469,8 @@ class RecallSessionLevelMetric(_SessionPRBase):
 
 
 class PrecisionSessionLevelMetric(_SessionPRBase):
+    """Session-level precision (reference torchrec/metrics/precision_session.py)."""
+
     metric_name = "precision_session_level"
 
     def _compute(self, s):
@@ -513,6 +523,8 @@ class ScalarMetric(_SumStateMetric):
 
 
 class AverageMetric(ScalarMetric):
+    """Weighted average of a value stream (reference torchrec/metrics/weighted_avg.py)."""
+
     metric_name = "average"
 
     def _compute(self, s):
@@ -574,6 +586,8 @@ class TensorWeightedAvgMetric(_SumStateMetric):
 
 
 class NumPositiveSamplesMetric(_SumStateMetric):
+    """Bookkeeping: positive-sample count (reference torchrec/metrics/scalar.py family)."""
+
     metric_name = "num_positive_samples"
     fields = ("count",)
 
@@ -585,6 +599,8 @@ class NumPositiveSamplesMetric(_SumStateMetric):
 
 
 class SumWeightsMetric(_SumStateMetric):
+    """Bookkeeping: sum of example weights (reference torchrec/metrics/scalar.py family)."""
+
     metric_name = "sum_weights"
     fields = ("weight_sum",)
 
@@ -609,6 +625,8 @@ class NumMissingLabelsMetric(_SumStateMetric):
 
 
 class WeightedSumPredictionsMetric(_SumStateMetric):
+    """Bookkeeping: weighted sum of predictions (reference torchrec/metrics/scalar.py family)."""
+
     metric_name = "weighted_sum_predictions"
     fields = ("pred_sum",)
 

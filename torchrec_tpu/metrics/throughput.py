@@ -14,6 +14,8 @@ __all__ = ["ThroughputMetric"]
 
 
 class ThroughputMetric:
+    """Examples/sec from host wall time with warmup offset (reference metrics/throughput.py:35)."""
+
     def __init__(
         self,
         batch_size: int,

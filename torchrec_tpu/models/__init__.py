@@ -1,3 +1,4 @@
+"""Model zoo exports (reference torchrec/models/__init__.py)."""
 from torchrec_tpu.models.bert4rec import BERT4Rec, ndcg_at_k, recall_at_k
 from torchrec_tpu.models.deepfm import SimpleDeepFMNN
 from torchrec_tpu.models.two_tower import (

@@ -1,3 +1,4 @@
+"""Authoring-layer modules (reference torchrec/modules/__init__.py)."""
 from torchrec_tpu.modules.activation import SwishLayerNorm
 from torchrec_tpu.modules.crossnet import (
     CrossNet,

@@ -1,3 +1,4 @@
+"""Embedding kernels and fused optimizers (the FBGEMM-TBE role; reference distributed/batched_embedding_kernel.py:3725)."""
 from torchrec_tpu.ops.fused_optim import (
     LAMB,
     Adagrad,

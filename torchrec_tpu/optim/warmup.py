@@ -18,6 +18,8 @@ __all__ = ["WarmupPolicy", "WarmupStage", "make_warmup_schedule"]
 
 
 class WarmupPolicy(enum.Enum):
+    """LR schedule stage shapes (reference optim/warmup.py:114)."""
+
     NONE = "none"
     LINEAR = "linear"
     CONSTANT = "constant"
@@ -28,6 +30,8 @@ class WarmupPolicy(enum.Enum):
 
 @dataclasses.dataclass(frozen=True)
 class WarmupStage:
+    """One LR schedule stage: policy + length + scale (reference optim/warmup.py)."""
+
     policy: WarmupPolicy = WarmupPolicy.LINEAR
     max_iters: int = 1000
     value: float = 1.0  # multiplier target (meaning depends on policy)

@@ -1,3 +1,4 @@
+"""Sharding planner (reference torchrec/distributed/planner/__init__.py)."""
 from torchrec_tpu.planner.enumerators import EmbeddingEnumerator
 from torchrec_tpu.planner.partitioners import (
     GreedyPerfPartitioner,

@@ -34,6 +34,8 @@ _DEFAULT_KERNELS = [ComputeKernel.FUSED]
 
 
 class EmbeddingEnumerator:
+    """Cross-product of sharding types x kernels per table honoring constraints (reference planner/enumerators.py:80)."""
+
     def __init__(
         self,
         topology: Topology,

@@ -13,6 +13,8 @@ __all__ = ["NoopPerfModel", "NoopStorageModel"]
 
 
 class NoopPerfModel:
+    """Plan rating = max per-device perf (reference planner/perf_models.py:21)."""
+
     def __init__(self, topology: Topology):
         self._t = topology
 
@@ -22,6 +24,8 @@ class NoopPerfModel:
 
 
 class NoopStorageModel:
+    """Plan rating = max per-device HBM (reference planner/perf_models.py:40)."""
+
     def __init__(self, topology: Topology):
         self._t = topology
 

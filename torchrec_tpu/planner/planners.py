@@ -51,6 +51,8 @@ __all__ = ["EmbeddingShardingPlanner", "plan_hash"]
 
 
 class EmbeddingShardingPlanner:
+    """enumerate -> propose -> partition -> estimate -> rate search loop (reference planner/planners.py:804-1030)."""
+
     def __init__(
         self,
         topology: Topology,

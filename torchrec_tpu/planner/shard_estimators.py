@@ -30,6 +30,8 @@ __all__ = ["EmbeddingPerfEstimator", "EmbeddingStorageEstimator"]
 
 
 class EmbeddingPerfEstimator:
+    """Per-shard fwd/bwd compute + comms cost model on TPU rooflines (reference planner/shard_estimators.py:71)."""
+
     def __init__(
         self,
         topology: Topology,
@@ -138,6 +140,8 @@ class EmbeddingPerfEstimator:
 
 
 class EmbeddingStorageEstimator:
+    """Per-shard HBM/DDR/SSD byte model incl. optimizer state (reference planner/shard_estimators.py:126)."""
+
     def __init__(
         self,
         topology: Topology,

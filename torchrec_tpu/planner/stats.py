@@ -25,6 +25,8 @@ _ABBR = {
 
 
 class EmbeddingStats:
+    """The per-device HBM/perf table + per-table placement log (reference planner/stats.py:150)."""
+
     def render(
         self, plan: Sequence[ShardingOption], topology: Topology
     ) -> str:

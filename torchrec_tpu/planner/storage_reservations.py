@@ -18,6 +18,8 @@ __all__ = [
 
 
 class FixedPercentageStorageReservation:
+    """Reserve a fixed HBM fraction for dense/overheads (reference planner/storage_reservations.py:198)."""
+
     def __init__(self, percentage: float = constants.DEFAULT_RESERVE_PERCENT):
         if not 0.0 <= percentage < 1.0:
             raise ValueError("percentage must be in [0, 1)")

@@ -28,6 +28,8 @@ __all__ = [
 
 
 class PlannerError(RuntimeError):
+    """Planner failure with error-type tag (reference planner/types.py PlannerError)."""
+
     pass
 
 

@@ -1,3 +1,4 @@
+"""Quantized inference modules (reference torchrec/quant/__init__.py)."""
 from torchrec_tpu.quant.embedding_modules import (
     QuantEmbeddingBagCollection,
     dequantize_table,

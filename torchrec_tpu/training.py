@@ -45,6 +45,8 @@ class Batch:
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class TrainState:
+    """Carried train-step state: params + optimizer states (reference train_pipeline context)."""
+
     sparse_params: Dict[str, jnp.ndarray]
     dense_params: Dict[str, Any]
     emb_opt_state: Dict[str, Dict[str, jnp.ndarray]]

@@ -1,3 +1,4 @@
+"""Logging/observability utilities (reference torchrec/distributed/logger.py and utils/)."""
 from torchrec_tpu.utils.logging import (
     EmbeddingEvent,
     annotate_embedding_event,
