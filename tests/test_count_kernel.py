@@ -150,3 +150,42 @@ def test_v3_falls_back_when_unsupported(forced_v3):
     )
     assert ebc._cm_impl(0, jnp.ones((4,))) == "v2"
     assert ebc._cm_impl(0, None) == "v3"  # forced on CPU by the fixture
+
+
+def test_v3_vbe_matches_v2(forced_v3):
+    """VBE + v3: per-key dedup'd batches through the shared-sort path
+    (reference embeddingbag.py VBE path with inverse-indices permute)."""
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+
+    rng = np.random.default_rng(5)
+    # mixed small (count-matmul) + large table, variable stride per key
+    tables = [
+        EmbeddingBagConfig(name="ta", num_embeddings=50, embedding_dim=8,
+                           feature_names=["a"]),
+        EmbeddingBagConfig(name="tb", num_embeddings=200_000, embedding_dim=8,
+                           feature_names=["b"]),
+    ]
+    ebc = EmbeddingBagCollection(tables, max_unique_gradient_rows=64)
+    params = ebc.init(jax.random.key(2))
+    opt = SGD(learning_rate=0.5)
+    states = ebc.init_optimizer(params, opt)
+    lengths = jnp.asarray([[2, 1, 0], [1, 1, 1]], jnp.int32)
+    values = jnp.asarray([4, 5, 6, 100_000, 2, 199_999], jnp.int32)
+    inv = jnp.asarray([[0, 0, 1, 1], [0, 1, 2, 2]], jnp.int32)
+    kjt = KeyedJaggedTensor(
+        keys=["a", "b"], values=values, lengths=lengths,
+        stride_per_key=(2, 3), inverse_indices=inv,
+    )
+    cot = jnp.asarray(rng.normal(size=(4, 16)).astype(np.float32))
+    res = {}
+    for impl, force in [("v2", False), ("v3", True)]:
+        EmbeddingBagCollection._CM_IMPL = impl
+        EmbeddingBagCollection._CM_FORCE_V3 = force
+        out = np.asarray(ebc.apply(params, kjt).values())
+        p2, _ = ebc.apply_gradients(params, states, opt, kjt, cot)
+        res[impl] = (out, jax.tree.map(np.asarray, p2))
+    np.testing.assert_allclose(res["v2"][0], res["v3"][0], atol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
+        res["v2"][1], res["v3"][1],
+    )
