@@ -37,6 +37,22 @@ struct Request {
 struct Result {
   std::vector<float> out;
   bool ready = false;
+  std::chrono::steady_clock::time_point submit_time;
+};
+
+// Observer: QPS/latency counters (reference Observer.h — per-server
+// qps/latency/batch-size observers updated by BatchingQueue/GPUExecutor).
+// Log2-bucketed end-to-end latency histogram: bucket k = [2^k, 2^(k+1)) us.
+constexpr int kLatBuckets = 32;
+struct Stats {
+  int64_t submitted = 0;
+  int64_t rejected = 0;
+  int64_t completed = 0;
+  int64_t timeouts = 0;
+  int64_t batches = 0;
+  int64_t batched_requests = 0;
+  int64_t latency_sum_us = 0;
+  int64_t latency_hist[kLatBuckets] = {0};
 };
 
 class BatchingQueue {
@@ -59,7 +75,11 @@ class BatchingQueue {
                  const int32_t* lengths) {
     std::unique_lock<std::mutex> lk(mu_);
     if (stopped_) return 0;
-    if (in_flight_ >= max_in_flight_) return 0;  // admission reject
+    if (in_flight_ >= max_in_flight_) {
+      ++stats_.rejected;
+      return 0;  // admission reject
+    }
+    ++stats_.submitted;
     int64_t t = next_ticket_++;
     Request r;
     r.ticket = t;
@@ -69,7 +89,9 @@ class BatchingQueue {
     for (int64_t i = 0; i < num_sparse_; ++i) total += lengths[i];
     r.ids.assign(ids, ids + total);
     queue_.push_back(std::move(r));
-    results_.emplace(t, Result{});
+    Result res;
+    res.submit_time = std::chrono::steady_clock::now();
+    results_.emplace(t, std::move(res));
     ++in_flight_;
     cv_batch_.notify_one();
     return t;
@@ -92,6 +114,8 @@ class BatchingQueue {
       reqs.push_back(std::move(queue_.front()));
       queue_.pop_front();
     }
+    ++stats_.batches;
+    stats_.batched_requests += n;
     lk.unlock();
 
     std::memset(dense, 0, sizeof(float) * max_batch_ * num_dense_);
@@ -142,8 +166,20 @@ class BatchingQueue {
         lk, std::chrono::microseconds(timeout_us),
         [&] { return results_[ticket].ready || stopped_; });
     it = results_.find(ticket);
-    if (!ok || !it->second.ready) return 0;
+    if (!ok || !it->second.ready) {
+      ++stats_.timeouts;
+      return 0;
+    }
     std::memcpy(out, it->second.out.data(), sizeof(float) * out_dim_);
+    int64_t us = std::chrono::duration_cast<std::chrono::microseconds>(
+                     std::chrono::steady_clock::now() -
+                     it->second.submit_time)
+                     .count();
+    ++stats_.completed;
+    stats_.latency_sum_us += us;
+    int b = 0;
+    while (b + 1 < kLatBuckets && (int64_t{1} << (b + 1)) <= us) ++b;
+    ++stats_.latency_hist[b];
     results_.erase(it);
     --in_flight_;
     return 1;
@@ -161,6 +197,20 @@ class BatchingQueue {
     return in_flight_;
   }
 
+  // Fills out[0..6] = submitted, rejected, completed, timeouts, batches,
+  // batched_requests, latency_sum_us; out[7..38] = latency histogram.
+  void GetStats(int64_t* out) const {
+    std::lock_guard<std::mutex> lk(mu_);
+    out[0] = stats_.submitted;
+    out[1] = stats_.rejected;
+    out[2] = stats_.completed;
+    out[3] = stats_.timeouts;
+    out[4] = stats_.batches;
+    out[5] = stats_.batched_requests;
+    out[6] = stats_.latency_sum_us;
+    for (int i = 0; i < kLatBuckets; ++i) out[7 + i] = stats_.latency_hist[i];
+  }
+
  private:
   const int64_t max_batch_, timeout_us_, max_in_flight_;
   const int64_t num_dense_, num_sparse_, out_dim_;
@@ -171,6 +221,7 @@ class BatchingQueue {
   int64_t next_ticket_;
   int64_t in_flight_;
   bool stopped_;
+  Stats stats_;
 };
 
 }  // namespace
@@ -203,6 +254,9 @@ int64_t bq_wait_result(void* h, int64_t ticket, float* out,
 void bq_stop(void* h) { static_cast<BatchingQueue*>(h)->Stop(); }
 int64_t bq_in_flight(void* h) {
   return static_cast<BatchingQueue*>(h)->InFlight();
+}
+void bq_stats(void* h, int64_t* out) {
+  static_cast<BatchingQueue*>(h)->GetStats(out);
 }
 
 }  // extern "C"

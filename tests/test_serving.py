@@ -107,3 +107,32 @@ def test_end_to_end_with_jitted_predictor():
         np.testing.assert_allclose(r[0], want, rtol=1e-5)
     finally:
         svc.stop()
+
+
+def test_observer_stats():
+    """Observer counters (reference Observer.h: qps/latency/batch-size)."""
+    q = make_queue(max_in_flight=2)
+    svc_results = []
+
+    t1 = q.submit(np.array([1.0, 0.0]), np.array([1], np.int64),
+                  np.array([1, 0], np.int32))
+    t2 = q.submit(np.array([2.0, 0.0]), np.array([2], np.int64),
+                  np.array([1, 0], np.int32))
+    t3 = q.submit(np.array([3.0, 0.0]), np.array([3], np.int64),
+                  np.array([1, 0], np.int32))  # admission reject
+    assert t1 > 0 and t2 > 0 and t3 == 0
+
+    n, dense, ids, lengths, tickets = q.get_batch()
+    assert n == 2
+    q.put_results(tickets[:n], np.zeros((n, 1), np.float32))
+    q.wait_result(t1)
+    q.wait_result(t2)
+    s = q.stats()
+    assert s["submitted"] == 2
+    assert s["rejected"] == 1
+    assert s["completed"] == 2
+    assert s["timeouts"] == 0
+    assert s["batches"] == 1 and s["avg_batch_size"] == 2.0
+    assert s["mean_latency_ms"] >= 0.0
+    assert "p99_latency_ms" in s
+    q.stop()

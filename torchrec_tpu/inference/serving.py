@@ -59,6 +59,7 @@ def _lib() -> ctypes.CDLL:
     lib.bq_stop.argtypes = [ctypes.c_void_p]
     lib.bq_in_flight.restype = i64
     lib.bq_in_flight.argtypes = [ctypes.c_void_p]
+    lib.bq_stats.argtypes = [ctypes.c_void_p, p64]
     _LIB = lib
     return lib
 
@@ -147,6 +148,35 @@ class BatchingQueue:
     @property
     def in_flight(self) -> int:
         return int(self._lib.bq_in_flight(self._h))
+
+    def stats(self) -> dict:
+        """Observer counters (reference Observer.h QPS/latency observers):
+        totals, mean batch size, mean latency, and p50/p90/p99 estimated
+        from the log2-bucketed end-to-end latency histogram."""
+        raw = np.zeros((39,), np.int64)
+        self._lib.bq_stats(self._h, _p64(raw))
+        hist = raw[7:]
+        completed = int(raw[2])
+        out = {
+            "submitted": int(raw[0]),
+            "rejected": int(raw[1]),
+            "completed": completed,
+            "timeouts": int(raw[3]),
+            "batches": int(raw[4]),
+            "avg_batch_size": (
+                float(raw[5]) / raw[4] if raw[4] else 0.0
+            ),
+            "mean_latency_ms": (
+                float(raw[6]) / completed / 1e3 if completed else 0.0
+            ),
+        }
+        if completed:
+            cum = np.cumsum(hist)
+            for q in (0.5, 0.9, 0.99):
+                k = int(np.searchsorted(cum, q * completed))
+                # bucket k spans [2^k, 2^(k+1)) us; report the midpoint
+                out[f"p{int(q * 100)}_latency_ms"] = (1.5 * (1 << k)) / 1e3
+        return out
 
 
 class PredictionService:

@@ -1008,7 +1008,12 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                     acc, touched = self._small_acc_matmul(
                         gi, C, pooled_grad, b
                     )
-                st_s = {k: v[:small] for k, v in st.items()}
+                # row-shaped state slices to the small region; scalar
+                # state (e.g. the stochastic-rounding counter) passes whole
+                st_s = {
+                    k: v[:small] if v.ndim and v.shape[0] == total else v
+                    for k, v in st.items()
+                }
                 tbl_s, st_s = optimizer.dense_update(
                     tbl[:small], st_s, acc, touched, lr=lr
                 )
@@ -1025,7 +1030,12 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                     pooled_grad, seg_g, pooled_grad.shape[0], weights
                 )
                 acc, touched = accumulate_dense(ids_g, g_slots, valid_s, small)
-                st_s = {k: v[:small] for k, v in st.items()}
+                # row-shaped state slices to the small region; scalar
+                # state (e.g. the stochastic-rounding counter) passes whole
+                st_s = {
+                    k: v[:small] if v.ndim and v.shape[0] == total else v
+                    for k, v in st.items()
+                }
                 tbl_s, st_s = optimizer.dense_update(
                     tbl[:small], st_s, acc, touched, lr=lr
                 )

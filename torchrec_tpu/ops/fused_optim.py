@@ -46,14 +46,27 @@ __all__ = [
     "LAMB",
     "PartialRowWiseLAMB",
     "make_optimizer",
+    "stochastic_round_bf16",
 ]
 
 Params = Dict[str, jnp.ndarray]
 
 
+def stochastic_round_bf16(x: jnp.ndarray, bits: jnp.ndarray) -> jnp.ndarray:
+    """fp32 -> bf16 with stochastic rounding (FBGEMM's fused-optimizer
+    behavior for low-precision tables: add random low bits, truncate).
+    ``bits``: uint32 random bits of the same shape. E[result] == x, which
+    keeps tiny gradient steps from being swallowed by round-to-nearest."""
+    x = x.astype(jnp.float32)
+    xi = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    y = (xi + (bits & jnp.uint32(0xFFFF))) & jnp.uint32(0xFFFF0000)
+    out = jax.lax.bitcast_convert_type(y, jnp.float32).astype(jnp.bfloat16)
+    return jnp.where(jnp.isfinite(x), out, x.astype(jnp.bfloat16))
+
+
 def _scatter_add_rows(
     table: jnp.ndarray, unique_ids: jnp.ndarray, deltas: jnp.ndarray,
-    ids_sorted: bool = True,
+    ids_sorted: bool = True, sr_bits: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """table[unique_ids] += deltas for sorted all-distinct ids (OOB
     sentinels dropped). On TPU with lane-aligned rows this dispatches to the
@@ -65,17 +78,29 @@ def _scatter_add_rows(
         supports_row_scatter_add,
     )
 
-    if supports_row_scatter_add(table):
+    if supports_row_scatter_add(table) or sr_bits is not None:
         # XLA's row gather is issue-cheap (~13 ns/row); reading the old
         # rows in XLA and handing the kernel a WRITE-ONLY pass halves the
         # kernel's DMA issue cost vs the read-modify-write form
-        # (0.55 vs 1.00 ms at 20.5k rows into 1.4M x 128 on v5e)
+        # (0.55 vs 1.00 ms at 20.5k rows into 1.4M x 128 on v5e).
+        # Stochastic rounding needs the gather+write form too: the sum is
+        # computed fp32 and randomly rounded ONCE at the store.
         old_rows = jnp.take(
             table, unique_ids, axis=0, mode="fill", fill_value=0.0,
             indices_are_sorted=ids_sorted,
         )
-        return row_scatter_write(
-            table, unique_ids, old_rows + deltas.astype(table.dtype)
+        if sr_bits is not None:
+            new_rows = stochastic_round_bf16(
+                old_rows.astype(jnp.float32) + deltas.astype(jnp.float32),
+                sr_bits,
+            ).astype(table.dtype)
+        else:
+            new_rows = old_rows + deltas.astype(table.dtype)
+        if supports_row_scatter_add(table):
+            return row_scatter_write(table, unique_ids, new_rows)
+        return table.at[unique_ids].set(
+            new_rows, mode="drop", unique_indices=True,
+            indices_are_sorted=ids_sorted,
         )
     return table.at[unique_ids].add(
         deltas.astype(table.dtype),
@@ -87,9 +112,37 @@ def _scatter_add_rows(
 
 @dataclasses.dataclass(frozen=True)
 class EmbeddingOptimizer:
-    """Base: stateless config; state lives in an explicit pytree."""
+    """Base: stateless config; state lives in an explicit pytree.
+
+    ``stochastic_rounding`` (bf16 tables only; SGD / RowWiseAdagrad):
+    updates are computed fp32 and stochastically rounded at the store —
+    FBGEMM's fused-optimizer behavior for low-precision tables, which
+    keeps sub-ULP gradient steps from vanishing. The random stream is a
+    counter-derived PRNG carried in the optimizer state (``sr_step``), so
+    the update stays a pure function.
+    """
 
     learning_rate: float = 0.01
+    stochastic_rounding: bool = False
+
+    def _sr_state(self, table: jnp.ndarray) -> Params:
+        if not self.stochastic_rounding:
+            return {}
+        if table.dtype != jnp.bfloat16:
+            raise ValueError(
+                "stochastic_rounding requires bf16 tables, got "
+                f"{table.dtype}"
+            )
+        return {"sr_step": jnp.zeros((), jnp.uint32)}
+
+    def _sr_bits(self, state: Params, shape) -> tuple:
+        """-> (bits or None, state-with-advanced-counter)."""
+        if not self.stochastic_rounding:
+            return None, state
+        step = state["sr_step"]
+        key = jax.random.fold_in(jax.random.key(0x5317AB), step)
+        bits = jax.random.bits(key, shape, jnp.uint32)
+        return bits, {**state, "sr_step": step + 1}
 
     def init(self, table: jnp.ndarray) -> Params:
         raise NotImplementedError
@@ -128,7 +181,7 @@ class SGD(EmbeddingOptimizer):
     weight_decay: float = 0.0
 
     def init(self, table: jnp.ndarray) -> Params:
-        return {}
+        return self._sr_state(table)
 
     def update(self, table, state, unique_ids, unique_grads, lr=None,
                ids_sorted=True):
@@ -137,7 +190,9 @@ class SGD(EmbeddingOptimizer):
         if self.weight_decay:
             rows = jnp.take(table, unique_ids, axis=0, mode="fill", fill_value=0, indices_are_sorted=ids_sorted)
             g = g + self.weight_decay * rows.astype(jnp.float32)
-        new_table = _scatter_add_rows(table, unique_ids, -lr * g, ids_sorted=ids_sorted)
+        sr_bits, state = self._sr_bits(state, g.shape)
+        new_table = _scatter_add_rows(table, unique_ids, -lr * g,
+                                      ids_sorted=ids_sorted, sr_bits=sr_bits)
         return new_table, state
 
     def dense_update(self, table, state, grad, touched, lr=None):
@@ -147,6 +202,12 @@ class SGD(EmbeddingOptimizer):
             g = g + self.weight_decay * jnp.where(
                 touched[:, None], table.astype(jnp.float32), 0.0
             )
+        sr_bits, state = self._sr_bits(state, g.shape)
+        if sr_bits is not None:
+            new = stochastic_round_bf16(
+                table.astype(jnp.float32) - lr * g, sr_bits
+            ).astype(table.dtype)
+            return jnp.where(touched[:, None], new, table), state
         return (table - (lr * g).astype(table.dtype)), state
 
 
@@ -175,7 +236,8 @@ class RowWiseAdagrad(EmbeddingOptimizer):
         return {
             "momentum": jnp.full(
                 (table.shape[0],), self.initial_accumulator_value, jnp.float32
-            )
+            ),
+            **self._sr_state(table),
         }
 
     def update(self, table, state, unique_ids, unique_grads, lr=None,
@@ -192,8 +254,10 @@ class RowWiseAdagrad(EmbeddingOptimizer):
             indices_are_sorted=ids_sorted,
         )
         delta = -lr * g / (jnp.sqrt(mom_rows)[:, None] + self.eps)
-        new_table = _scatter_add_rows(table, unique_ids, delta, ids_sorted=ids_sorted)
-        return new_table, {"momentum": mom}
+        sr_bits, state = self._sr_bits(state, delta.shape)
+        new_table = _scatter_add_rows(table, unique_ids, delta,
+                                      ids_sorted=ids_sorted, sr_bits=sr_bits)
+        return new_table, {**state, "momentum": mom}
 
     def dense_update(self, table, state, grad, touched, lr=None):
         lr = self._lr(lr)
