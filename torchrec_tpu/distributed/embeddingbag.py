@@ -51,7 +51,7 @@ from torchrec_tpu.distributed.types import (
 )
 from torchrec_tpu.modules.embedding_modules import EmbeddingBagCollection
 from torchrec_tpu.ops.fused_optim import EmbeddingOptimizer
-from torchrec_tpu.ops.lookup import dedup_rows, grad_rows
+from torchrec_tpu.ops.lookup import dedup_rows_from_pooled
 from torchrec_tpu.sparse import KeyedJaggedTensor, KeyedTensor
 from torchrec_tpu.types import DataType, PoolingType, ShardingType
 
@@ -378,9 +378,8 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
             id_hi = jnp.asarray(c.id_hi)[d]
             blob_off = jnp.asarray(c.blob_off)[d]
             vf_pos = jnp.asarray(c.vf_pos)
-            n = values.shape[0]
             all_ids = []
-            all_g = []
+            all_seg = []
             all_valid = []
             for blk in range(c.max_blocks):
                 lo = jnp.take(id_lo[:, blk], slot_feature)
@@ -389,15 +388,28 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
                 pos = jnp.take(vf_pos[:, blk], slot_feature)
                 valid = (pos >= 0) & (values >= lo) & (values < hi)
                 local_id = jnp.clip(values - lo + off, 0, c.local_rows - 1)
-                seg_blk = jnp.where(valid, pos * b + slot_batch, oob)
-                g = grad_rows(pg_flat, seg_blk, oob, weights)
                 all_ids.append(local_id)
-                all_g.append(g)
+                all_seg.append(jnp.where(valid, pos * b + slot_batch, oob))
                 all_valid.append(valid)
-            ids_cat = jnp.concatenate(all_ids)
-            g_cat = jnp.concatenate(all_g)
-            valid_cat = jnp.concatenate(all_valid)
-            uids, ugrads = dedup_rows(ids_cat, g_cat, valid_cat, c.local_rows)
+            # int-only streams into the sorted dedup: gradient rows are
+            # gathered from the SMALL pg_flat in sorted order and run-summed
+            # sorted (the slot-order [N, D] materialization + unsorted
+            # segment-sum this used to do measured ~3x slower); POSITION
+            # layout skips the rank-compaction scatter (optimizer gets
+            # ids_sorted=False)
+            uids, ugrads = dedup_rows_from_pooled(
+                jnp.concatenate(all_ids),
+                jnp.concatenate(all_seg),
+                pg_flat,
+                jnp.concatenate(all_valid),
+                c.local_rows,
+                weights=(
+                    jnp.tile(weights, c.max_blocks)
+                    if weights is not None
+                    else None
+                ),
+                compact=False,
+            )
             grads[c.key] = (uids, ugrads)
         return grads
 
@@ -427,6 +439,7 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
                 uids,
                 ugrads,
                 lr=lr,
+                ids_sorted=False,  # position-layout dedup
             )
             new_params[c.key] = new_blob[None]
             new_states[c.key] = {k: v[None] for k, v in new_state.items()}

@@ -182,6 +182,7 @@ def dedup_rows_from_pooled(
     num_rows: int,
     unique_bound: Optional[int] = None,
     weights: Optional[jnp.ndarray] = None,
+    compact: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Fused grad-expansion + dedup, never materializing slot-order rows.
 
@@ -195,8 +196,12 @@ def dedup_rows_from_pooled(
     buffer** (``pooled_grad[seg[order]]``), so the single segment-sum runs
     with ``indices_are_sorted=True`` — the fast path.
 
-    Same contract as :func:`dedup_rows`: returns sorted all-distinct
-    ``unique_ids`` (out-of-range sentinels for padding) + combined grads.
+    ``compact=True`` (default): same contract as :func:`dedup_rows` —
+    sorted all-distinct ``unique_ids`` with out-of-range sentinels.
+    ``compact=False``: skip the rank-compaction scatter-min entirely
+    (~180 us at the headline shapes) and return the POSITION layout of
+    :func:`dedup_rows_from_sorted` — all-distinct but NOT ascending; pass
+    ``ids_sorted=False`` to the optimizer update.
     """
     n = ids.shape[0]
     s = pooled_grad.shape[0]
@@ -221,6 +226,11 @@ def dedup_rows_from_pooled(
     else:
         sk, ss, sw = jax.lax.sort((key, seg_m, weights), num_keys=1)
         sorted_ids, sorted_seg, w_sorted = sk[:u], ss[:u], sw[:u]
+    if not compact:
+        return dedup_rows_from_sorted(
+            sorted_ids, sorted_seg, pooled_grad, num_rows,
+            w_sorted=w_sorted,
+        )
     padded = jnp.concatenate(
         [pooled_grad, jnp.zeros((1, pooled_grad.shape[1]), pooled_grad.dtype)]
     )
