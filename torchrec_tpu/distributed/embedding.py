@@ -44,7 +44,7 @@ from torchrec_tpu.distributed.types import (
 )
 from torchrec_tpu.modules.embedding_modules import EmbeddingCollection
 from torchrec_tpu.ops.fused_optim import EmbeddingOptimizer
-from torchrec_tpu.ops.lookup import dedup_rows
+from torchrec_tpu.ops.lookup import dedup_rows_from_pooled
 from torchrec_tpu.sparse import JaggedTensor, KeyedJaggedTensor
 from torchrec_tpu.types import DataType
 
@@ -260,7 +260,18 @@ class ShardedEmbeddingCollection(ShardedCollectionBase):
             ids_cat = jnp.concatenate(all_ids)
             g_cat = jnp.concatenate(all_g)
             valid_cat = jnp.concatenate(all_valid)
-            grads[c.key] = dedup_rows(ids_cat, g_cat, valid_cat, c.local_rows)
+            # per-slot grads ARE the cotangent here (identity seg): the
+            # sorted dedup gathers them in run order and sums sorted —
+            # no unsorted segment-sum, no rank-compaction scatter
+            # (position layout; optimizer takes ids_sorted=False)
+            grads[c.key] = dedup_rows_from_pooled(
+                ids_cat,
+                jnp.arange(ids_cat.shape[0], dtype=jnp.int32),
+                g_cat,
+                valid_cat,
+                c.local_rows,
+                compact=False,
+            )
         return grads
 
     def apply_gradients_local(
@@ -288,6 +299,7 @@ class ShardedEmbeddingCollection(ShardedCollectionBase):
                 uids,
                 ugrads,
                 lr=lr,
+                ids_sorted=False,  # position-layout dedup
             )
             new_params[c.key] = new_blob[None]
             new_states[c.key] = {k: v[None] for k, v in new_state.items()}
