@@ -189,3 +189,62 @@ def test_v3_vbe_matches_v2(forced_v3):
         lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
         res["v2"][1], res["v3"][1],
     )
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    sizes=st.lists(
+        st.integers(min_value=3, max_value=40_000), min_size=1, max_size=4
+    ),
+    batch=st.integers(min_value=1, max_value=12),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_v3_property_equivalence(sizes, batch, seed):
+    """Random table sizes x batch: forced-v3 must match v2 exactly
+    (hypothesis analog of the reference's sharding sweeps)."""
+    rng = np.random.default_rng(seed)
+    tables = [
+        EmbeddingBagConfig(
+            name=f"t{i}", num_embeddings=r, embedding_dim=8,
+            feature_names=[f"f{i}"],
+        )
+        for i, r in enumerate(sizes)
+    ]
+    f = len(sizes)
+    ebc = EmbeddingBagCollection(tables, max_unique_gradient_rows=128)
+    params = ebc.init(jax.random.key(seed % 997))
+    opt = SGD(learning_rate=0.3)
+    states = ebc.init_optimizer(params, opt)
+    lengths = rng.integers(0, 4, size=(f * batch,)).astype(np.int32)
+    vals = np.concatenate(
+        [
+            rng.integers(
+                0, sizes[i],
+                size=int(lengths[i * batch: (i + 1) * batch].sum()),
+            )
+            for i in range(f)
+        ]
+    ).astype(np.int32) if lengths.sum() else np.zeros((0,), np.int32)
+    kjt = KeyedJaggedTensor.from_lengths(
+        [f"f{i}" for i in range(f)], jnp.asarray(vals), jnp.asarray(lengths)
+    )
+    cot = jnp.asarray(rng.normal(size=(batch, f * 8)).astype(np.float32))
+    res = {}
+    try:
+        for impl, force in [("v2", False), ("v3", True)]:
+            EmbeddingBagCollection._CM_IMPL = impl
+            EmbeddingBagCollection._CM_FORCE_V3 = force
+            out = np.asarray(ebc.apply(params, kjt).values())
+            p2, _ = ebc.apply_gradients(params, states, opt, kjt, cot)
+            res[impl] = (out, jax.tree.map(np.asarray, p2))
+    finally:
+        EmbeddingBagCollection._CM_IMPL = "v3"
+        EmbeddingBagCollection._CM_FORCE_V3 = False
+    np.testing.assert_allclose(res["v2"][0], res["v3"][0], atol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
+        res["v2"][1], res["v3"][1],
+    )
