@@ -267,3 +267,45 @@ class TestEmbeddingCollection:
                              feature_names=["f"])]
         )
         assert ec.embedding_dim() == 6
+
+
+class TestDebugEmbeddingBagCollection:
+    """Reference debug_embedding_modules.py: bounds + finite guards."""
+
+    def test_clean_passes_and_matches(self):
+        from torchrec_tpu.modules.debug import DebugEmbeddingBagCollection
+
+        ebc, params, nk, kjt, oracle_tables = ebc_fixture()
+        dbg = DebugEmbeddingBagCollection(ebc)
+        out = dbg.apply(params, kjt)  # must not raise
+        np.testing.assert_allclose(
+            np.asarray(out.values()),
+            np.asarray(ebc.apply(params, kjt).values()),
+            rtol=1e-6,
+        )
+
+    def test_out_of_bounds_id_caught(self):
+        import jax.numpy as jnp
+        from torchrec_tpu.modules.debug import DebugEmbeddingBagCollection
+        from torchrec_tpu.sparse import KeyedJaggedTensor
+
+        ebc, params, nk, kjt, _ = ebc_fixture()
+        bad_vals = kjt.values().at[0].set(10_000_000)
+        bad = KeyedJaggedTensor(
+            keys=kjt.keys(), values=bad_vals, lengths=kjt.lengths()
+        )
+        dbg = DebugEmbeddingBagCollection(ebc)
+        with pytest.raises(Exception, match="out of bounds"):
+            dbg.apply(params, bad)
+
+    def test_nonfinite_param_caught(self):
+        import jax.numpy as jnp
+        from torchrec_tpu.modules.debug import DebugEmbeddingBagCollection
+
+        ebc, params, nk, kjt, _ = ebc_fixture()
+        key = ebc.groups[0].key
+        bad_params = dict(params)
+        bad_params[key] = params[key].at[0, 0].set(jnp.nan)
+        dbg = DebugEmbeddingBagCollection(ebc)
+        with pytest.raises(Exception, match="non-finite"):
+            dbg.apply(bad_params, kjt)
