@@ -964,7 +964,9 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 sk, ss, sw, n_small = self._sorted_stream_v3(
                     gi, ids_g, seg_g, in_group, weights, b
                 )
-            if small < total:  # large rows: sort/dedup + sparse scatter
+            if small < total and ids_g.shape[0] > 0:
+                # large rows: sort/dedup + sparse scatter (zero-capacity
+                # batches have no slots -> nothing to update)
                 if v3:
                     u = min(self._max_unique, ids_g.shape[0])
                     uids, ugrads = dedup_rows_from_sorted(

@@ -205,6 +205,11 @@ def dedup_rows_from_pooled(
     """
     n = ids.shape[0]
     s = pooled_grad.shape[0]
+    if n == 0:  # zero-capacity stream (empty batch)
+        return (
+            jnp.zeros((0,), ids.dtype),
+            jnp.zeros((0, pooled_grad.shape[1]), pooled_grad.dtype),
+        )
     u = n if unique_bound is None or unique_bound >= n else unique_bound
     # SORT then slice: valid slots sort to the front (invalid -> num_rows
     # sentinel), so everything past the slot bound is padding and all
