@@ -309,3 +309,26 @@ class TestDebugEmbeddingBagCollection:
         dbg = DebugEmbeddingBagCollection(ebc)
         with pytest.raises(Exception, match="non-finite"):
             dbg.apply(bad_params, kjt)
+
+
+def test_lazy_init_wrapper():
+    """Reference lazy_extension.py: params materialize on first forward."""
+    from torchrec_tpu.modules.lazy_extension import LazyInit
+
+    ebc, params, nk, kjt, _ = ebc_fixture()
+    lazy = LazyInit(ebc, seed=0)
+    assert not lazy.initialized
+    assert lazy.feature_names() == ebc.feature_names()  # delegation
+    with pytest.raises(RuntimeError):
+        _ = lazy.params
+    out = lazy(kjt)
+    assert lazy.initialized
+    ref = ebc.apply(ebc.init(jax.random.key(0)), kjt)
+    np.testing.assert_allclose(
+        np.asarray(out.values()), np.asarray(ref.values()), rtol=1e-6
+    )
+    # second call reuses the same params
+    out2 = lazy(kjt)
+    np.testing.assert_array_equal(
+        np.asarray(out.values()), np.asarray(out2.values())
+    )

@@ -183,3 +183,62 @@ class TestShardedQuantTableWise:
             np.asarray(out.values()), np.asarray(ref.values()),
             rtol=1e-5, atol=1e-5,
         )
+
+
+from hypothesis import given, settings, strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    sizes=st.lists(
+        st.integers(min_value=2, max_value=5000), min_size=1, max_size=5
+    ),
+    dims=st.sampled_from([8, 16, 32]),
+    batch=st.integers(min_value=1, max_value=10),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_sharded_quant_property_equivalence(sizes, dims, batch, seed):
+    """Random tables x batch: TW all-to-one sharded quant must equal the
+    unsharded quant module exactly."""
+    from torchrec_tpu.inference.sharded_quant import (
+        ShardedQuantEmbeddingBagCollection,
+    )
+    from torchrec_tpu.modules import EmbeddingBagCollection, EmbeddingBagConfig
+    from torchrec_tpu.quant import QuantEmbeddingBagCollection
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+
+    rng = np.random.default_rng(seed)
+    tables = [
+        EmbeddingBagConfig(
+            name=f"t{i}", num_embeddings=r, embedding_dim=dims,
+            feature_names=[f"f{i}"],
+        )
+        for i, r in enumerate(sizes)
+    ]
+    f = len(sizes)
+    ebc = EmbeddingBagCollection(tables)
+    params = ebc.init(jax.random.key(seed % 991))
+    lengths = rng.integers(0, 4, size=(f * batch,)).astype(np.int32)
+    vals = (
+        np.concatenate(
+            [
+                rng.integers(
+                    0, sizes[i],
+                    size=int(lengths[i * batch: (i + 1) * batch].sum()),
+                )
+                for i in range(f)
+            ]
+        ).astype(np.int32)
+        if lengths.sum()
+        else np.zeros((0,), np.int32)
+    )
+    kjt = KeyedJaggedTensor.from_lengths(
+        [f"f{i}" for i in range(f)], jnp.asarray(vals), jnp.asarray(lengths)
+    )
+    qebc = QuantEmbeddingBagCollection(ebc, DataType.INT8)
+    qp = qebc.quantize_from(params)
+    ref = np.asarray(qebc.apply(qp, kjt).values())
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:8]), ("serve",))
+    sq = ShardedQuantEmbeddingBagCollection(qebc, mesh)
+    out = np.asarray(sq.apply(sq.shard_qparams(qp), kjt).values())
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
