@@ -545,7 +545,8 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
     #   "v2": row-granular one-hot segment-sum (~2.5 ns/slot).
     #   "v1": flat scalar scatter-add (~9.6 ns/slot).
     _CM_IMPL = "v3"
-    _CM_FORCE_V3 = False  # tests: run v3 with interpret kernels off-TPU
+    _CM_FORCE_V3 = False
+    _CM_PACKED_SORT = True  # single-u32 packed sort when (key, seg) fit  # tests: run v3 with interpret kernels off-TPU
 
     def _cm_impl(self, gi: int, weights) -> str:
         impl = self._CM_IMPL
@@ -576,7 +577,22 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
         n_gf = len(self._group_features[gi])
         key = jnp.where(in_group, ids_g, total)
         seg = jnp.where(in_group, seg_g, n_gf * b)
-        if weights is None:
+        seg_bits = max((n_gf * b + 1).bit_length(), 1)
+        if self._CM_PACKED_SORT and (total + 1) < (1 << (32 - seg_bits)):
+            # pack (key, seg) into ONE uint32 sort operand: (key << bits) |
+            # seg sorts by key first (seg co-sorts inside ties, harmless);
+            # one fewer payload through the sort network
+            packed = (
+                key.astype(jnp.uint32) << seg_bits
+            ) | seg.astype(jnp.uint32)
+            if weights is None:
+                (sp,) = jax.lax.sort((packed,), num_keys=1)
+                sw = None
+            else:
+                sp, sw = jax.lax.sort((packed, weights), num_keys=1)
+            sk = (sp >> seg_bits).astype(jnp.int32)
+            ss = (sp & jnp.uint32((1 << seg_bits) - 1)).astype(jnp.int32)
+        elif weights is None:
             sk, ss = jax.lax.sort((key, seg), num_keys=1)
             sw = None
         else:
