@@ -44,6 +44,7 @@ from torchrec_tpu.ops.lookup import (
     grad_rows,
     pooled_lookup,
     sequence_lookup,
+    sorted_window,
 )
 
 def _on_tpu() -> bool:
@@ -770,20 +771,13 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 total = g.total_rows
                 u = min(self._max_unique, ids_g.shape[0])
                 valid_l = in_group & (ids_g >= g.small_rows)
-                key_l = jnp.where(valid_l, ids_g, total)
-                seg_l = jnp.where(valid_l, seg_g, n_gf * b)
-                # multi-operand sort co-sorts the payloads inside the sort
-                # network — no permutation gathers (20.5k scalar gathers
-                # cost 0.14 ms EACH on TPU). Shared with the backward (CSE).
-                if weights is None:
-                    sk, ss = jax.lax.sort((key_l, seg_l), num_keys=1)
-                    sids, sseg = sk[:u], ss[:u]
-                    w_s = None
-                else:
-                    sk, ss, sw = jax.lax.sort(
-                        (key_l, seg_l, weights), num_keys=1
-                    )
-                    sids, sseg, w_s = sk[:u], ss[:u], sw[:u]
+                # shared sorted window (lookup.sorted_window: packed-u32
+                # sort when (id, seg) fit) — the identical expression in
+                # dedup_rows_from_pooled makes XLA CSE the two sorts
+                sids, sseg, w_s = sorted_window(
+                    ids_g, seg_g, valid_l, total, n_gf * b,
+                    unique_bound=self._max_unique, weights=weights,
+                )
                 rows = jnp.take(
                     table_f32, jnp.minimum(sids, total - 1), axis=0,
                     indices_are_sorted=True,

@@ -30,6 +30,7 @@ __all__ = [
     "grad_rows",
     "dedup_rows",
     "dedup_rows_from_pooled",
+    "sorted_window",
     "dedup_rows_from_sorted",
     "accumulate_dense",
 ]
@@ -174,6 +175,49 @@ def compact_stream(
     return tuple(outs)
 
 
+def sorted_window(
+    ids: jnp.ndarray,
+    seg: jnp.ndarray,
+    valid: jnp.ndarray,
+    num_rows: int,
+    num_segments: int,
+    unique_bound: Optional[int] = None,
+    weights: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+    """Sort the slot stream by id (invalid -> num_rows sentinel, sorts to
+    the back) and slice the leading ``unique_bound`` window. Packs (id,
+    seg) into ONE u32 sort operand when they fit (~25 us/step cheaper than
+    a second payload at headline shapes). Shared by the forward compact
+    gather and the backward dedup so XLA CSEs the sort across the step.
+    Returns (sorted_ids, sorted_seg, sorted_weights)."""
+    n = ids.shape[0]
+    u = n if unique_bound is None or unique_bound >= n else unique_bound
+    key = jnp.where(valid, ids, num_rows)
+    seg_m = jnp.where(valid, jnp.minimum(seg, num_segments), num_segments)
+    seg_bits = max((num_segments + 1).bit_length(), 1)
+    if (num_rows + 1) < (1 << (32 - seg_bits)):
+        packed = (
+            key.astype(jnp.uint32) << seg_bits
+        ) | seg_m.astype(jnp.uint32)
+        if weights is None:
+            (sp,) = jax.lax.sort((packed,), num_keys=1)
+            w_sorted = None
+        else:
+            sp, sw = jax.lax.sort((packed, weights), num_keys=1)
+            w_sorted = sw[:u]
+        sp = sp[:u]
+        return (
+            (sp >> seg_bits).astype(jnp.int32),
+            (sp & jnp.uint32((1 << seg_bits) - 1)).astype(jnp.int32),
+            w_sorted,
+        )
+    if weights is None:
+        sk, ss = jax.lax.sort((key, seg_m), num_keys=1)
+        return sk[:u], ss[:u], None
+    sk, ss, sw = jax.lax.sort((key, seg_m, weights), num_keys=1)
+    return sk[:u], ss[:u], sw[:u]
+
+
 def dedup_rows_from_pooled(
     ids: jnp.ndarray,
     seg: jnp.ndarray,
@@ -213,24 +257,11 @@ def dedup_rows_from_pooled(
     u = n if unique_bound is None or unique_bound >= n else unique_bound
     # SORT then slice: valid slots sort to the front (invalid -> num_rows
     # sentinel), so everything past the slot bound is padding and all
-    # row-width work below runs on [u] instead of [N]. (XLA's argsort is
-    # fast on TPU — ~40 us at 106k int32 — while a cumsum-rank compaction
-    # measured ~0.5 ms; sort-and-slice wins.)
-    key = jnp.where(valid, ids, num_rows)
-    # invalid slots' segments are masked after the sort anyway; using the
-    # same where-expression as the forward's sort makes the two sorts
-    # IDENTICAL so XLA CSEs them into one
-    seg_m = jnp.where(valid, jnp.minimum(seg, s), s)
-    # multi-operand sort co-sorts payloads in the sort network (no scalar
-    # permutation gathers — 7 ns/element on TPU); identical expression to
-    # the forward's sort so XLA CSEs the two
-    if weights is None:
-        sk, ss = jax.lax.sort((key, seg_m), num_keys=1)
-        sorted_ids, sorted_seg = sk[:u], ss[:u]
-        w_sorted = None
-    else:
-        sk, ss, sw = jax.lax.sort((key, seg_m, weights), num_keys=1)
-        sorted_ids, sorted_seg, w_sorted = sk[:u], ss[:u], sw[:u]
+    # row-width work below runs on [u] instead of [N]; the shared helper
+    # keeps the expression identical to the forward's sort for CSE
+    sorted_ids, sorted_seg, w_sorted = sorted_window(
+        ids, seg, valid, num_rows, s, unique_bound, weights
+    )
     if not compact:
         return dedup_rows_from_sorted(
             sorted_ids, sorted_seg, pooled_grad, num_rows,
