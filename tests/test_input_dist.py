@@ -1,0 +1,181 @@
+"""Bucketized (KJT-all-to-all) input distribution correctness.
+
+Reference analog: torchrec RW/TW input dists
+(torchrec/distributed/sharding/rw_sharding.py:361 RwSparseFeaturesDist,
+torchrec/distributed/dist_data.py:1137 KJTAllToAll) — validated here the
+same way the replicated path is: sharded-vs-unsharded numerical equivalence
+on the 8-virtual-device CPU mesh, forward AND one fused-optimizer step,
+plus the scaling property (per-device slot stream is O(global/W)) and the
+capacity-overflow counter contract.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from torchrec_tpu.distributed import (
+    ShardedEmbeddingBagCollection,
+    ShardingEnv,
+    column_wise,
+    construct_module_sharding_plan,
+    data_parallel,
+    grid_shard,
+    row_wise,
+    table_row_wise,
+    table_wise,
+)
+from torchrec_tpu.distributed.input_dist import shard_kjt_arrays
+from torchrec_tpu.modules import EmbeddingBagCollection, EmbeddingBagConfig
+from torchrec_tpu.ops import SGD, RowWiseAdagrad
+from torchrec_tpu.types import PoolingType
+from tests.utils import make_numpy_kjt, to_kjt
+
+WORLD = 8
+
+
+def build(pooling=PoolingType.SUM, weighted=False):
+    rows = [64, 40, 100, 7]
+    dims = (128, 128, 256, 128)
+    feature_names = [["f0", "f1"], ["f2"], ["f3"], ["f4"]]
+    tables = [
+        EmbeddingBagConfig(
+            name=f"t{i}", num_embeddings=rows[i], embedding_dim=dims[i],
+            feature_names=feature_names[i], pooling=pooling,
+        )
+        for i in range(4)
+    ]
+    ebc = EmbeddingBagCollection(tables, is_weighted=weighted)
+    params = ebc.init(jax.random.key(0))
+    rng = np.random.default_rng(42)
+    feat_rows = {"f0": 64, "f1": 64, "f2": 40, "f3": 100, "f4": 7}
+    nk = make_numpy_kjt(
+        rng, list(feat_rows), batch_size=WORLD * 2,
+        num_embeddings=feat_rows, max_length=5, weighted=weighted,
+    )
+    return ebc, params, to_kjt(nk, capacity=512), tables
+
+
+def env():
+    return ShardingEnv.from_devices(jax.devices()[:WORLD], local_size=4)
+
+
+PLANS = {
+    "table_wise": lambda: {
+        "t0": table_wise(0), "t1": table_wise(3),
+        "t2": table_wise(5), "t3": table_wise(7),
+    },
+    "row_wise": lambda: {
+        "t0": row_wise(), "t1": row_wise(),
+        "t2": row_wise(), "t3": row_wise(),
+    },
+    "mixed": lambda: {
+        "t0": table_wise(2), "t1": row_wise(),
+        "t2": column_wise(ranks=[0, 4]), "t3": data_parallel(),
+    },
+    "twrw_grid": lambda: {
+        "t0": table_row_wise(0), "t1": grid_shard(),
+        "t2": column_wise(ranks=[3, 4]), "t3": table_row_wise(1),
+    },
+}
+
+
+def _sharded(ebc, tables, plan_name, **kw):
+    e = env()
+    plan = construct_module_sharding_plan(tables, PLANS[plan_name](), e)
+    kw.setdefault("a2a_capacity_factor", float(WORLD))  # no-drop capacity
+    return ShardedEmbeddingBagCollection(ebc, plan, e, **kw)
+
+
+@pytest.mark.parametrize("plan_name", list(PLANS))
+def test_bucketized_step_equivalence(plan_name):
+    """Forward + one fused SGD step match the unsharded oracle."""
+    ebc, params, kjt, tables = build()
+    sebc = _sharded(ebc, tables, plan_name)
+    sparams = sebc.shard_params(params)
+    expected = ebc.apply(params, kjt)
+    got = sebc.apply_bucketized(sparams, kjt)
+    np.testing.assert_allclose(
+        np.asarray(got.values()), np.asarray(expected.values()),
+        rtol=1e-4, atol=1e-4,
+    )
+    opt = SGD(learning_rate=0.1)
+    new_u, _ = ebc.apply_gradients(
+        params, ebc.init_optimizer(params, opt), opt, kjt,
+        jnp.ones_like(expected.values()),
+    )
+    new_s, _ = sebc.apply_gradients_bucketized(
+        sparams, sebc.init_optimizer(sparams, opt), opt, kjt,
+        jnp.ones_like(expected.values()),
+    )
+    exp_t = ebc.split_params(new_u)
+    got_t = sebc.unshard_params(new_s)
+    for t in tables:
+        np.testing.assert_allclose(
+            got_t[t.name], np.asarray(exp_t[t.name]), rtol=1e-4, atol=1e-4
+        )
+
+
+@pytest.mark.parametrize(
+    "pooling,weighted",
+    [(PoolingType.MEAN, False), (PoolingType.SUM, True)],
+)
+def test_bucketized_pooling_variants(pooling, weighted):
+    ebc, params, kjt, tables = build(pooling=pooling, weighted=weighted)
+    sebc = _sharded(ebc, tables, "mixed")
+    sparams = sebc.shard_params(params)
+    expected = ebc.apply(params, kjt)
+    got = sebc.apply_bucketized(sparams, kjt)
+    np.testing.assert_allclose(
+        np.asarray(got.values()), np.asarray(expected.values()),
+        rtol=1e-4, atol=1e-4,
+    )
+    opt = RowWiseAdagrad(learning_rate=0.1)
+    new_s, _ = sebc.apply_gradients_bucketized(
+        sparams, sebc.init_optimizer(sparams, opt), opt, kjt,
+        jnp.ones_like(expected.values()),
+    )
+    new_u, _ = ebc.apply_gradients(
+        params, ebc.init_optimizer(params, opt), opt, kjt,
+        jnp.ones_like(expected.values()),
+    )
+    exp_t = ebc.split_params(new_u)
+    got_t = sebc.unshard_params(new_s)
+    for t in tables:
+        np.testing.assert_allclose(
+            got_t[t.name], np.asarray(exp_t[t.name]), rtol=1e-4, atol=1e-4
+        )
+
+
+def test_per_device_stream_scales_inverse_world():
+    """THE scaling property: per-device exchanged slot capacity is
+    O(global ids / W), not O(global ids) like the replicated path."""
+    ebc, params, kjt, tables = build()
+    sebc = _sharded(ebc, tables, "row_wise", a2a_capacity_factor=2.0)
+    vals, lens, wts = shard_kjt_arrays(kjt, WORLD)
+    cap_global = kjt.capacity
+    cap_local = vals.shape[1]
+    assert cap_local <= -(-cap_global // WORLD) + 8  # input is 1/W
+    # the received (lookup/dedup) stream is factor * cap_local, still ~1/W
+    # of the global stream the replicated path scans on every device
+    for c in sebc._classes:
+        recv_cap = int(2.0 * cap_local * c.max_blocks)
+        recv_cap = -(-max(recv_cap, WORLD) // WORLD) * WORLD
+        assert recv_cap * 2 < cap_global * c.max_blocks
+
+
+def test_overflow_counter_and_exactness_when_capacity_tight():
+    """Slots beyond receive capacity are DROPPED and counted (documented
+    contract, like max_unique_gradient_rows): a table-wise plan
+    concentrates every slot of a table on one device, so a small capacity
+    factor must report drops; a no-drop factor reports zero."""
+    ebc, params, kjt, tables = build()
+    tight = _sharded(ebc, tables, "table_wise", a2a_capacity_factor=1.0)
+    sparams = tight.shard_params(params)
+    _, dropped = tight.apply_bucketized(sparams, kjt, return_dropped=True)
+    assert int(dropped) > 0
+    roomy = _sharded(ebc, tables, "table_wise")
+    _, dropped0 = roomy.apply_bucketized(
+        roomy.shard_params(params), kjt, return_dropped=True
+    )
+    assert int(dropped0) == 0

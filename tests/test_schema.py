@@ -64,8 +64,11 @@ def test_sharding_schema():
         ShardingEnv,
     )
 
+    # a2a_capacity_factor/exchange_mode configure the bucketized
+    # (KJT-all-to-all) input distribution path
     assert sig_params(ShardedEmbeddingBagCollection.__init__) == [
-        "self", "ebc", "plan", "env", "qcomms",
+        "self", "ebc", "plan", "env", "qcomms", "a2a_capacity_factor",
+        "exchange_mode",
     ]
     assert sig_params(ShardedEmbeddingCollection.__init__) == [
         "self", "ec", "plan", "env",
@@ -94,10 +97,12 @@ def test_optimizer_schema():
     from torchrec_tpu.ops.fused_optim import EmbeddingOptimizer
 
     # ids_sorted: position-layout dedup (v3) passes False so the XLA
-    # sorted-gather/scatter hints stay honest
+    # sorted-gather/scatter hints stay honest. ids_in_bounds: blobs with a
+    # write-kernel scratch tail (TableGroup.scratch_rows) pass True to take
+    # the branch-free scatter.
     assert sig_params(EmbeddingOptimizer.update) == [
         "self", "table", "state", "unique_ids", "unique_grads", "lr",
-        "ids_sorted",
+        "ids_sorted", "ids_in_bounds",
     ]
     assert sig_params(EmbeddingOptimizer.dense_update) == [
         "self", "table", "state", "grad", "touched", "lr",

@@ -75,15 +75,25 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
         plan: EmbeddingModuleShardingPlan,
         env: ShardingEnv,
         qcomms=None,
+        a2a_capacity_factor: float = 2.0,
+        exchange_mode: Optional[str] = None,
     ):
         """``qcomms``: optional distributed.qcomms.QCommsConfig — casts the
         pooled-output collective (forward) and gradient all-gather
         (backward) payloads to reduced precision (reference QCommsConfig,
-        fbgemm_qcomm_codec.py:55)."""
+        fbgemm_qcomm_codec.py:55).
+
+        ``a2a_capacity_factor``/``exchange_mode`` configure the bucketized
+        input-distribution path (``apply_local_bucketized``): the receive
+        buffer holds ``factor * cap_local * max_blocks`` slots, and the
+        exchange primitive is ``"ragged"`` (TPU) or ``"padded"`` (portable);
+        ``None`` auto-selects per backend."""
         self._ebc = ebc
         self._plan = plan
         self._env = env
         self._qcomms = qcomms
+        self._a2a_factor = a2a_capacity_factor
+        self._exchange_mode = exchange_mode
         self._all_tables = list(ebc._tables)
         tables = {t.name: t for t in ebc._tables}
         f_count = len(ebc._feature_names)
@@ -485,6 +495,360 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
                 new_params[f"dp_{g.key}"] = new_t
                 new_states[f"dp_{g.key}"] = new_s
         return new_params, new_states
+
+    # ------------------------------------------- bucketized input dist path
+    # Reference: RwSparseFeaturesDist (sharding/rw_sharding.py:361) +
+    # KJTAllToAll (dist_data.py:1137). Each device holds only its LOCAL
+    # batch's slot stream; ids are bucketized by owner and exchanged
+    # (ragged or padded all-to-all, distributed/input_dist.py), so lookup,
+    # sort and dedup all run on O(global ids / world) slots — the scaling
+    # property the replicated-input path lacks.
+
+    def _local_kjt(self, values, lengths, weights):
+        return KeyedJaggedTensor(
+            keys=self._ebc._feature_names,
+            values=values,
+            lengths=lengths,
+            weights=weights,
+        )
+
+    def _bucketized_streams(self, kjt_local: KeyedJaggedTensor, d):
+        """Shared fwd/bwd prefix: owner-bucketize + exchange per class.
+        Identical expressions in forward and backward let XLA CSE the sort
+        and the collective across the step."""
+        from torchrec_tpu.distributed.input_dist import (
+            bucketize_for_class,
+            default_exchange_mode,
+            exchange,
+        )
+
+        w = self._env.world_size
+        kjt, b_local, f, seg, slot_feature, slot_batch = self._slot_arrays(
+            kjt_local
+        )
+        values = kjt.values()
+        weights = kjt.weights() if self._ebc.is_weighted() else None
+        valid = slot_feature < f
+        mode = self._exchange_mode or default_exchange_mode()
+        streams = {}
+        for c in self._classes:
+            cap = values.shape[0] * c.max_blocks
+            recv_cap = max(int(self._a2a_factor * cap), w)
+            recv_cap = -(-recv_cap // w) * w  # padded mode needs W | cap
+            ops = bucketize_for_class(
+                c, values, slot_feature, slot_batch, valid, weights,
+                b_local, d, w,
+            )
+            recvd, rvalid, dropped = exchange(
+                ops, recv_cap, self._env.shard_axis, w, mode
+            )
+            w_recv = recvd[2] if weights is not None else None
+            streams[c.key] = (recvd[0], recvd[1], w_recv, rvalid, dropped)
+        return kjt, b_local, streams
+
+    def apply_local_bucketized(
+        self,
+        params: Params,
+        values: jnp.ndarray,  # [cap_local] this device's batch slot stream
+        lengths: jnp.ndarray,  # [F, B_local]
+        weights: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Bucketized sharded forward (inside shard_map): LOCAL batch KJT
+        arrays in, batch-sharded ``[B_local, total_dim]`` out, plus the
+        a2a-capacity overflow count (psum'd scalar — surface as a metric)."""
+        axis = self._env.shard_axis
+        w = self._env.world_size
+        d = jax.lax.axis_index(axis)
+        kjt_local = self._local_kjt(values, lengths, weights)
+        kjt, b_local, streams = self._bucketized_streams(kjt_local, d)
+        b_global = b_local * w
+        lengths_g = jax.lax.all_gather(
+            kjt.lengths(), axis, axis=1, tiled=True
+        )  # [F, B_global]
+
+        out = jnp.zeros((b_local, self._total_dim), jnp.float32)
+        dropped = jnp.zeros((), jnp.int32)
+        for c in self._classes:
+            rows_l, pool_seg, w_recv, rvalid, drp = streams[c.key]
+            dropped = dropped + drp
+            blob = params[c.key]
+            blob = blob.reshape(blob.shape[-2], blob.shape[-1])
+            table = (
+                blob.astype(jnp.float32)
+                if c.data_type != DataType.FP32
+                else blob
+            )
+            rows = jnp.take(
+                table, jnp.clip(rows_l, 0, c.local_rows - 1), axis=0
+            )
+            if w_recv is not None:
+                rows = rows * w_recv[:, None].astype(rows.dtype)
+            rows = jnp.where(rvalid[:, None], rows, 0.0)
+            oobg = c.num_vf * b_global
+            pooled = jax.ops.segment_sum(
+                rows, jnp.where(rvalid, pool_seg, oobg), num_segments=oobg
+            ).reshape(c.num_vf, b_global, c.width)
+            scale = self._mean_scale(c, lengths_g, b_global)
+            if scale is not None:
+                pooled = pooled * scale[:, :, None]
+            pooled = jnp.transpose(pooled, (1, 0, 2))  # [B_g, num_vf, width]
+            if self._qcomms is not None:
+                from torchrec_tpu.distributed.qcomms import decode, encode
+
+                pooled = decode(
+                    jax.lax.psum_scatter(
+                        encode(pooled, self._qcomms.forward_precision),
+                        axis,
+                        scatter_dimension=0,
+                        tiled=True,
+                    ),
+                    self._qcomms.forward_precision,
+                )
+            else:
+                pooled = jax.lax.psum_scatter(
+                    pooled, axis, scatter_dimension=0, tiled=True
+                )  # [B_local, num_vf, width]
+            for i, fi in enumerate(c.vf_feature):
+                col = int(self._feature_col_off[fi]) + c.vf_col_start[i]
+                out = jax.lax.dynamic_update_slice(
+                    out, pooled[:, i, :], (0, col)
+                )
+        if self._dp_ebc is not None:
+            dp_params = {
+                g.key: params[f"dp_{g.key}"] for g in self._dp_ebc.groups
+            }
+            kt = self._dp_ebc.apply(dp_params, kjt_local)
+            dp_dims = dict(zip(kt.keys(), kt.length_per_key()))
+            off = 0
+            for key in kt.keys():
+                fi = self._ebc._feature_names.index(key)
+                col = int(self._feature_col_off[fi])
+                out = jax.lax.dynamic_update_slice(
+                    out,
+                    kt.values()[:, off : off + dp_dims[key]].astype(
+                        jnp.float32
+                    ),
+                    (0, col),
+                )
+                off += dp_dims[key]
+        return out, jax.lax.psum(dropped, axis)
+
+    def apply_gradients_local_bucketized(
+        self,
+        params: Params,
+        opt_states,
+        optimizer: EmbeddingOptimizer,
+        values: jnp.ndarray,
+        lengths: jnp.ndarray,
+        weights: Optional[jnp.ndarray],
+        out_grad: jnp.ndarray,  # [B_local, total_dim]
+        lr=None,
+    ):
+        """Bucketized fused backward + update (inside shard_map): dedup and
+        the sparse update run on the O(ids/world) received stream."""
+        axis = self._env.shard_axis
+        w = self._env.world_size
+        d = jax.lax.axis_index(axis)
+        kjt_local = self._local_kjt(values, lengths, weights)
+        kjt, b_local, streams = self._bucketized_streams(kjt_local, d)
+        b_global = b_local * w
+        lengths_g = jax.lax.all_gather(
+            kjt.lengths(), axis, axis=1, tiled=True
+        )
+        if self._qcomms is not None:
+            from torchrec_tpu.distributed.qcomms import decode, encode
+
+            q = self._qcomms
+            scale_q = q.backward_loss_scale
+            payload = out_grad * scale_q if scale_q else out_grad
+            full_grad = decode(
+                jax.lax.all_gather(
+                    encode(payload, q.backward_precision), axis, axis=0,
+                    tiled=True,
+                ),
+                q.backward_precision,
+            )
+            full_grad = full_grad / scale_q if scale_q else full_grad
+        else:
+            full_grad = jax.lax.all_gather(
+                out_grad, axis, axis=0, tiled=True
+            )  # [B_global, total_dim]
+
+        new_params = dict(params)
+        new_states = dict(opt_states)
+        for c in self._classes:
+            rows_l, pool_seg, w_recv, rvalid, _drp = streams[c.key]
+            pg = jnp.stack(
+                [
+                    jax.lax.dynamic_slice(
+                        full_grad,
+                        (
+                            0,
+                            int(self._feature_col_off[fi])
+                            + c.vf_col_start[i],
+                        ),
+                        (b_global, c.width),
+                    )
+                    for i, fi in enumerate(c.vf_feature)
+                ],
+                axis=0,
+            )  # [num_vf, B_global, width]
+            scale = self._mean_scale(c, lengths_g, b_global)
+            if scale is not None:
+                pg = pg * scale[:, :, None]
+            pg_flat = pg.reshape(c.num_vf * b_global, c.width)
+            uids, ugrads = dedup_rows_from_pooled(
+                rows_l,
+                pool_seg,
+                pg_flat,
+                rvalid,
+                c.local_rows,
+                weights=w_recv,
+                compact=False,
+            )
+            blob = params[c.key]
+            state = {
+                k: v.reshape(v.shape[1:])
+                for k, v in opt_states[c.key].items()
+            }
+            new_blob, new_state = optimizer.update(
+                blob.reshape(blob.shape[-2], blob.shape[-1]),
+                state,
+                uids,
+                ugrads,
+                lr=lr,
+                ids_sorted=False,  # position-layout dedup
+            )
+            new_params[c.key] = new_blob[None]
+            new_states[c.key] = {k: v[None] for k, v in new_state.items()}
+        if self._dp_ebc is not None:
+            dp_grads_cols = []
+            dp_keys = self._dp_ebc.feature_names()
+            for key in dp_keys:
+                fi = self._ebc._feature_names.index(key)
+                col = int(self._feature_col_off[fi])
+                dp_grads_cols.append(
+                    jax.lax.dynamic_slice(
+                        out_grad,
+                        (0, col),
+                        (out_grad.shape[0], self._dims[fi]),
+                    )
+                )
+            kt_grad = jnp.concatenate(dp_grads_cols, axis=1)
+            dp_params = {
+                g.key: params[f"dp_{g.key}"] for g in self._dp_ebc.groups
+            }
+            dp_states = {
+                g.key: opt_states[f"dp_{g.key}"] for g in self._dp_ebc.groups
+            }
+            dg = self._dp_ebc.dense_grads(kjt_local, kt_grad)
+            for g in self._dp_ebc.groups:
+                acc, touched = dg[g.key]
+                acc = jax.lax.psum(acc, axis)
+                touched = (
+                    jax.lax.psum(touched.astype(jnp.int32), axis) > 0
+                )
+                new_t, new_s = optimizer.dense_update(
+                    dp_params[g.key], dp_states[g.key], acc, touched, lr=lr
+                )
+                new_params[f"dp_{g.key}"] = new_t
+                new_states[f"dp_{g.key}"] = new_s
+        return new_params, new_states
+
+    def apply_bucketized(
+        self,
+        params: Params,
+        kjt: KeyedJaggedTensor,
+        return_dropped: bool = False,
+    ):
+        """Standalone bucketized forward: host-splits the global KJT into
+        per-device batch streams, then runs the a2a path under shard_map.
+        ``return_dropped=True`` additionally returns the global count of
+        slots lost to a2a receive capacity (feed it to the metrics stack)."""
+        from jax import shard_map
+
+        from torchrec_tpu.distributed.input_dist import shard_kjt_arrays
+
+        mesh = self._env.mesh
+        axis = self._env.shard_axis
+        w = self._env.world_size
+        P = jax.sharding.PartitionSpec
+        param_specs = self._param_specs()
+        vals, lens, wts = shard_kjt_arrays(
+            kjt.select_keys(self._ebc._feature_names), w
+        )
+
+        def body(p, v, l, wt):
+            out, dropped = self.apply_local_bucketized(
+                p, v.reshape(v.shape[1:]), l.reshape(l.shape[1:]),
+                None if wt is None else wt.reshape(wt.shape[1:]),
+            )
+            return out, dropped
+
+        in_specs = (param_specs, P(axis), P(axis), None if wts is None else P(axis))
+        fn = shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=(P(axis), P()),
+            check_vma=False,
+        )
+        vals_out, dropped = jax.jit(fn)(params, vals, lens, wts)
+        kt = KeyedTensor(
+            keys=self.feature_names(),
+            length_per_key=self._dims,
+            values=vals_out,
+        )
+        return (kt, dropped) if return_dropped else kt
+
+    def apply_gradients_bucketized(
+        self,
+        params: Params,
+        opt_states,
+        optimizer: EmbeddingOptimizer,
+        kjt: KeyedJaggedTensor,
+        out_grad: jnp.ndarray,
+        lr=None,
+    ):
+        """Standalone bucketized backward + fused update."""
+        from jax import shard_map
+
+        from torchrec_tpu.distributed.input_dist import shard_kjt_arrays
+
+        mesh = self._env.mesh
+        axis = self._env.shard_axis
+        w = self._env.world_size
+        P = jax.sharding.PartitionSpec
+        param_specs = self._param_specs()
+        state_specs = {
+            k: jax.tree_util.tree_map(
+                lambda v: P(axis, *([None] * (v.ndim - 1)))
+                if not k.startswith("dp_")
+                else P(),
+                opt_states[k],
+            )
+            for k in opt_states
+        }
+        vals, lens, wts = shard_kjt_arrays(
+            kjt.select_keys(self._ebc._feature_names), w
+        )
+
+        def body(p, s, v, l, wt, g):
+            return self.apply_gradients_local_bucketized(
+                p, s, optimizer,
+                v.reshape(v.shape[1:]), l.reshape(l.shape[1:]),
+                None if wt is None else wt.reshape(wt.shape[1:]),
+                g, lr=lr,
+            )
+
+        fn = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(
+                param_specs, state_specs, P(axis), P(axis),
+                None if wts is None else P(axis), P(axis),
+            ),
+            out_specs=(param_specs, state_specs),
+            check_vma=False,
+        )
+        return jax.jit(fn)(params, opt_states, vals, lens, wts, out_grad)
 
     # -------------------------------------------------- standalone wrappers
     def apply(self, params: Params, kjt: KeyedJaggedTensor) -> KeyedTensor:

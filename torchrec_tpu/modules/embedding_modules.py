@@ -89,16 +89,32 @@ class TableGroup:
     table_rows: Tuple[int, ...]  # rows per table, stacking order
     row_offsets: Tuple[int, ...]  # start row of each table in the stack
     small_rows: int = 0  # rows [0, small_rows) take the dense-update path
+    # dead rows appended to the physical blob so the branch-free Pallas
+    # write kernel can park dedup sentinels (always in
+    # [total_rows, total_rows + window)) at real addresses instead of
+    # branching per row; zero-initialized, never read, stay exactly zero
+    # (sentinel positions carry zero gradients)
+    scratch_rows: int = 0
 
     @property
     def total_rows(self) -> int:
+        """LOGICAL rows (sum of member tables) — sentinel/OOB boundary."""
         return self.row_offsets[-1] + self.table_rows[-1]
+
+    @property
+    def padded_rows(self) -> int:
+        """PHYSICAL blob rows (logical + write-kernel scratch tail)."""
+        return self.total_rows + self.scratch_rows
 
 
 class _EmbeddingCollectionBase:
     """Shared grouping/layout logic for EBC and EC."""
 
-    def __init__(self, tables: Sequence[BaseEmbeddingConfig]):
+    def __init__(
+        self,
+        tables: Sequence[BaseEmbeddingConfig],
+        scratch_window: Optional[int] = None,
+    ):
         if not tables:
             raise ValueError("at least one table config required")
         seen = set()
@@ -143,6 +159,13 @@ class _EmbeddingCollectionBase:
                 off += tables[ti].num_embeddings
                 if tables[ti].num_embeddings <= DENSE_GRAD_ROWS_THRESHOLD:
                     small_rows = off
+            # scratch tail for the branch-free write kernel: only groups
+            # with a large region take the sort/dedup + Pallas-scatter
+            # backward, and only a bounded window (scratch_window =
+            # max_unique_gradient_rows) produces sentinels
+            scratch = 0
+            if scratch_window is not None and small_rows < off:
+                scratch = -(-scratch_window // 1024) * 1024
             g = TableGroup(
                 key=f"group_d{dim}_{dt.value.lower()}",
                 dim=dim,
@@ -151,6 +174,7 @@ class _EmbeddingCollectionBase:
                 table_rows=tuple(rows),
                 row_offsets=tuple(offsets),
                 small_rows=small_rows,
+                scratch_rows=scratch,
             )
             gi = len(self._groups)
             self._groups.append(g)
@@ -208,6 +232,8 @@ class _EmbeddingCollectionBase:
                 t = next(t for t in self._tables if t.name == tname)
                 sub = jax.random.fold_in(key, hash(tname) % (2**31))
                 parts.append(t.get_weight_init_fn()(sub, (rows, g.dim), dtype))
+            if g.scratch_rows:
+                parts.append(jnp.zeros((g.scratch_rows, g.dim), dtype))
             params[g.key] = jnp.concatenate(parts, axis=0)
         return params
 
@@ -229,8 +255,13 @@ class _EmbeddingCollectionBase:
         self, params: Params, optimizer: "EmbeddingOptimizer"
     ) -> Dict[str, Dict[str, jnp.ndarray]]:
         """Per-group fused optimizer state (TBE-internal state analog,
-        batched_embedding_kernel.py:1215)."""
-        return {g.key: optimizer.init(params[g.key]) for g in self._groups}
+        batched_embedding_kernel.py:1215). State covers LOGICAL rows only —
+        the write-kernel scratch tail carries no optimizer state (sentinel
+        scatters drop against the logical bound)."""
+        return {
+            g.key: optimizer.init(params[g.key][: g.total_rows])
+            for g in self._groups
+        }
 
     def _prep(self, kjt: KeyedJaggedTensor):
         """Align the KJT to this module's feature order; compute shared
@@ -276,7 +307,7 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
         bound instead of the full padded stream. UNCHECKED: if exceeded,
         excess slots' gradients are dropped (like the reference trusting
         ParameterConstraints.pooling_factors)."""
-        super().__init__(tables)
+        super().__init__(tables, scratch_window=max_unique_gradient_rows)
         self._is_weighted = is_weighted
         self._max_unique = max_unique_gradient_rows
         self._poolings: List[PoolingType] = [
@@ -991,9 +1022,17 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                         unique_bound=self._max_unique, weights=weights,
                     )
                 # v3's position-layout ids interleave OOB sentinels with
-                # real rows — not ascending
+                # real rows — not ascending. When the blob carries a scratch
+                # tail, every sentinel (always < total + u <= padded_rows -
+                # chunk pad) is a real address — the write kernel runs
+                # branch-free with one aggregated wait per chunk
+                in_bounds = (
+                    g.scratch_rows > 0
+                    and tbl.shape[0] == g.padded_rows
+                )
                 tbl, st = optimizer.update(
-                    tbl, st, uids, ugrads, lr=lr, ids_sorted=not v3
+                    tbl, st, uids, ugrads, lr=lr, ids_sorted=not v3,
+                    ids_in_bounds=in_bounds,
                 )
             if small > 0 and use_cm:
                 # count-matmul fast path (C is CSE-shared with the forward)

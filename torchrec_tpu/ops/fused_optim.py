@@ -67,6 +67,7 @@ def stochastic_round_bf16(x: jnp.ndarray, bits: jnp.ndarray) -> jnp.ndarray:
 def _scatter_add_rows(
     table: jnp.ndarray, unique_ids: jnp.ndarray, deltas: jnp.ndarray,
     ids_sorted: bool = True, sr_bits: jnp.ndarray | None = None,
+    ids_in_bounds: bool = False,
 ) -> jnp.ndarray:
     """table[unique_ids] += deltas for sorted all-distinct ids (OOB
     sentinels dropped). On TPU with lane-aligned rows this dispatches to the
@@ -97,7 +98,9 @@ def _scatter_add_rows(
         else:
             new_rows = old_rows + deltas.astype(table.dtype)
         if supports_row_scatter_add(table):
-            return row_scatter_write(table, unique_ids, new_rows)
+            return row_scatter_write(
+                table, unique_ids, new_rows, in_bounds=ids_in_bounds
+            )
         return table.at[unique_ids].set(
             new_rows, mode="drop", unique_indices=True,
             indices_are_sorted=ids_sorted,
@@ -155,6 +158,7 @@ class EmbeddingOptimizer:
         unique_grads: jnp.ndarray,
         lr: jnp.ndarray | float | None = None,
         ids_sorted: bool = True,
+        ids_in_bounds: bool = False,
     ) -> Tuple[jnp.ndarray, Params]:
         raise NotImplementedError
 
@@ -184,7 +188,7 @@ class SGD(EmbeddingOptimizer):
         return self._sr_state(table)
 
     def update(self, table, state, unique_ids, unique_grads, lr=None,
-               ids_sorted=True):
+               ids_sorted=True, ids_in_bounds=False):
         lr = self._lr(lr)
         g = unique_grads.astype(jnp.float32)
         if self.weight_decay:
@@ -192,7 +196,8 @@ class SGD(EmbeddingOptimizer):
             g = g + self.weight_decay * rows.astype(jnp.float32)
         sr_bits, state = self._sr_bits(state, g.shape)
         new_table = _scatter_add_rows(table, unique_ids, -lr * g,
-                                      ids_sorted=ids_sorted, sr_bits=sr_bits)
+                                      ids_sorted=ids_sorted, sr_bits=sr_bits,
+                                      ids_in_bounds=ids_in_bounds)
         return new_table, state
 
     def dense_update(self, table, state, grad, touched, lr=None):
@@ -241,7 +246,7 @@ class RowWiseAdagrad(EmbeddingOptimizer):
         }
 
     def update(self, table, state, unique_ids, unique_grads, lr=None,
-               ids_sorted=True):
+               ids_sorted=True, ids_in_bounds=False):
         lr = self._lr(lr)
         g = unique_grads.astype(jnp.float32)
         if self.weight_decay:
@@ -256,7 +261,8 @@ class RowWiseAdagrad(EmbeddingOptimizer):
         delta = -lr * g / (jnp.sqrt(mom_rows)[:, None] + self.eps)
         sr_bits, state = self._sr_bits(state, delta.shape)
         new_table = _scatter_add_rows(table, unique_ids, delta,
-                                      ids_sorted=ids_sorted, sr_bits=sr_bits)
+                                      ids_sorted=ids_sorted, sr_bits=sr_bits,
+                                      ids_in_bounds=ids_in_bounds)
         return new_table, {**state, "momentum": mom}
 
     def dense_update(self, table, state, grad, touched, lr=None):
@@ -296,7 +302,7 @@ class Adam(EmbeddingOptimizer):
         }
 
     def update(self, table, state, unique_ids, unique_grads, lr=None,
-               ids_sorted=True):
+               ids_sorted=True, ids_in_bounds=False):
         lr = self._lr(lr)
         g = unique_grads.astype(jnp.float32)
         if self.weight_decay:
@@ -313,7 +319,7 @@ class Adam(EmbeddingOptimizer):
         m_hat = m_new / (1 - self.beta1 ** t)[:, None]
         v_hat = v_new / (1 - self.beta2 ** t)[:, None]
         delta = -lr * m_hat / (jnp.sqrt(v_hat) + self.eps)
-        new_table = _scatter_add_rows(table, unique_ids, delta, ids_sorted=ids_sorted)
+        new_table = _scatter_add_rows(table, unique_ids, delta, ids_sorted=ids_sorted, ids_in_bounds=ids_in_bounds)
         return new_table, {"m": m, "v": v, "steps": steps}
 
     def dense_update(self, table, state, grad, touched, lr=None):
@@ -351,7 +357,7 @@ class PartialRowWiseAdam(EmbeddingOptimizer):
         }
 
     def update(self, table, state, unique_ids, unique_grads, lr=None,
-               ids_sorted=True):
+               ids_sorted=True, ids_in_bounds=False):
         lr = self._lr(lr)
         g = unique_grads.astype(jnp.float32)
         steps = state["steps"].at[unique_ids].add(1, mode="drop", unique_indices=True, indices_are_sorted=ids_sorted)
@@ -365,7 +371,7 @@ class PartialRowWiseAdam(EmbeddingOptimizer):
         m_hat = m_new / (1 - self.beta1 ** t)[:, None]
         v_hat = v_new / (1 - self.beta2 ** t)
         delta = -lr * m_hat / (jnp.sqrt(v_hat)[:, None] + self.eps)
-        new_table = _scatter_add_rows(table, unique_ids, delta, ids_sorted=ids_sorted)
+        new_table = _scatter_add_rows(table, unique_ids, delta, ids_sorted=ids_sorted, ids_in_bounds=ids_in_bounds)
         return new_table, {"m": m, "v": v, "steps": steps}
 
     def dense_update(self, table, state, grad, touched, lr=None):
@@ -400,7 +406,7 @@ class Adagrad(EmbeddingOptimizer):
         }
 
     def update(self, table, state, unique_ids, unique_grads, lr=None,
-               ids_sorted=True):
+               ids_sorted=True, ids_in_bounds=False):
         lr = self._lr(lr)
         g = unique_grads.astype(jnp.float32)
         s = state["sum"].at[unique_ids].add(
@@ -409,7 +415,7 @@ class Adagrad(EmbeddingOptimizer):
         s_rows = jnp.take(s, unique_ids, axis=0, mode="fill", fill_value=1.0,
                           indices_are_sorted=ids_sorted)
         delta = -lr * g / (jnp.sqrt(s_rows) + self.eps)
-        return _scatter_add_rows(table, unique_ids, delta, ids_sorted=ids_sorted), {"sum": s}
+        return _scatter_add_rows(table, unique_ids, delta, ids_sorted=ids_sorted, ids_in_bounds=ids_in_bounds), {"sum": s}
 
     def dense_update(self, table, state, grad, touched, lr=None):
         lr = self._lr(lr)
@@ -442,7 +448,7 @@ class LarsSGD(EmbeddingOptimizer):
         return jnp.where(wn > 0, ratio, 1.0)
 
     def update(self, table, state, unique_ids, unique_grads, lr=None,
-               ids_sorted=True):
+               ids_sorted=True, ids_in_bounds=False):
         lr = self._lr(lr)
         g = unique_grads.astype(jnp.float32)
         w_rows = jnp.take(table, unique_ids, axis=0, mode="fill", fill_value=0,
@@ -456,7 +462,7 @@ class LarsSGD(EmbeddingOptimizer):
         m = state["m"].at[unique_ids].set(
             m_new, mode="drop", unique_indices=True, indices_are_sorted=ids_sorted
         )
-        return _scatter_add_rows(table, unique_ids, -m_new, ids_sorted=ids_sorted), {"m": m}
+        return _scatter_add_rows(table, unique_ids, -m_new, ids_sorted=ids_sorted, ids_in_bounds=ids_in_bounds), {"m": m}
 
     def dense_update(self, table, state, grad, touched, lr=None):
         lr = self._lr(lr)
@@ -491,13 +497,13 @@ class LAMB(EmbeddingOptimizer):
             "steps": jnp.zeros((table.shape[0],), jnp.int32),
         }
 
-    def _row_v(self, state, unique_ids, g, ids_sorted=True):
+    def _row_v(self, state, unique_ids, g, ids_sorted=True, ids_in_bounds=False):
         v_rows = jnp.take(state["v"], unique_ids, axis=0, mode="fill",
                           fill_value=0, indices_are_sorted=ids_sorted)
         return self.beta2 * v_rows + (1 - self.beta2) * g * g
 
     def update(self, table, state, unique_ids, unique_grads, lr=None,
-               ids_sorted=True):
+               ids_sorted=True, ids_in_bounds=False):
         lr = self._lr(lr)
         g = unique_grads.astype(jnp.float32)
         steps = state["steps"].at[unique_ids].add(
@@ -526,7 +532,7 @@ class LAMB(EmbeddingOptimizer):
         v = state["v"].at[unique_ids].set(
             v_new, mode="drop", unique_indices=True, indices_are_sorted=ids_sorted
         )
-        return _scatter_add_rows(table, unique_ids, delta, ids_sorted=ids_sorted), {
+        return _scatter_add_rows(table, unique_ids, delta, ids_sorted=ids_sorted, ids_in_bounds=ids_in_bounds), {
             "m": m, "v": v, "steps": steps,
         }
 
@@ -563,14 +569,14 @@ class PartialRowWiseLAMB(LAMB):
             "steps": jnp.zeros((table.shape[0],), jnp.int32),
         }
 
-    def _row_v(self, state, unique_ids, g, ids_sorted=True):
+    def _row_v(self, state, unique_ids, g, ids_sorted=True, ids_in_bounds=False):
         v_rows = jnp.take(state["v"], unique_ids, mode="fill", fill_value=0,
                           indices_are_sorted=ids_sorted)
         v_new = self.beta2 * v_rows + (1 - self.beta2) * jnp.mean(g * g, axis=1)
         return v_new[:, None]
 
     def update(self, table, state, unique_ids, unique_grads, lr=None,
-               ids_sorted=True):
+               ids_sorted=True, ids_in_bounds=False):
         # the [R]-shaped v needs its own scatter; reuse LAMB via a view
         lr = self._lr(lr)
         g = unique_grads.astype(jnp.float32)
@@ -602,7 +608,7 @@ class PartialRowWiseLAMB(LAMB):
         v = state["v"].at[unique_ids].set(
             v_new, mode="drop", unique_indices=True, indices_are_sorted=ids_sorted
         )
-        return _scatter_add_rows(table, unique_ids, delta, ids_sorted=ids_sorted), {
+        return _scatter_add_rows(table, unique_ids, delta, ids_sorted=ids_sorted, ids_in_bounds=ids_in_bounds), {
             "m": m, "v": v, "steps": steps,
         }
 
