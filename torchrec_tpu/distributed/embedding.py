@@ -337,6 +337,275 @@ class ShardedEmbeddingCollection(ShardedCollectionBase):
                 new_states[f"dp_{g.key}"] = new_s
         return new_params, new_states
 
+    # ------------------------------------------- bucketized input dist path
+    # Reference: RW sequence sharding (rw_sequence_sharding.py:57-284) —
+    # bucketized ids to owners, per-id rows back via the transpose exchange
+    # (SequenceEmbeddingsAllToAll, dist_data.py:1974). Per-device work is
+    # O(global ids / world); outputs are the LOCAL batch's row streams
+    # (batch-sharded), unlike the replicated-psum path above.
+
+    def _bucketized_streams(self, kjt_local: KeyedJaggedTensor, a2a_factor):
+        from torchrec_tpu.distributed.input_dist import (
+            bucketize_sequence_for_class,
+            default_exchange_mode,
+            exchange,
+        )
+
+        w = self._env.world_size
+        kjt, b, f, slot_feature = self._slot_arrays(kjt_local)
+        values = kjt.values()
+        valid = slot_feature < f
+        mode = default_exchange_mode()
+        streams = {}
+        for c in self._classes:
+            cap = values.shape[0] * c.max_blocks
+            recv_cap = -(-max(int(a2a_factor * cap), w) // w) * w
+            owner, rows_send, pos_send = bucketize_sequence_for_class(
+                c, values, slot_feature, valid, w
+            )
+            recvd, rvalid, dropped, route = exchange(
+                (owner, rows_send), recv_cap, self._env.shard_axis, w, mode
+            )
+            streams[c.key] = (
+                owner, pos_send, recvd[0], rvalid, dropped, route,
+            )
+        return kjt, streams
+
+    def apply_local_bucketized(
+        self,
+        params: Params,
+        values: jnp.ndarray,  # [cap_local] this device's slot stream
+        lengths: jnp.ndarray,  # [F, B_local]
+        a2a_factor: float = 2.0,
+    ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+        """Bucketized sequence forward (inside shard_map): LOCAL slot
+        streams in, LOCAL per-class row streams out
+        (``{class key: [cap_local, max_blocks*width]}``), plus the a2a
+        overflow count. Dropped slots produce zero rows."""
+        from torchrec_tpu.distributed.input_dist import reverse_exchange
+
+        axis = self._env.shard_axis
+        w = self._env.world_size
+        kjt_local = KeyedJaggedTensor(
+            keys=self._feature_names, values=values, lengths=lengths
+        )
+        kjt, streams = self._bucketized_streams(kjt_local, a2a_factor)
+        cap = kjt.values().shape[0]
+        out: Dict[str, jnp.ndarray] = {}
+        dropped = jnp.zeros((), jnp.int32)
+        for c in self._classes:
+            owner, pos_send, rows_l, rvalid, drp, route = streams[c.key]
+            dropped = dropped + drp
+            blob = params[c.key]
+            blob = blob.reshape(blob.shape[-2], blob.shape[-1])
+            table = (
+                blob.astype(jnp.float32)
+                if c.data_type != DataType.FP32
+                else blob
+            )
+            rows = jnp.take(
+                table, jnp.clip(rows_l, 0, c.local_rows - 1), axis=0
+            )
+            rows = jnp.where(rvalid[:, None], rows, 0.0)
+            back = reverse_exchange(route, rows, axis, w)  # sorted order
+            # unsort to stream order, then split blocks along the dim axis
+            stream = jnp.zeros((cap * c.max_blocks, c.width), jnp.float32)
+            stream = stream.at[pos_send].set(back, unique_indices=True)
+            out[c.key] = jnp.concatenate(
+                [
+                    stream[blk * cap : (blk + 1) * cap]
+                    for blk in range(c.max_blocks)
+                ],
+                axis=1,
+            )  # [cap_local, MB*width]
+        if self._dp is not None:
+            dp_params = {g.key: params[f"dp_{g.key}"] for g in self._dp.groups}
+            out["dp"] = self._dp_rows(dp_params, kjt)
+        return out, jax.lax.psum(dropped, axis)
+
+    def apply_gradients_local_bucketized(
+        self,
+        params: Params,
+        opt_states: Dict[str, Dict[str, jnp.ndarray]],
+        optimizer: EmbeddingOptimizer,
+        values: jnp.ndarray,
+        lengths: jnp.ndarray,
+        cot: Dict[str, jnp.ndarray],  # LOCAL stream cotangents
+        lr=None,
+        a2a_factor: float = 2.0,
+    ) -> Tuple[Params, Dict[str, Dict[str, jnp.ndarray]]]:
+        """Bucketized sequence backward: cotangent rows travel the forward
+        exchange (transpose of the reverse), dedup + fused update run on the
+        O(ids/world) received stream."""
+        from torchrec_tpu.distributed.input_dist import exchange
+
+        axis = self._env.shard_axis
+        w = self._env.world_size
+        kjt_local = KeyedJaggedTensor(
+            keys=self._feature_names, values=values, lengths=lengths
+        )
+        kjt, streams = self._bucketized_streams(kjt_local, a2a_factor)
+        cap = kjt.values().shape[0]
+        from torchrec_tpu.distributed.input_dist import default_exchange_mode
+
+        mode = default_exchange_mode()
+        new_params = dict(params)
+        new_states = dict(opt_states)
+        for c in self._classes:
+            owner, pos_send, rows_l, rvalid, _drp, route = streams[c.key]
+            g_stream = cot[c.key]  # [cap, MB*width]
+            g_cat = jnp.concatenate(
+                [
+                    g_stream[:, blk * c.width : (blk + 1) * c.width]
+                    for blk in range(c.max_blocks)
+                ],
+                axis=0,
+            )  # [cap*MB, width]
+            g_sorted = jnp.take(g_cat, pos_send, axis=0)
+            recv_cap = rows_l.shape[0]
+            (g_recv,), _rv, _dr, _rt = exchange(
+                (owner, g_sorted), recv_cap, axis, w, mode
+            )
+            uids, ugrads = dedup_rows_from_pooled(
+                rows_l,
+                jnp.arange(recv_cap, dtype=jnp.int32),
+                g_recv,
+                rvalid,
+                c.local_rows,
+                compact=False,
+            )
+            blob = params[c.key]
+            state = {
+                k: v.reshape(v.shape[1:])
+                for k, v in opt_states[c.key].items()
+            }
+            new_blob, new_state = optimizer.update(
+                blob.reshape(blob.shape[-2], blob.shape[-1]),
+                state,
+                uids,
+                ugrads,
+                lr=lr,
+                ids_sorted=False,  # position-layout dedup
+            )
+            new_params[c.key] = new_blob[None]
+            new_states[c.key] = {k: v[None] for k, v in new_state.items()}
+        if self._dp is not None and "dp" in cot:
+            from torchrec_tpu.ops.lookup import accumulate_dense
+
+            kjt_sel, b, f_all, slot_feature = self._slot_arrays(kjt_local)
+            values_s = kjt_sel.values()
+            valid_slot = kjt_sel.valid_mask()
+            for g in self._dp.groups:
+                roff = np.zeros(f_all + 1, np.int32)
+                member = np.zeros(f_all + 1, np.bool_)
+                for gi_name, off in zip(g.table_names, g.row_offsets):
+                    for fi, name in enumerate(self._feature_names):
+                        t = self._ec._tables[self._ec._feature_table[fi]]
+                        if t.name == gi_name:
+                            roff[fi] = off
+                            member[fi] = True
+                ids_g = values_s + jnp.take(jnp.asarray(roff), slot_feature)
+                valid = (
+                    jnp.take(jnp.asarray(member), slot_feature) & valid_slot
+                )
+                gr = cot["dp"][:, : g.dim]
+                acc, touched = accumulate_dense(
+                    jnp.clip(ids_g, 0, g.total_rows - 1), gr, valid,
+                    g.total_rows,
+                )
+                # unlike the replicated path, local batches DIFFER per
+                # device — combine before the replicated update
+                acc = jax.lax.psum(acc, axis)
+                touched = jax.lax.psum(touched.astype(jnp.int32), axis) > 0
+                new_t, new_s = optimizer.dense_update(
+                    params[f"dp_{g.key}"],
+                    opt_states[f"dp_{g.key}"],
+                    acc,
+                    touched,
+                    lr=lr,
+                )
+                new_params[f"dp_{g.key}"] = new_t
+                new_states[f"dp_{g.key}"] = new_s
+        return new_params, new_states
+
+    def apply_bucketized(
+        self, params: Params, kjt: KeyedJaggedTensor
+    ) -> Dict[str, JaggedTensor]:
+        """Standalone bucketized sequence forward: host-splits the KJT,
+        runs the a2a path, and reassembles global per-feature JaggedTensors
+        (oracle-comparable with the unsharded EmbeddingCollection)."""
+        from jax import shard_map
+
+        from torchrec_tpu.distributed.input_dist import shard_kjt_arrays
+
+        mesh = self._env.mesh
+        axis = self._env.shard_axis
+        w = self._env.world_size
+        P = jax.sharding.PartitionSpec
+        param_specs = self._param_specs()
+        kjt_mat = kjt.select_keys(self._feature_names).materialize()
+        vals, lens, _wts, pos = shard_kjt_arrays(
+            kjt_mat, w, return_positions=True
+        )
+
+        def body(p, v, l):
+            streams, dropped = self.apply_local_bucketized(
+                p, v.reshape(v.shape[1:]), l.reshape(l.shape[1:]),
+                a2a_factor=float(w),
+            )
+            return streams, dropped
+
+        out_specs = (
+            {
+                **{c.key: P(axis) for c in self._classes},
+                **({"dp": P(axis)} if self._dp is not None else {}),
+            },
+            P(),
+        )
+        fn = shard_map(
+            body, mesh=mesh, in_specs=(param_specs, P(axis), P(axis)),
+            out_specs=out_specs, check_vma=False,
+        )
+        streams, _dropped = jax.jit(fn)(params, vals, lens)
+        # host reassembly: local slot (dev, j) -> materialized stream pos
+        cap_local = vals.shape[1]
+        per_feature_local = {}
+        for c in self._classes:
+            arr = np.asarray(jax.device_get(streams[c.key]))
+            per_feature_local[c.key] = arr.reshape(w, cap_local, -1)
+        if self._dp is not None:
+            arr = np.asarray(jax.device_get(streams["dp"]))
+            per_feature_local["dp"] = arr.reshape(w, cap_local, -1)
+        pos_np = np.asarray(pos)
+        cap_g = kjt_mat.capacity
+        full: Dict[str, np.ndarray] = {}
+        for key, arr in per_feature_local.items():
+            stream = np.zeros((cap_g, arr.shape[-1]), np.float32)
+            for dvc in range(w):
+                ok = pos_np[dvc] >= 0
+                stream[pos_np[dvc][ok]] = arr[dvc][ok]
+            full[key] = stream
+        # per-feature views (same slicing as rows_per_feature)
+        rows: List[Optional[np.ndarray]] = [None] * len(self._feature_names)
+        for c in self._classes:
+            for i, fi in enumerate(c.vf_feature):
+                if rows[fi] is None:
+                    rows[fi] = full[c.key][:, : self._dims[fi]]
+        if self._dp is not None:
+            for name in self._dp.feature_names():
+                fi = self._feature_names.index(name)
+                rows[fi] = full["dp"][:, : self._dims[fi]]
+        offsets_pk = kjt_mat.offset_per_key()
+        lengths_g = kjt_mat.lengths()
+        out: Dict[str, JaggedTensor] = {}
+        for fi, name in enumerate(self._feature_names):
+            start = offsets_pk[fi]
+            out[name] = JaggedTensor(
+                values=_roll_rows(jnp.asarray(rows[fi]), start),
+                lengths=lengths_g[fi],
+            )
+        return out
+
     # -------------------------------------------------- standalone wrappers
     def apply(
         self, params: Params, kjt: KeyedJaggedTensor

@@ -539,7 +539,7 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
                 c, values, slot_feature, slot_batch, valid, weights,
                 b_local, d, w,
             )
-            recvd, rvalid, dropped = exchange(
+            recvd, rvalid, dropped, _route = exchange(
                 ops, recv_cap, self._env.shard_axis, w, mode
             )
             w_recv = recvd[2] if weights is not None else None

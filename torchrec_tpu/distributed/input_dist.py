@@ -51,10 +51,35 @@ import numpy as np
 
 __all__ = [
     "BucketizedStream",
+    "StackedSparse",
     "bucketize_for_class",
     "exchange",
     "default_exchange_mode",
+    "shard_kjt_arrays",
+    "stack_sparse",
 ]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StackedSparse:
+    """Per-device sparse batch streams for the bucketized input dist:
+    leading axis = device (feed through shard_map with P(shard) specs).
+    The input-pipeline analog of the reference's per-rank KJT batches."""
+
+    values: jnp.ndarray  # [W, cap_local] global ids
+    lengths: jnp.ndarray  # [W, F, B_local]
+    weights: Optional[jnp.ndarray]  # [W, cap_local] or None
+
+    def local(self):
+        """Strip the leading device axis (call inside shard_map)."""
+        return (
+            self.values.reshape(self.values.shape[1:]),
+            self.lengths.reshape(self.lengths.shape[1:]),
+            None
+            if self.weights is None
+            else self.weights.reshape(self.weights.shape[1:]),
+        )
 
 
 class BucketizedStream(NamedTuple):
@@ -144,6 +169,55 @@ def bucketize_for_class(
     return jax.lax.sort(tuple(ops), num_keys=1)
 
 
+def bucketize_sequence_for_class(
+    c,  # distributed/_layout.py WidthClass
+    values: jnp.ndarray,  # [cap_local] global ids
+    slot_feature: jnp.ndarray,  # [cap_local] logical feature (pad -> F)
+    slot_valid: jnp.ndarray,  # [cap_local] bool
+    world: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Sequence-path variant of :func:`bucketize_for_class`: instead of a
+    pooling segment, the third operand is the slot's position in the
+    concatenated ``[cap_local * max_blocks]`` stream, so the rows returned
+    by :func:`reverse_exchange` can be unsorted back to slot order.
+
+    Returns ``(owner, local_rows, stream_pos)`` sorted ascending by owner.
+    """
+    id_lo = jnp.asarray(c.id_lo)
+    id_hi = jnp.asarray(c.id_hi)
+    blob_off = jnp.asarray(c.blob_off)
+    vf_pos = jnp.asarray(c.vf_pos)
+    owners, rows = [], []
+    for blk in range(c.max_blocks):
+        pos = jnp.take(vf_pos[:, blk], slot_feature)
+        lo = jnp.take(id_lo[:, :, blk], slot_feature, axis=1)  # [W, cap]
+        hi = jnp.take(id_hi[:, :, blk], slot_feature, axis=1)
+        off = jnp.take(blob_off[:, :, blk], slot_feature, axis=1)
+        hit = (
+            (values[None, :] >= lo)
+            & (values[None, :] < hi)
+            & (hi > lo)
+            & (pos >= 0)[None, :]
+            & slot_valid[None, :]
+        )
+        any_hit = jnp.any(hit, axis=0)
+        dev_iota = jnp.arange(world, dtype=jnp.int32)[:, None]
+        owner = jnp.where(
+            any_hit,
+            jnp.sum(jnp.where(hit, dev_iota, 0), axis=0),
+            jnp.int32(world),
+        )
+        local_row = jnp.sum(
+            jnp.where(hit, values[None, :] - lo + off, 0), axis=0
+        )
+        owners.append(owner)
+        rows.append(local_row.astype(jnp.int32))
+    owner = jnp.concatenate(owners)
+    local_rows = jnp.concatenate(rows)
+    stream_pos = jnp.arange(owner.shape[0], dtype=jnp.int32)
+    return jax.lax.sort((owner, local_rows, stream_pos), num_keys=1)
+
+
 def _owner_counts(sorted_owner: jnp.ndarray, world: int) -> jnp.ndarray:
     """Per-destination slot counts from the owner-sorted key stream."""
     bounds = jnp.searchsorted(
@@ -158,13 +232,14 @@ def exchange(
     axis_name: str,
     world: int,
     mode: str = "padded",
-) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray, jnp.ndarray]:
+) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray, jnp.ndarray, dict]:
     """All-to-all the owner-sorted payloads to their owners.
 
-    Returns ``(received_payloads, valid [recv_cap] bool, dropped scalar)``.
-    ``received_payloads`` mirrors ``sorted_ops[1:]``; entries where
-    ``valid`` is False are junk. ``dropped`` counts slots THIS device failed
-    to deliver (capacity clamp), psum'able for a global counter.
+    Returns ``(received_payloads, valid [recv_cap] bool, dropped scalar,
+    route)``. ``received_payloads`` mirrors ``sorted_ops[1:]``; entries
+    where ``valid`` is False are junk. ``dropped`` counts slots THIS device
+    failed to deliver (capacity clamp), psum'able for a global counter.
+    ``route`` feeds :func:`reverse_exchange` (sequence output dist).
     """
     owner = sorted_ops[0]
     payloads = sorted_ops[1:]
@@ -210,7 +285,17 @@ def exchange(
         valid = jnp.arange(recv_cap, dtype=jnp.int32) < total_recv
         # ragged-a2a output positions are packed [sum recv_sizes) by
         # construction of out_off
-        return tuple(recvd), valid, dropped
+        route = {
+            "mode": "ragged",
+            "n_send": owner.shape[0],
+            "recv_cap": recv_cap,
+            "owner": owner,
+            "in_off": in_off,
+            "send_ok": send_ok,
+            "send_sizes": send_sizes,
+            "recv_sizes": recv_sizes,
+        }
+        return tuple(recvd), valid, dropped, route
 
     if mode != "padded":
         raise ValueError(f"unknown exchange mode {mode!r}")
@@ -252,13 +337,77 @@ def exchange(
             send_buf, axis_name, split_axis=0, concat_axis=0, tiled=True
         )  # [W, cap_pair]: row s = from device s
         recvd.append(r.reshape((world * cap_pair,) + p.shape[1:]))
-    return tuple(recvd), valid, dropped
+    route = {
+        "mode": "padded",
+        "n_send": owner.shape[0],
+        "cap_pair": cap_pair,
+        "owner": owner,
+        "in_off": in_off,
+        "sent": sent,
+    }
+    return tuple(recvd), valid, dropped, route
+
+
+def reverse_exchange(
+    route: dict,
+    payload: jnp.ndarray,  # [recv_cap, ...] rows computed at the owner
+    axis_name: str,
+    world: int,
+) -> jnp.ndarray:
+    """Send owner-side per-slot results BACK to their source devices — the
+    sequence output dist (reference SequenceEmbeddingsAllToAll,
+    dist_data.py:1974, is this transpose pair with KJTAllToAll).
+
+    ``payload`` rows must align 1:1 with the received stream of the
+    :func:`exchange` that produced ``route``. Returns ``[n_send, ...]``
+    rows aligned with the owner-SORTED send stream; slots that were dropped
+    by the capacity clamp come back as zeros.
+    """
+    if route["mode"] == "ragged":
+        me = jax.lax.axis_index(axis_name)
+        send_ok = route["send_ok"]  # [W_src, W_dst]
+        recv_sizes = route["recv_sizes"]  # what each src sent me
+        recv_off = (jnp.cumsum(recv_sizes) - recv_sizes).astype(jnp.int32)
+        # my returned segment lands at src's sorted-stream in_off for dst=me
+        dst_off = (
+            jnp.cumsum(send_ok, axis=1) - send_ok
+        )[:, me].astype(jnp.int32)  # [W_src]
+        out = jnp.zeros((route["n_send"],) + payload.shape[1:], payload.dtype)
+        return jax.lax.ragged_all_to_all(
+            payload,
+            out,
+            recv_off,
+            recv_sizes,
+            dst_off,
+            route["send_sizes"].astype(jnp.int32),
+            axis_name=axis_name,
+        )
+
+    cap_pair = route["cap_pair"]
+    buf = payload.reshape((world, cap_pair) + payload.shape[1:])
+    back = jax.lax.all_to_all(
+        buf, axis_name, split_axis=0, concat_axis=0, tiled=True
+    ).reshape((world * cap_pair,) + payload.shape[1:])
+    # back[dst*cap_pair + j] = result for my sorted slot in_off[dst] + j
+    owner = route["owner"]
+    k = jnp.arange(route["n_send"], dtype=jnp.int32)
+    own_c = jnp.minimum(owner, world - 1)
+    j = k - jnp.take(route["in_off"], own_c)
+    ok = (owner < world) & (j < jnp.take(route["sent"], own_c))
+    idx = jnp.where(ok, own_c * cap_pair + j, 0)
+    rows = jnp.take(back, idx, axis=0)
+    return jnp.where(
+        ok.reshape((-1,) + (1,) * (payload.ndim - 1)),
+        rows,
+        jnp.zeros_like(rows),
+    )
 
 
 def shard_kjt_arrays(
     kjt,  # KeyedJaggedTensor (global batch, module feature order)
     world: int,
     cap_local: Optional[int] = None,
+    return_positions: bool = False,
 ):
     """HOST-side split of a global-batch KJT into per-device local streams.
 
@@ -267,6 +416,9 @@ def shard_kjt_arrays(
     ``P(axis)`` specs so each device sees only its batch shard (the input
     pipeline analog of the reference's per-rank batches). ``cap_local``
     defaults to ``ceil(capacity / world)`` rounded up to 8.
+    ``return_positions=True`` appends ``[W, cap_local]`` int64 positions of
+    each local slot in the MATERIALIZED global stream (-1 = padding) for
+    host-side reassembly of sequence outputs.
     """
     kjt = kjt.materialize()
     b = kjt.stride()
@@ -285,6 +437,7 @@ def shard_kjt_arrays(
     out_vals = np.zeros((world, cap_local), values.dtype)
     out_lens = np.zeros((world, f, b_local), lengths.dtype)
     out_w = None if w_np is None else np.zeros((world, cap_local), w_np.dtype)
+    out_pos = np.full((world, cap_local), -1, np.int64)
     cursor = np.zeros(world, np.int64)
     for fi in range(f):
         for bi in range(b):
@@ -296,10 +449,20 @@ def shard_kjt_arrays(
             out_vals[dvc, c0 : c0 + n_fit] = values[st : st + n_fit]
             if out_w is not None:
                 out_w[dvc, c0 : c0 + n_fit] = w_np[st : st + n_fit]
+            out_pos[dvc, c0 : c0 + n_fit] = np.arange(st, st + n_fit)
             out_lens[dvc, fi, bi % b_local] = n_fit
             cursor[dvc] += n_fit
-    return (
+    out = (
         jnp.asarray(out_vals),
         jnp.asarray(out_lens),
         None if out_w is None else jnp.asarray(out_w),
     )
+    return out + (out_pos,) if return_positions else out
+
+
+def stack_sparse(
+    kjt, world: int, cap_local: Optional[int] = None
+) -> StackedSparse:
+    """``shard_kjt_arrays`` packaged as a :class:`StackedSparse` batch."""
+    vals, lens, wts = shard_kjt_arrays(kjt, world, cap_local)
+    return StackedSparse(values=vals, lengths=lens, weights=wts)

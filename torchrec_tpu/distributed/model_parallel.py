@@ -85,7 +85,18 @@ class DistributedModelParallel:
         plan: Optional[EmbeddingModuleShardingPlan] = None,
         planner=None,
         batch_size: int = 512,
+        input_dist: str = "replicated",
+        a2a_capacity_factor: float = 2.0,
     ):
+        """``input_dist``: ``"replicated"`` feeds every device the global
+        KJT (small-world / inference default); ``"bucketized"`` expects
+        ``batch.sparse_features`` to be a ``StackedSparse`` of per-device
+        streams (see :meth:`prepare_batch`) and runs the KJT-all-to-all
+        path — per-device sparse work is O(global ids / world), the
+        reference's RwSparseFeaturesDist + KJTAllToAll scaling property."""
+        if input_dist not in ("replicated", "bucketized"):
+            raise ValueError(f"unknown input_dist {input_dist!r}")
+        self.input_dist = input_dist
         self.model = model
         self.env = env if env is not None else ShardingEnv.from_devices()
         ebc = getattr(model, "embedding_bag_collection", None) or getattr(
@@ -118,7 +129,27 @@ class DistributedModelParallel:
             plan = planner.plan(tables)
         self.plan = plan
         self.sharded_ebc = ShardedEmbeddingBagCollection(
-            self._ebc_module, self.plan, self.env
+            self._ebc_module, self.plan, self.env,
+            a2a_capacity_factor=a2a_capacity_factor,
+        )
+
+    def prepare_batch(self, batch: Batch) -> Batch:
+        """Host-side input prep for the bucketized path: split the global
+        KJT into per-device streams (the input pipeline would produce these
+        directly in production)."""
+        if self.input_dist != "bucketized":
+            return batch
+        from torchrec_tpu.distributed.input_dist import stack_sparse
+
+        return Batch(
+            dense_features=batch.dense_features,
+            sparse_features=stack_sparse(
+                batch.sparse_features.select_keys(
+                    self._ebc_module._feature_names
+                ),
+                self.env.world_size,
+            ),
+            labels=batch.labels,
         )
 
     # ---------------------------------------------------------------- state
@@ -168,9 +199,18 @@ class DistributedModelParallel:
         axis = env.shard_axis
         w = env.world_size
 
+        bucketized = self.input_dist == "bucketized"
+
         def local_step(state: TrainState, batch: Batch):
-            kjt = batch.sparse_features
-            emb_values = sebc.apply_local(state.sparse_params, kjt)
+            if bucketized:
+                sv, sl, sw = batch.sparse_features.local()
+                emb_values, dropped = sebc.apply_local_bucketized(
+                    state.sparse_params, sv, sl, sw
+                )
+            else:
+                kjt = batch.sparse_features
+                emb_values = sebc.apply_local(state.sparse_params, kjt)
+                dropped = jnp.zeros((), jnp.int32)
             # [B_local, total_dim]
 
             def objective(dense_params, emb_values):
@@ -187,14 +227,26 @@ class DistributedModelParallel:
             )(state.dense_params, emb_values)
 
             lr = lr_schedule(state.step) if lr_schedule is not None else None
-            new_sparse, new_emb_state = sebc.apply_gradients_local(
-                state.sparse_params,
-                state.emb_opt_state,
-                emb_optimizer,
-                kjt,
-                emb_grad,
-                lr=lr,
-            )
+            if bucketized:
+                new_sparse, new_emb_state = (
+                    sebc.apply_gradients_local_bucketized(
+                        state.sparse_params,
+                        state.emb_opt_state,
+                        emb_optimizer,
+                        sv, sl, sw,
+                        emb_grad,
+                        lr=lr,
+                    )
+                )
+            else:
+                new_sparse, new_emb_state = sebc.apply_gradients_local(
+                    state.sparse_params,
+                    state.emb_opt_state,
+                    emb_optimizer,
+                    kjt,
+                    emb_grad,
+                    lr=lr,
+                )
             dense_grads = jax.lax.psum(dense_grads, axis)
             updates, new_dense_opt = dense_tx.update(
                 dense_grads, state.dense_opt_state, state.dense_params
@@ -212,13 +264,28 @@ class DistributedModelParallel:
                 "loss": loss,
                 "logits": jax.lax.stop_gradient(logits),
                 "labels": batch.labels,
+                "a2a_dropped": dropped,
             }
 
         state_specs = self._state_specs(example_state, emb_optimizer, dense_tx)
+        if bucketized:
+            from torchrec_tpu.distributed.input_dist import StackedSparse
+
+            sparse_spec = StackedSparse(
+                values=P(axis),
+                lengths=P(axis),
+                weights=P(axis) if self._ebc_module.is_weighted() else None,
+            )
+        else:
+            sparse_spec = P()
         batch_specs = Batch(
-            dense_features=P(axis), sparse_features=P(), labels=P(axis)
+            dense_features=P(axis), sparse_features=sparse_spec,
+            labels=P(axis),
         )
-        aux_specs = {"loss": P(), "logits": P(axis), "labels": P(axis)}
+        aux_specs = {
+            "loss": P(), "logits": P(axis), "labels": P(axis),
+            "a2a_dropped": P(),
+        }
 
         fn = shard_map(
             local_step,
