@@ -167,7 +167,8 @@ class ShardedEmbeddingCollection(ShardedCollectionBase):
                 parts.append(rows)
             stream = jnp.concatenate(parts, axis=1)  # [cap, MB*width]
             # output dist: one psum replaces SequenceEmbeddingsAllToAll
-            out[c.key] = jax.lax.psum(stream, axis)
+            # (per-axis when hierarchical: intra-host leg first)
+            out[c.key] = self._env.psum_shard(stream)
         if self._dp is not None:
             dp_params = {g.key: params[f"dp_{g.key}"] for g in self._dp.groups}
             out["dp"] = self._dp_rows(dp_params, kjt)

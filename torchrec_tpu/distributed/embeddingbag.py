@@ -257,18 +257,17 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
                 from torchrec_tpu.distributed.qcomms import decode, encode
 
                 pooled = decode(
-                    jax.lax.psum_scatter(
-                        encode(pooled, self._qcomms.forward_precision),
-                        axis,
-                        scatter_dimension=0,
-                        tiled=True,
+                    self._env.psum_scatter_batch(
+                        encode(pooled, self._qcomms.forward_precision)
                     ),
                     self._qcomms.forward_precision,
                 )
             else:
-                pooled = jax.lax.psum_scatter(
-                    pooled, axis, scatter_dimension=0, tiled=True
-                )  # [B_local, num_vf, width]
+                # two-level (host -> chip) when the env is hierarchical:
+                # TWRW/GRID pooled partials reduce intra-host first
+                # (reference twrw_sharding.py:460)
+                pooled = self._env.psum_scatter_batch(pooled)
+                # [B_local, num_vf, width]
             for i, fi in enumerate(c.vf_feature):
                 col = int(self._feature_col_off[fi]) + c.vf_col_start[i]
                 out = jax.lax.dynamic_update_slice(
@@ -352,16 +351,15 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
             scale = q.backward_loss_scale
             payload = out_grad * scale if scale else out_grad
             full_grad = decode(
-                jax.lax.all_gather(
-                    encode(payload, q.backward_precision), axis, axis=0,
-                    tiled=True,
+                self._env.all_gather_batch(
+                    encode(payload, q.backward_precision)
                 ),
                 q.backward_precision,
             )
             full_grad = full_grad / scale if scale else full_grad
         else:
-            full_grad = jax.lax.all_gather(
-                out_grad, axis, axis=0, tiled=True
+            full_grad = self._env.all_gather_batch(
+                out_grad
             )  # [B, total_dim]
 
         grads: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
@@ -562,8 +560,8 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
         kjt_local = self._local_kjt(values, lengths, weights)
         kjt, b_local, streams = self._bucketized_streams(kjt_local, d)
         b_global = b_local * w
-        lengths_g = jax.lax.all_gather(
-            kjt.lengths(), axis, axis=1, tiled=True
+        lengths_g = self._env.all_gather_batch(
+            kjt.lengths(), axis=1
         )  # [F, B_global]
 
         out = jnp.zeros((b_local, self._total_dim), jnp.float32)
@@ -596,18 +594,17 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
                 from torchrec_tpu.distributed.qcomms import decode, encode
 
                 pooled = decode(
-                    jax.lax.psum_scatter(
-                        encode(pooled, self._qcomms.forward_precision),
-                        axis,
-                        scatter_dimension=0,
-                        tiled=True,
+                    self._env.psum_scatter_batch(
+                        encode(pooled, self._qcomms.forward_precision)
                     ),
                     self._qcomms.forward_precision,
                 )
             else:
-                pooled = jax.lax.psum_scatter(
-                    pooled, axis, scatter_dimension=0, tiled=True
-                )  # [B_local, num_vf, width]
+                # two-level (host -> chip) when the env is hierarchical:
+                # TWRW/GRID pooled partials reduce intra-host first
+                # (reference twrw_sharding.py:460)
+                pooled = self._env.psum_scatter_batch(pooled)
+                # [B_local, num_vf, width]
             for i, fi in enumerate(c.vf_feature):
                 col = int(self._feature_col_off[fi]) + c.vf_col_start[i]
                 out = jax.lax.dynamic_update_slice(
@@ -652,9 +649,7 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
         kjt_local = self._local_kjt(values, lengths, weights)
         kjt, b_local, streams = self._bucketized_streams(kjt_local, d)
         b_global = b_local * w
-        lengths_g = jax.lax.all_gather(
-            kjt.lengths(), axis, axis=1, tiled=True
-        )
+        lengths_g = self._env.all_gather_batch(kjt.lengths(), axis=1)
         if self._qcomms is not None:
             from torchrec_tpu.distributed.qcomms import decode, encode
 
@@ -662,16 +657,15 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
             scale_q = q.backward_loss_scale
             payload = out_grad * scale_q if scale_q else out_grad
             full_grad = decode(
-                jax.lax.all_gather(
-                    encode(payload, q.backward_precision), axis, axis=0,
-                    tiled=True,
+                self._env.all_gather_batch(
+                    encode(payload, q.backward_precision)
                 ),
                 q.backward_precision,
             )
             full_grad = full_grad / scale_q if scale_q else full_grad
         else:
-            full_grad = jax.lax.all_gather(
-                out_grad, axis, axis=0, tiled=True
+            full_grad = self._env.all_gather_batch(
+                out_grad
             )  # [B_global, total_dim]
 
         new_params = dict(params)

@@ -38,17 +38,48 @@ __all__ = [
 
 @dataclasses.dataclass
 class ShardingEnv:
-    """Device mesh + axis naming (reference ShardingEnv, types.py:920)."""
+    """Device mesh + axis naming (reference ShardingEnv, types.py:920).
+
+    ``shard_axis`` is either one mesh axis name (flat world) or a
+    ``(host, chip)`` tuple (hierarchical world — the reference's
+    intra/cross-node process-group split, comm.py:164). JAX collectives
+    accept the tuple directly (flat semantics); the sharded modules
+    additionally FACTOR batch reduce-scatters/all-gathers per axis when
+    hierarchical, so TWRW/GRID pooled reductions ride the intra-host axis
+    first (reference twrw_sharding.py:305,460 two-level comms).
+    """
 
     mesh: jax.sharding.Mesh
-    shard_axis: str = "shard"
+    shard_axis: "str | Tuple[str, str]" = "shard"
     replica_axis: Optional[str] = None
     # local (intra-host) size for TWRW/GRID two-level placements
     local_size: Optional[int] = None
 
     @property
     def world_size(self) -> int:
+        if isinstance(self.shard_axis, tuple):
+            return int(
+                np.prod([self.mesh.shape[a] for a in self.shard_axis])
+            )
         return int(self.mesh.shape[self.shard_axis])
+
+    @property
+    def hierarchical(self) -> bool:
+        return isinstance(self.shard_axis, tuple)
+
+    @property
+    def host_axis(self) -> Optional[str]:
+        return self.shard_axis[0] if self.hierarchical else None
+
+    @property
+    def chip_axis(self) -> Optional[str]:
+        return self.shard_axis[-1] if self.hierarchical else None
+
+    @property
+    def num_hosts(self) -> int:
+        if not self.hierarchical:
+            return 1
+        return int(self.mesh.shape[self.shard_axis[0]])
 
     @property
     def num_replicas(self) -> int:
@@ -61,8 +92,34 @@ class ShardingEnv:
         devices: Optional[Sequence[jax.Device]] = None,
         replica_size: int = 1,
         local_size: Optional[int] = None,
+        hierarchical: bool = False,
     ) -> "ShardingEnv":
+        """``hierarchical=True`` (requires ``local_size``) factorizes the
+        shard world into a ``(host, chip)`` mesh: device d = (d //
+        local_size, d % local_size). Flat placements/ranks are unchanged —
+        only the collective lowering gains the two-level structure."""
         devices = list(devices if devices is not None else jax.devices())
+        if hierarchical:
+            if not local_size:
+                raise ValueError("hierarchical env requires local_size")
+            n = len(devices) // replica_size if replica_size > 1 else len(devices)
+            if n % local_size:
+                raise ValueError(
+                    f"world {n} not divisible by local_size {local_size}"
+                )
+            if replica_size > 1:
+                if len(devices) % replica_size:
+                    raise ValueError("devices not divisible by replica_size")
+                arr = np.array(devices).reshape(
+                    replica_size, n // local_size, local_size
+                )
+                mesh = jax.sharding.Mesh(arr, ("replica", "host", "chip"))
+                return ShardingEnv(
+                    mesh, ("host", "chip"), "replica", local_size
+                )
+            arr = np.array(devices).reshape(n // local_size, local_size)
+            mesh = jax.sharding.Mesh(arr, ("host", "chip"))
+            return ShardingEnv(mesh, ("host", "chip"), None, local_size)
         if replica_size > 1:
             if len(devices) % replica_size:
                 raise ValueError("devices not divisible by replica_size")
@@ -71,6 +128,38 @@ class ShardingEnv:
             return ShardingEnv(mesh, "shard", "replica", local_size)
         mesh = jax.sharding.Mesh(np.array(devices), ("shard",))
         return ShardingEnv(mesh, "shard", None, local_size)
+
+    # ---- two-level collective helpers (flat fallback when 1D) ----------
+    def psum_scatter_batch(self, x, scatter_dimension: int = 0):
+        """Reduce-scatter over the shard world; hierarchical envs lower to
+        host-axis RS then chip-axis RS (intra-host leg rides local ICI) —
+        bit-identical to the flat collective."""
+        if self.hierarchical:
+            for ax in self.shard_axis:
+                x = jax.lax.psum_scatter(
+                    x, ax, scatter_dimension=scatter_dimension, tiled=True
+                )
+            return x
+        return jax.lax.psum_scatter(
+            x, self.shard_axis, scatter_dimension=scatter_dimension,
+            tiled=True,
+        )
+
+    def all_gather_batch(self, x, axis: int = 0):
+        """Transpose of :meth:`psum_scatter_batch` (chip then host)."""
+        if self.hierarchical:
+            for ax in reversed(self.shard_axis):
+                x = jax.lax.all_gather(x, ax, axis=axis, tiled=True)
+            return x
+        return jax.lax.all_gather(x, self.shard_axis, axis=axis, tiled=True)
+
+    def psum_shard(self, x):
+        """psum over the shard world; per-axis when hierarchical."""
+        if self.hierarchical:
+            for ax in reversed(self.shard_axis):
+                x = jax.lax.psum(x, ax)
+            return x
+        return jax.lax.psum(x, self.shard_axis)
 
 
 @dataclasses.dataclass(frozen=True)
