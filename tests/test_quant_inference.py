@@ -185,6 +185,243 @@ class TestShardedQuantTableWise:
         )
 
 
+def ec_fixture(seed=0):
+    """EC over mixed-dim tables + a KJT, mirroring ebc_fixture."""
+    from tests.utils import make_numpy_kjt, to_kjt
+    from torchrec_tpu.modules import EmbeddingCollection, EmbeddingConfig
+
+    rng = np.random.default_rng(seed)
+    tables = [
+        EmbeddingConfig(name="t0", num_embeddings=20, embedding_dim=8,
+                        feature_names=["f0", "f1"]),
+        EmbeddingConfig(name="t1", num_embeddings=30, embedding_dim=8,
+                        feature_names=["f2"]),
+        EmbeddingConfig(name="t2", num_embeddings=10, embedding_dim=16,
+                        feature_names=["f3"]),
+    ]
+    ec = EmbeddingCollection(tables)
+    params = ec.init(jax.random.key(seed))
+    nk = make_numpy_kjt(
+        rng, ["f0", "f1", "f2", "f3"], batch_size=6,
+        num_embeddings={"f0": 20, "f1": 20, "f2": 30, "f3": 10},
+        max_length=5,
+    )
+    return ec, params, nk, to_kjt(nk, capacity=256)
+
+
+def _assert_jt_dicts_close(out, ref, rtol=0.1, atol=0.05):
+    """Compare Dict[str, JaggedTensor] on VALID rows only (streams are
+    padded + rolled; garbage beyond each feature's total length differs)."""
+    assert set(out) == set(ref)
+    for key in ref:
+        n = int(np.asarray(ref[key].lengths()).sum())
+        np.testing.assert_allclose(
+            np.asarray(out[key].values())[:n],
+            np.asarray(ref[key].values())[:n],
+            rtol=rtol, atol=atol,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out[key].lengths()), np.asarray(ref[key].lengths())
+        )
+
+
+class TestQuantEC:
+    """Sequence (unpooled) quantized inference — reference
+    QuantEmbeddingCollection (quant/embedding_modules.py:739)."""
+
+    @pytest.mark.parametrize(
+        "dt", [DataType.INT8, DataType.INT4, DataType.FP8, DataType.FP16]
+    )
+    def test_rows_close_to_fp32(self, dt):
+        from torchrec_tpu.quant import QuantEmbeddingCollection
+
+        ec, params, nk, kjt = ec_fixture()
+        qec = QuantEmbeddingCollection(ec, dt)
+        qp = qec.quantize_from(params)
+        out = jax.jit(qec.apply)(qp, kjt)
+        ref = ec.apply(params, kjt)
+        tol = 0.35 if dt in (DataType.INT4, DataType.FP8) else 0.05
+        _assert_jt_dicts_close(out, ref, rtol=0.2, atol=tol)
+
+    def test_per_id_rows_match_table(self):
+        """int8 rows land within rowwise quant error of the exact table row,
+        id by id (the EC oracle-style check)."""
+        from torchrec_tpu.quant import QuantEmbeddingCollection
+
+        ec, params, nk, kjt = ec_fixture()
+        qec = QuantEmbeddingCollection(ec, DataType.INT8)
+        out = qec.apply(qec.quantize_from(params), kjt)
+        feat_tables = {"f0": "t0", "f1": "t0", "f2": "t1", "f3": "t2"}
+        for key, tname in feat_tables.items():
+            table = np.asarray(ec.table_slice(params, tname))
+            rng_row = table.max(1) - table.min(1)
+            jt = out[key]
+            vals = np.asarray(jt.values())
+            offs = np.asarray(jt.offsets())
+            for b_i, idlist in enumerate(nk.ids[key]):
+                for j, idx in enumerate(idlist):
+                    err = np.abs(vals[offs[b_i] + j] - table[idx])
+                    assert (err <= rng_row[idx] / 255.0 + 1e-6).all()
+
+
+class TestShardedQuantEC:
+    """TW all-to-one sharded sequence serving — reference
+    ShardedQuantEmbeddingCollection (distributed/quant_embedding.py:597)."""
+
+    def _mesh(self):
+        return jax.sharding.Mesh(np.array(jax.devices()[:8]), ("serve",))
+
+    @pytest.mark.parametrize("dt", [DataType.INT8, DataType.INT4, DataType.FP8])
+    def test_matches_unsharded(self, dt):
+        from torchrec_tpu.inference.sharded_quant import (
+            ShardedQuantEmbeddingCollection,
+        )
+        from torchrec_tpu.quant import QuantEmbeddingCollection
+
+        ec, params, nk, kjt = ec_fixture()
+        qec = QuantEmbeddingCollection(ec, dt)
+        qp = qec.quantize_from(params)
+        ref = qec.apply(qp, kjt)
+        sq = ShardedQuantEmbeddingCollection(qec, self._mesh())
+        out = sq.apply(sq.shard_qparams(qp), kjt)
+        _assert_jt_dicts_close(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_explicit_placement_respected(self):
+        from torchrec_tpu.inference.sharded_quant import (
+            ShardedQuantEmbeddingCollection,
+        )
+        from torchrec_tpu.quant import QuantEmbeddingCollection
+
+        ec, params, nk, kjt = ec_fixture()
+        qec = QuantEmbeddingCollection(ec, DataType.INT8)
+        qp = qec.quantize_from(params)
+        ref = qec.apply(qp, kjt)
+        place = {"t0": 7, "t1": 0, "t2": 4}
+        sq = ShardedQuantEmbeddingCollection(
+            qec, self._mesh(), placement=place
+        )
+        assert sq.placement == place
+        out = sq.apply(sq.shard_qparams(qp), kjt)
+        _assert_jt_dicts_close(out, ref, rtol=1e-5, atol=1e-5)
+
+    def test_params_physically_sharded(self):
+        from torchrec_tpu.inference.sharded_quant import (
+            ShardedQuantEmbeddingCollection,
+        )
+        from torchrec_tpu.quant import QuantEmbeddingCollection
+
+        ec, params, nk, kjt = ec_fixture()
+        qec = QuantEmbeddingCollection(ec, DataType.INT8)
+        sq = ShardedQuantEmbeddingCollection(qec, self._mesh())
+        sqp = sq.shard_qparams(qec.quantize_from(params))
+        for cls_params in sqp.values():
+            for v in cls_params.values():
+                shard_shapes = {s.data.shape for s in v.addressable_shards}
+                assert all(sh[0] == 1 for sh in shard_shapes), shard_shapes
+
+
+class TestQuantManagedCollision:
+    """Frozen-remap MC + quant serving — reference
+    QuantManagedCollisionEmbeddingCollection (quant/embedding_modules.py:1054)."""
+
+    def _mc_setup(self):
+        from torchrec_tpu.modules import (
+            EmbeddingCollection,
+            EmbeddingConfig,
+            ManagedCollisionCollection,
+            MCHManagedCollisionModule,
+        )
+        from torchrec_tpu.sparse import KeyedJaggedTensor
+
+        zch = 8
+        tables = [
+            EmbeddingConfig(name="t0", num_embeddings=zch, embedding_dim=8,
+                            feature_names=["f0"]),
+        ]
+        ec = EmbeddingCollection(tables)
+        params = ec.init(jax.random.key(3))
+        mcc = ManagedCollisionCollection(
+            {"t0": MCHManagedCollisionModule(zch_size=zch, history_size=32)},
+            {"f0": "t0"},
+        )
+        states = mcc.init_state()
+        train_kjt = KeyedJaggedTensor(
+            keys=["f0"],
+            values=jnp.asarray([101, 101, 101, 202, 202, 303], jnp.int32),
+            lengths=jnp.asarray([[6]], jnp.int32),
+        )
+        _, states = mcc.forward(states, train_kjt, train=True)
+        serve_kjt = KeyedJaggedTensor(
+            keys=["f0"],
+            values=jnp.asarray([101, 202, 303, 999], jnp.int32),
+            lengths=jnp.asarray([[4]], jnp.int32),
+        )
+        return ec, params, mcc, states, serve_kjt
+
+    def test_sequence_matches_fp_eval(self):
+        from torchrec_tpu.quant import (
+            QuantEmbeddingCollection,
+            QuantManagedCollisionEmbeddingCollection,
+        )
+
+        ec, params, mcc, states, kjt = self._mc_setup()
+        qec = QuantEmbeddingCollection(ec, DataType.INT8)
+        qmc = QuantManagedCollisionEmbeddingCollection(qec, mcc)
+        out = qmc.apply(qec.quantize_from(params), states, kjt)
+        remapped, _ = mcc.forward(states, kjt, train=False)
+        ref = ec.apply(params, remapped)
+        _assert_jt_dicts_close(out, ref, rtol=0.1, atol=0.05)
+        # eval-mode serving must not touch collision state: unseen id 999
+        # remaps to the miss slot, a valid bounded row
+        vals = np.asarray(out["f0"].values())
+        assert vals.shape[1] == 8
+
+    def test_pooled_matches_fp_eval(self):
+        from torchrec_tpu.modules import (
+            EmbeddingBagCollection,
+            EmbeddingBagConfig,
+            ManagedCollisionCollection,
+            MCHManagedCollisionModule,
+        )
+        from torchrec_tpu.quant import (
+            QuantEmbeddingBagCollection,
+            QuantManagedCollisionEmbeddingBagCollection,
+        )
+        from torchrec_tpu.sparse import KeyedJaggedTensor
+
+        zch = 8
+        ebc = EmbeddingBagCollection([
+            EmbeddingBagConfig(name="t0", num_embeddings=zch,
+                               embedding_dim=8, feature_names=["f0"]),
+        ])
+        params = ebc.init(jax.random.key(4))
+        mcc = ManagedCollisionCollection(
+            {"t0": MCHManagedCollisionModule(zch_size=zch, history_size=32)},
+            {"f0": "t0"},
+        )
+        states = mcc.init_state()
+        train_kjt = KeyedJaggedTensor(
+            keys=["f0"],
+            values=jnp.asarray([11, 11, 22, 22, 22, 33], jnp.int32),
+            lengths=jnp.asarray([[6]], jnp.int32),
+        )
+        _, states = mcc.forward(states, train_kjt, train=True)
+        serve_kjt = KeyedJaggedTensor(
+            keys=["f0"],
+            values=jnp.asarray([11, 22, 33, 44], jnp.int32),
+            lengths=jnp.asarray([[2, 2]], jnp.int32),
+        )
+        qebc = QuantEmbeddingBagCollection(ebc, DataType.INT8)
+        qmc = QuantManagedCollisionEmbeddingBagCollection(qebc, mcc)
+        out = qmc.apply(qebc.quantize_from(params), states, serve_kjt)
+        remapped, _ = mcc.forward(states, serve_kjt, train=False)
+        ref = ebc.apply(params, remapped)
+        np.testing.assert_allclose(
+            np.asarray(out.values()), np.asarray(ref.values()),
+            rtol=0.1, atol=0.05,
+        )
+
+
 from hypothesis import given, settings, strategies as st
 
 

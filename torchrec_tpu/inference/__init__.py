@@ -6,6 +6,7 @@ from torchrec_tpu.inference.modules import (
 )
 from torchrec_tpu.inference.sharded_quant import (
     ShardedQuantEmbeddingBagCollection,
+    ShardedQuantEmbeddingCollection,
 )
 
 __all__ = [
@@ -13,6 +14,7 @@ __all__ = [
     "quantize_inference_model",
     "shard_quant_model",
     "ShardedQuantEmbeddingBagCollection",
+    "ShardedQuantEmbeddingCollection",
     "PredictorServer",
     "PredictorClient",
 ]

@@ -43,7 +43,11 @@ from torchrec_tpu.quant.embedding_modules import (
 from torchrec_tpu.sparse import KeyedJaggedTensor, KeyedTensor
 from torchrec_tpu.types import PoolingType
 
-__all__ = ["ShardedQuantEmbeddingBagCollection", "balance_tables"]
+__all__ = [
+    "ShardedQuantEmbeddingBagCollection",
+    "ShardedQuantEmbeddingCollection",
+    "balance_tables",
+]
 
 P = jax.sharding.PartitionSpec
 
@@ -103,7 +107,12 @@ class ShardedQuantEmbeddingBagCollection:
         ]
         self._fmt = fmt
 
-        tables = list(ebc.embedding_bag_configs())
+        # tolerate EC-backed structure-only views (sequence serving)
+        tables = list(
+            ebc.embedding_bag_configs()
+            if hasattr(ebc, "embedding_bag_configs")
+            else ebc.embedding_configs()
+        )
         if placement is None:
             elem = {"int8": 1.0, "int4": 0.5, "fp8": 1.0}[fmt]
             placement = balance_tables(
@@ -264,3 +273,139 @@ class ShardedQuantEmbeddingBagCollection:
             length_per_key=ebc.embedding_dims(),
             values=vals,
         )
+
+
+class ShardedQuantEmbeddingCollection:
+    """Table-wise sharded quantized SEQUENCE serving: forward(KJT) ->
+    Dict[str, JaggedTensor] with physically table-wise quant params.
+
+    Reference: ShardedQuantEmbeddingCollection
+    (torchrec/distributed/quant_embedding.py:597) — the unpooled serving
+    layout (input one-to-all via replication, per-id rows assembled with
+    one psum = SeqEmbeddingsAllToOne, dist_data.py:1685).
+
+    Reuses the pooled module's placement compiler/param sharder: the
+    class-blob layout is identical, only the compute (per-id rows instead
+    of pooled sums) differs.
+    """
+
+    def __init__(
+        self,
+        qec,  # quant.embedding_modules.QuantEmbeddingCollection
+        mesh: jax.sharding.Mesh,
+        axis: str = "serve",
+        placement: Optional[Dict[str, int]] = None,
+    ):
+        from torchrec_tpu.quant.embedding_modules import (
+            QuantEmbeddingBagCollection,
+        )
+
+        self._qec = qec
+        self._ec = qec.unquantized
+        self._mesh = mesh
+        self._axis = axis
+        # piggyback on the pooled module's placement/layout compiler via a
+        # bag-collection view of the same tables (structure-only: groups,
+        # feature maps and table offsets are identical across EC/EBC)
+        self._layout = ShardedQuantEmbeddingBagCollection.__new__(
+            ShardedQuantEmbeddingBagCollection
+        )
+        ShardedQuantEmbeddingBagCollection.__init__(
+            self._layout,
+            _StructureOnlyQEBC(self._ec, qec.data_type),
+            mesh,
+            axis,
+            placement,
+        )
+        self._classes = self._layout._classes
+        self.placement = self._layout.placement
+
+    def shard_qparams(self, qparams):
+        return self._layout.shard_qparams(qparams)
+
+    def _forward_local(self, sharded_qparams, kjt: KeyedJaggedTensor):
+        """INSIDE shard_map: local per-id rows + psum all-to-one. Returns
+        the full ``[cap, dim]`` row stream per class."""
+        ec = self._ec
+        kjt = kjt.select_keys(ec._feature_names)
+        b = kjt.stride()
+        f = len(ec._feature_names)
+        seg = kjt.segment_ids()
+        slot_feature = jnp.minimum(seg // b, f)
+        values = kjt.values()
+        valid_slot = kjt.valid_mask()
+        d = jax.lax.axis_index(self._axis)
+        out = {}
+        for c in self._classes:
+            from torchrec_tpu.quant.embedding_modules import gather_dequant
+
+            off_f = jnp.take(jnp.asarray(c.row_off), d, axis=0)  # [F]
+            local_off = jnp.take(
+                jnp.concatenate([off_f, jnp.array([-1], jnp.int32)]),
+                slot_feature,
+            )
+            valid = (local_off >= 0) & valid_slot
+            rows_idx = jnp.where(valid, local_off + values, 0)
+            qt = {k: v[0] for k, v in sharded_qparams[c.key].items()}
+            rows = gather_dequant(qt, rows_idx)
+            rows = jnp.where(valid[:, None], rows, 0.0)
+            # all-to-one: each slot's rows exist only on its table's owner
+            out[c.key] = jax.lax.psum(rows, self._axis)
+        return out
+
+    def apply(
+        self, sharded_qparams, kjt: KeyedJaggedTensor
+    ) -> Dict[str, "JaggedTensor"]:
+        from torchrec_tpu.sparse import JaggedTensor
+
+        ec = self._ec
+        kjt_mat = kjt.select_keys(ec._feature_names).materialize()
+        param_specs = jax.tree.map(lambda _: P(self._axis), sharded_qparams)
+        kjt_specs = jax.tree.map(lambda _: P(), kjt_mat)
+        fn = shard_map(
+            self._forward_local,
+            mesh=self._mesh,
+            in_specs=(param_specs, kjt_specs),
+            out_specs=P(),
+            check_vma=False,
+        )
+        streams = fn(sharded_qparams, kjt_mat)
+        offsets_pk = kjt_mat.offset_per_key()
+        lengths = kjt_mat.lengths()
+        feat_class = {}
+        for c in self._classes:
+            for fi in c.feature_ids:
+                feat_class[fi] = c.key
+        out: Dict[str, JaggedTensor] = {}
+        for fi, name in enumerate(ec._feature_names):
+            start = offsets_pk[fi]
+            stream = streams[feat_class[fi]]
+            out[name] = JaggedTensor(
+                values=_roll_rows(stream, start),
+                lengths=lengths[fi],
+            )
+        return out
+
+
+class _StructureOnlyQEBC:
+    """Duck-typed QuantEmbeddingBagCollection carrying only the structural
+    fields the sharded layout compiler reads (an EC has the same grouping
+    metadata as an EBC — tables, features, groups)."""
+
+    def __init__(self, collection, data_type):
+        self._collection = collection
+        self._data_type = data_type
+
+    @property
+    def data_type(self):
+        return self._data_type
+
+    @property
+    def unquantized(self):
+        return self._collection
+
+
+def _roll_rows(x: jnp.ndarray, shift) -> jnp.ndarray:
+    n = x.shape[0]
+    idx = (jnp.arange(n, dtype=jnp.int32) + jnp.asarray(shift, jnp.int32)) % n
+    return jnp.take(x, idx, axis=0)

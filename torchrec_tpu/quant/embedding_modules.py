@@ -1,8 +1,9 @@
 """Quantized embedding collections for inference.
 
 Capability parity with torchrec/quant/embedding_modules.py
-(QuantEmbeddingBagCollection:337, QuantEmbeddingCollection:739 — int8/int4/
-fp8 table-batched inference modules converted from trained modules).
+(QuantEmbeddingBagCollection:337, QuantEmbeddingCollection:739,
+QuantManagedCollisionEmbeddingCollection:1054 — int8/int4/fp8
+table-batched inference modules converted from trained modules).
 
 TPU-first: row-wise symmetric-range quantization — per-row fp32
 (scale, zero) arrays beside an int8 (or fp8) value array; dequant fuses
@@ -22,12 +23,21 @@ import jax.numpy as jnp
 from torchrec_tpu.modules.embedding_configs import EmbeddingBagConfig
 from torchrec_tpu.modules.embedding_modules import (
     EmbeddingBagCollection,
+    EmbeddingCollection,
     TableGroup,
 )
-from torchrec_tpu.sparse import KeyedJaggedTensor, KeyedTensor
+from torchrec_tpu.sparse import JaggedTensor, KeyedJaggedTensor, KeyedTensor
 from torchrec_tpu.types import DataType, PoolingType
 
-__all__ = ["QuantEmbeddingBagCollection", "quantize_table", "dequantize_table"]
+__all__ = [
+    "QuantEmbeddingBagCollection",
+    "QuantEmbeddingCollection",
+    "QuantManagedCollisionEmbeddingCollection",
+    "QuantManagedCollisionEmbeddingBagCollection",
+    "quantize_table",
+    "dequantize_table",
+    "gather_dequant",
+]
 
 QuantParams = Dict[str, Dict[str, jnp.ndarray]]
 
@@ -63,6 +73,28 @@ def quantize_table(
     if data_type == DataType.BF16:
         return {"q": w.astype(jnp.bfloat16)}
     raise NotImplementedError(f"quant dtype {data_type}")
+
+
+def gather_dequant(
+    qt: Dict[str, jnp.ndarray], ids: jnp.ndarray
+) -> jnp.ndarray:
+    """Gather rows from a quantized table and dequantize to fp32 — the
+    fused dequant-in-lookup step of the reference's IntNBit TBE kernels
+    (torchrec/distributed/quant_embedding_kernel.py)."""
+    if "q4" in qt:  # int4: gather PACKED rows, unpack in registers
+        from torchrec_tpu.sparse.tensor_types import unpack_int4
+
+        packed = jnp.take(qt["q4"], ids, axis=0, mode="clip")
+        rows = unpack_int4(packed).astype(jnp.float32)
+        s = jnp.take(qt["scale"], ids, mode="clip")
+        z = jnp.take(qt["zero"], ids, mode="clip")
+        return rows * s[:, None] + z[:, None]
+    rows = jnp.take(qt["q"], ids, axis=0, mode="clip").astype(jnp.float32)
+    if qt["q"].dtype == jnp.int8:
+        s = jnp.take(qt["scale"], ids, mode="clip")
+        z = jnp.take(qt["zero"], ids, mode="clip")
+        rows = rows * s[:, None] + z[:, None]
+    return rows
 
 
 def dequantize_table(qt: Dict[str, jnp.ndarray]) -> jnp.ndarray:
@@ -108,9 +140,12 @@ class QuantEmbeddingBagCollection:
         return self._ebc.embedding_bag_configs()
 
     def quantize_from(self, params: Dict[str, jnp.ndarray]) -> QuantParams:
-        """Trained fp params -> quantized params."""
+        """Trained fp params -> quantized params (logical rows only — the
+        write-kernel scratch tail carries no weights)."""
         return {
-            g.key: quantize_table(params[g.key], self._data_type)
+            g.key: quantize_table(
+                params[g.key][: g.total_rows], self._data_type
+            )
             for g in self._ebc.groups
         }
 
@@ -128,23 +163,7 @@ class QuantEmbeddingBagCollection:
             ids_g, seg_g, _, n_gf = ebc._group_indices(
                 gi, values, seg, slot_feature, slot_batch, b
             )
-            qt = qparams[g.key]
-            if "q4" in qt:  # int4: gather PACKED rows, unpack in registers
-                from torchrec_tpu.sparse.tensor_types import unpack_int4
-
-                packed = jnp.take(qt["q4"], ids_g, axis=0, mode="clip")
-                rows = unpack_int4(packed).astype(jnp.float32)
-                s = jnp.take(qt["scale"], ids_g, mode="clip")
-                z = jnp.take(qt["zero"], ids_g, mode="clip")
-                rows = rows * s[:, None] + z[:, None]
-            else:
-                rows = jnp.take(qt["q"], ids_g, axis=0, mode="clip").astype(
-                    jnp.float32
-                )
-                if qt["q"].dtype == jnp.int8:
-                    s = jnp.take(qt["scale"], ids_g, mode="clip")
-                    z = jnp.take(qt["zero"], ids_g, mode="clip")
-                    rows = rows * s[:, None] + z[:, None]
+            rows = gather_dequant(qparams[g.key], ids_g)
             if weights is not None:
                 rows = rows * weights[:, None]
             pooled = jax.ops.segment_sum(
@@ -165,3 +184,126 @@ class QuantEmbeddingBagCollection:
             length_per_key=ebc.embedding_dims(),
             values=vals,
         )
+
+
+class QuantEmbeddingCollection:
+    """Sequence (unpooled) quantized inference: ``apply(qparams, KJT) ->
+    Dict[str, JaggedTensor]`` of dequantized per-id rows.
+
+    Reference: QuantEmbeddingCollection (quant/embedding_modules.py:739) —
+    the unpooled half of quantized serving the pooled module can't cover
+    (retrieval towers, sequence models).
+    """
+
+    def __init__(
+        self,
+        ec: EmbeddingCollection,
+        data_type: DataType = DataType.INT8,
+    ):
+        self._ec = ec
+        self._data_type = data_type
+
+    @property
+    def unquantized(self) -> EmbeddingCollection:
+        return self._ec
+
+    @property
+    def data_type(self) -> DataType:
+        return self._data_type
+
+    def feature_names(self) -> List[str]:
+        return self._ec.feature_names()
+
+    def embedding_configs(self):
+        return self._ec.embedding_configs()
+
+    def quantize_from(self, params: Dict[str, jnp.ndarray]) -> QuantParams:
+        """Trained fp params -> quantized params (keeps scratch tails out:
+        quantization covers logical rows only)."""
+        return {
+            g.key: quantize_table(
+                params[g.key][: g.total_rows], self._data_type
+            )
+            for g in self._ec.groups
+        }
+
+    def apply(
+        self, qparams: QuantParams, kjt: KeyedJaggedTensor
+    ) -> Dict[str, JaggedTensor]:
+        ec = self._ec
+        kjt, b, f, _, _, _ = ec._prep(kjt)
+        kjt_mat = kjt.materialize()
+        offsets_pk = kjt_mat.offset_per_key()
+        lengths = kjt_mat.lengths()
+        seg = kjt_mat.segment_ids()
+        slot_feature = jnp.minimum(seg // b, f)
+        slot_batch = seg % jnp.int32(b)
+        out: Dict[str, JaggedTensor] = {}
+        for gi, g in enumerate(ec.groups):
+            if not ec._group_features[gi]:
+                continue
+            ids_g, _seg_g, in_group, _n = ec._group_indices(
+                gi, kjt_mat.values(), seg, slot_feature, slot_batch, b
+            )
+            rows = gather_dequant(qparams[g.key], ids_g)
+            valid = in_group & kjt_mat.valid_mask()
+            rows = jnp.where(valid[:, None], rows, 0.0)
+            for fi in ec._group_features[gi]:
+                start = offsets_pk[fi]
+                w = kjt_mat.weights_or_none()
+                out[ec._feature_names[fi]] = JaggedTensor(
+                    values=_roll_rows(rows, start),
+                    lengths=lengths[fi],
+                    weights=_roll_rows(w, start) if w is not None else None,
+                )
+        return out
+
+
+def _roll_rows(x: jnp.ndarray, shift) -> jnp.ndarray:
+    n = x.shape[0]
+    idx = (jnp.arange(n, dtype=jnp.int32) + jnp.asarray(shift, jnp.int32)) % n
+    return jnp.take(x, idx, axis=0)
+
+
+class QuantManagedCollisionEmbeddingCollection:
+    """Managed-collision remap (frozen, inference mode) + quantized
+    sequence lookup.
+
+    Reference: QuantManagedCollisionEmbeddingCollection
+    (quant/embedding_modules.py:1054) — serve a trained MC-EC: raw ids are
+    remapped through the TRAINED collision state (no updates, no eviction)
+    and looked up in the quantized bounded table.
+    """
+
+    def __init__(self, qec: QuantEmbeddingCollection, mcc):
+        self._qec = qec
+        self._mcc = mcc
+
+    @property
+    def quant_embedding_collection(self) -> QuantEmbeddingCollection:
+        return self._qec
+
+    def apply(
+        self, qparams: QuantParams, mc_states, kjt: KeyedJaggedTensor
+    ) -> Dict[str, JaggedTensor]:
+        remapped, _ = self._mcc.forward(mc_states, kjt, train=False)
+        return self._qec.apply(qparams, remapped)
+
+
+class QuantManagedCollisionEmbeddingBagCollection:
+    """Pooled form of the MC + quant composition (reference
+    quant/embedding_modules.py:1207)."""
+
+    def __init__(self, qebc: QuantEmbeddingBagCollection, mcc):
+        self._qebc = qebc
+        self._mcc = mcc
+
+    @property
+    def quant_embedding_bag_collection(self) -> QuantEmbeddingBagCollection:
+        return self._qebc
+
+    def apply(
+        self, qparams: QuantParams, mc_states, kjt: KeyedJaggedTensor
+    ) -> KeyedTensor:
+        remapped, _ = self._mcc.forward(mc_states, kjt, train=False)
+        return self._qebc.apply(qparams, remapped)
