@@ -67,39 +67,14 @@ class ShardedManagedCollisionEmbeddingBagCollection:
 
     def _reset_evicted_local(self, params, evicted: Dict[str, jnp.ndarray]):
         """Zero evicted rows on the owning device's local blob (inside
-        shard_map): slot s of table t lives on the device whose
-        [id_lo, id_hi) row range covers s."""
-        axis = self._env.shard_axis
-        d = jax.lax.axis_index(axis)
-        ebc = self._sebc.unsharded
-        f_of_table = {}
-        for i, ti in enumerate(ebc._feature_table):
-            f_of_table.setdefault(ebc._tables[ti].name, i)
-        new_params = dict(params)
-        for c in self._sebc._classes:
-            blob = new_params[c.key]
-            flat = blob.reshape(blob.shape[-2], blob.shape[-1])
-            id_lo = jnp.asarray(c.id_lo)[d]
-            id_hi = jnp.asarray(c.id_hi)[d]
-            blob_off = jnp.asarray(c.blob_off)[d]
-            for tname, slots in evicted.items():
-                if tname not in f_of_table:
-                    continue
-                fi = f_of_table[tname]
-                for blk in range(c.max_blocks):
-                    if c.vf_pos[fi, blk] < 0:
-                        continue
-                    lo = id_lo[fi, blk]
-                    hi = id_hi[fi, blk]
-                    off = blob_off[fi, blk]
-                    mine = (slots >= lo) & (slots < hi) & (slots >= 0)
-                    local = jnp.where(mine, slots - lo + off, c.local_rows)
-                    flat = flat.at[local].set(
-                        jnp.zeros((slots.shape[0], c.width), flat.dtype),
-                        mode="drop",
-                    )
-            new_params[c.key] = flat[None]
-        return new_params
+        shard_map) — shared with the sequence form."""
+        from torchrec_tpu.distributed.mc_embedding import (
+            reset_evicted_rows_local,
+        )
+
+        return reset_evicted_rows_local(
+            self._sebc, params, evicted, self._env.shard_axis
+        )
 
     def apply_local(
         self,

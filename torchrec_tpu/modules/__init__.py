@@ -33,6 +33,7 @@ from torchrec_tpu.modules.feature_processor import (
 from torchrec_tpu.modules.itep import (
     GenericITEPModule,
     ITEPEmbeddingBagCollection,
+    ITEPEmbeddingCollection,
 )
 from torchrec_tpu.modules.mc_embedding_modules import (
     ManagedCollisionEmbeddingBagCollection,
@@ -72,6 +73,7 @@ __all__ = [
     "PositionWeightedModuleCollection",
     "GenericITEPModule",
     "ITEPEmbeddingBagCollection",
+    "ITEPEmbeddingCollection",
     "ManagedCollisionEmbeddingBagCollection",
     "ManagedCollisionEmbeddingCollection",
     "ManagedCollisionCollection",

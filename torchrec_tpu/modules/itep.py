@@ -24,7 +24,12 @@ import jax.numpy as jnp
 from torchrec_tpu.modules.embedding_modules import EmbeddingBagCollection
 from torchrec_tpu.sparse import KeyedJaggedTensor, KeyedTensor
 
-__all__ = ["GenericITEPModule", "ITEPEmbeddingBagCollection"]
+__all__ = [
+    "GenericITEPModule",
+    "ITEPEmbeddingBagCollection",
+    "ITEPEmbeddingCollection",
+    "itep_remap_kjt",
+]
 
 State = Dict[str, jnp.ndarray]
 
@@ -125,6 +130,60 @@ class GenericITEPModule:
         return {**state, "remap": remap}
 
 
+def itep_remap_kjt(
+    iteps: Dict[str, GenericITEPModule],
+    feature_to_table: Dict[str, str],
+    itep_states: Dict[str, State],
+    kjt: KeyedJaggedTensor,
+    train: bool = True,
+) -> Tuple[KeyedJaggedTensor, Dict[str, State]]:
+    """Profile (train only) + remap a KJT's raw ids to physical slots.
+
+    Shared by the module-level and sharded ITEP forms — under SPMD the
+    controller state is replicated and its transitions are deterministic,
+    so every device computes the identical remap with zero collective
+    traffic (the reference instead RW-shards utilization buffers and
+    syncs them: distributed/itep_embeddingbag.py:70)."""
+    import numpy as np
+
+    kjt = kjt.materialize()
+    keys = kjt.keys()
+    b = kjt.stride()
+    f = kjt.num_keys
+    seg = kjt.segment_ids()
+    slot_feature = jnp.minimum(seg // b, f)
+    values = kjt.values()
+    valid = kjt.valid_mask()
+
+    new_states = dict(itep_states)
+    out_values = values
+    for tname, module in iteps.items():
+        feats = [
+            i for i, key in enumerate(keys)
+            if feature_to_table.get(key) == tname
+        ]
+        if not feats:
+            continue
+        member = np.zeros(f + 1, np.bool_)
+        member[feats] = True
+        mine = jnp.take(jnp.asarray(member), slot_feature) & valid
+        if train:
+            new_states[tname] = module.profile(
+                itep_states[tname], values, valid=mine
+            )
+        slots = module.remap(
+            new_states[tname] if train else itep_states[tname], values
+        )
+        out_values = jnp.where(mine, slots, out_values)
+    remapped = KeyedJaggedTensor(
+        keys=keys,
+        values=out_values,
+        lengths=kjt._lengths,
+        weights=kjt.weights_or_none(),
+    )
+    return remapped, new_states
+
+
 class ITEPEmbeddingBagCollection:
     """ITEP controller + EBC over PHYSICAL tables (reference
     itep_embedding_modules.py:24). The EBC's tables must be sized
@@ -144,6 +203,14 @@ class ITEPEmbeddingBagCollection:
     def embedding_bag_collection(self) -> EmbeddingBagCollection:
         return self._ebc
 
+    @property
+    def itep_modules(self) -> Dict[str, GenericITEPModule]:
+        return dict(self._iteps)
+
+    @property
+    def feature_to_table(self) -> Dict[str, str]:
+        return dict(self._feature_to_table)
+
     def init(self, key: jax.Array):
         return self._ebc.init(key)
 
@@ -157,39 +224,52 @@ class ITEPEmbeddingBagCollection:
         kjt: KeyedJaggedTensor,
         train: bool = True,
     ) -> Tuple[KeyedTensor, Dict[str, State]]:
-        import numpy as np
-
-        kjt = kjt.materialize()
-        keys = kjt.keys()
-        b = kjt.stride()
-        f = kjt.num_keys
-        seg = kjt.segment_ids()
-        slot_feature = jnp.minimum(seg // b, f)
-        values = kjt.values()
-        valid = kjt.valid_mask()
-
-        new_states = dict(itep_states)
-        out_values = values
-        for tname, module in self._iteps.items():
-            feats = [
-                i for i, key in enumerate(keys)
-                if self._feature_to_table.get(key) == tname
-            ]
-            if not feats:
-                continue
-            member = np.zeros(f + 1, np.bool_)
-            member[feats] = True
-            mine = jnp.take(jnp.asarray(member), slot_feature) & valid
-            if train:
-                new_states[tname] = module.profile(
-                    itep_states[tname], values, valid=mine
-                )
-            slots = module.remap(new_states[tname] if train else itep_states[tname], values)
-            out_values = jnp.where(mine, slots, out_values)
-        remapped = KeyedJaggedTensor(
-            keys=keys,
-            values=out_values,
-            lengths=kjt._lengths,
-            weights=kjt.weights_or_none(),
+        remapped, new_states = itep_remap_kjt(
+            self._iteps, self._feature_to_table, itep_states, kjt, train
         )
         return self._ebc.apply(params, remapped), new_states
+
+
+class ITEPEmbeddingCollection:
+    """ITEP controller + sequence EC over PHYSICAL tables (reference
+    itep_embedding_modules.py:88): per-id rows from pruned tables."""
+
+    def __init__(
+        self,
+        embedding_collection,
+        itep_modules: Dict[str, GenericITEPModule],
+        feature_to_table: Dict[str, str],
+    ):
+        self._ec = embedding_collection
+        self._iteps = dict(itep_modules)
+        self._feature_to_table = dict(feature_to_table)
+
+    @property
+    def embedding_collection(self):
+        return self._ec
+
+    @property
+    def itep_modules(self) -> Dict[str, GenericITEPModule]:
+        return dict(self._iteps)
+
+    @property
+    def feature_to_table(self) -> Dict[str, str]:
+        return dict(self._feature_to_table)
+
+    def init(self, key: jax.Array):
+        return self._ec.init(key)
+
+    def init_itep_state(self) -> Dict[str, State]:
+        return {k: m.init_state() for k, m in self._iteps.items()}
+
+    def apply(
+        self,
+        params,
+        itep_states: Dict[str, State],
+        kjt: KeyedJaggedTensor,
+        train: bool = True,
+    ):
+        remapped, new_states = itep_remap_kjt(
+            self._iteps, self._feature_to_table, itep_states, kjt, train
+        )
+        return self._ec.apply(params, remapped), new_states
