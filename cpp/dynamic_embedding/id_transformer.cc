@@ -11,7 +11,8 @@
 // (lowest freq, oldest access) — the reference's MixedLFULRUStrategy
 // semantics.
 //
-// Build: g++ -O2 -shared -fPIC -std=c++17 -o libtde.so id_transformer.cc
+// Build: g++ -O2 -shared -fPIC -std=c++17 -o libtde.so id_transformer.cc \
+//            io_registry.cc -ldl
 
 #include <algorithm>
 #include <cstdint>
@@ -19,6 +20,8 @@
 #include <mutex>
 #include <unordered_map>
 #include <vector>
+
+#include "tde_io.h"
 
 namespace {
 
@@ -47,13 +50,17 @@ class IDTransformer {
 
   // Returns number of ids transformed (== n on success); ids without a
   // slot when full keep cache_id = -1 (caller must evict + retry).
+  // fresh_flags (may be null): per-id 1 iff the id was newly mapped this
+  // call — callers use it to fresh-init recycled slots.
   int64_t Transform(const int64_t* global_ids, int64_t* cache_ids, int64_t n,
-                    int64_t* newly_mapped /*out, may be null*/) {
+                    int64_t* newly_mapped /*out, may be null*/,
+                    uint8_t* fresh_flags = nullptr) {
     std::lock_guard<std::mutex> g(mu_);
     ++time_;
     int64_t ok = 0, fresh = 0;
     for (int64_t i = 0; i < n; ++i) {
       int64_t gid = global_ids[i];
+      if (fresh_flags) fresh_flags[i] = 0;
       int64_t slot = Find(gid);
       if (slot < 0) {
         if (free_.empty()) {
@@ -68,6 +75,7 @@ class IDTransformer {
         Insert(gid, slot);
         ++size_;
         ++fresh;
+        if (fresh_flags) fresh_flags[i] = 1;
       } else {
         Slot& s = slots_[slot];
         if (s.freq_power < kMaxFreqPower) {
@@ -121,6 +129,28 @@ class IDTransformer {
     // used-or-tombstone (open-addressing pathology under heavy churn)
     if (n_evict > 0) Rehash();
     return n_evict;
+  }
+
+  // Remove specific slots (policy-driven eviction from the virtual-table
+  // eviction engine); returns the number removed and fills the removed
+  // (gid, slot) pairs compacted — unknown/empty slots are skipped.
+  int64_t Remove(const int64_t* slot_ids, int64_t n, int64_t* removed_gids,
+                 int64_t* removed_slots) {
+    std::lock_guard<std::mutex> g(mu_);
+    int64_t k = 0;
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t slot = slot_ids[i];
+      if (slot < 0 || slot >= capacity_ || slots_[slot].global_id == kEmpty)
+        continue;
+      removed_gids[k] = slots_[slot].global_id;
+      removed_slots[k] = slot;
+      ++k;
+      slots_[slot] = Slot();
+      free_.push_back(slot);
+      --size_;
+    }
+    if (k > 0) Rehash();
+    return k;
   }
 
   // Snapshot (gid, slot, freq, time) rows for checkpoint; returns count.
@@ -196,46 +226,44 @@ class IDTransformer {
 };
 
 // ------------------------------------------------------------- parameter
-// server: slot-addressed row store (the reference's ps.h LocalShard role)
-// with an in-memory map standing in for the Redis/io_registry backend.
+// server: row store (the reference's ps.h LocalShard role) over a
+// pluggable storage provider (tde_io.h; reference io_registry.cpp) —
+// "memory" (default), "file" (durable log, the Redis stand-in), or any
+// plugin registered via tde_io_register_plugin.
 
 class ParameterServer {
  public:
-  explicit ParameterServer(int64_t dim) : dim_(dim) {}
+  ParameterServer(int64_t dim, const char* provider, const char* cfg)
+      : dim_(dim),
+        prov_(tde_io_resolve(provider && *provider ? provider : "memory")) {
+    inst_ = prov_ ? prov_->initialize(cfg ? cfg : "", dim) : nullptr;
+  }
+  ~ParameterServer() {
+    if (ok() && prov_->finalize) prov_->finalize(inst_);
+  }
+  bool ok() const { return prov_ != nullptr && inst_ != nullptr; }
 
   void Push(const int64_t* gids, const float* rows, int64_t n) {
-    std::lock_guard<std::mutex> g(mu_);
-    for (int64_t i = 0; i < n; ++i) {
-      auto& v = store_[gids[i]];
-      v.assign(rows + i * dim_, rows + (i + 1) * dim_);
-    }
+    prov_->push(inst_, gids, rows, n, dim_);
   }
 
   // Fetch rows; missing ids fill with zeros and report count fetched.
   int64_t Pull(const int64_t* gids, float* rows, int64_t n) const {
-    std::lock_guard<std::mutex> g(mu_);
-    int64_t hits = 0;
-    for (int64_t i = 0; i < n; ++i) {
-      auto it = store_.find(gids[i]);
-      if (it == store_.end()) {
-        std::memset(rows + i * dim_, 0, sizeof(float) * dim_);
-      } else {
-        std::memcpy(rows + i * dim_, it->second.data(), sizeof(float) * dim_);
-        ++hits;
-      }
-    }
-    return hits;
+    return prov_->pull(inst_, gids, rows, n, dim_);
+  }
+
+  int64_t Scan(int64_t* gids, float* rows, int64_t max_n) const {
+    return prov_->scan ? prov_->scan(inst_, gids, rows, max_n, dim_) : 0;
   }
 
   int64_t size() const {
-    std::lock_guard<std::mutex> g(mu_);
-    return static_cast<int64_t>(store_.size());
+    return prov_->size ? prov_->size(inst_) : 0;
   }
 
  private:
-  mutable std::mutex mu_;
   int64_t dim_;
-  std::unordered_map<int64_t, std::vector<float>> store_;
+  const TdeIOProvider* prov_;
+  void* inst_ = nullptr;
 };
 
 }  // namespace
@@ -248,8 +276,18 @@ int64_t idt_transform(void* h, const int64_t* gids, int64_t* cids, int64_t n,
                       int64_t* newly_mapped) {
   return static_cast<IDTransformer*>(h)->Transform(gids, cids, n, newly_mapped);
 }
+int64_t idt_transform2(void* h, const int64_t* gids, int64_t* cids, int64_t n,
+                       int64_t* newly_mapped, uint8_t* fresh_flags) {
+  return static_cast<IDTransformer*>(h)->Transform(gids, cids, n, newly_mapped,
+                                                   fresh_flags);
+}
 int64_t idt_evict(void* h, int64_t n, int64_t* egids, int64_t* eslots) {
   return static_cast<IDTransformer*>(h)->Evict(n, egids, eslots);
+}
+int64_t idt_remove(void* h, const int64_t* slot_ids, int64_t n,
+                   int64_t* removed_gids, int64_t* removed_slots) {
+  return static_cast<IDTransformer*>(h)->Remove(slot_ids, n, removed_gids,
+                                                removed_slots);
 }
 int64_t idt_export(void* h, int64_t* gids, int64_t* slots, int64_t max_n) {
   return static_cast<IDTransformer*>(h)->Export(gids, slots, max_n);
@@ -263,8 +301,23 @@ int64_t idt_capacity(void* h) {
   return static_cast<IDTransformer*>(h)->capacity();
 }
 
-void* ps_create(int64_t dim) { return new ParameterServer(dim); }
+void* ps_create(int64_t dim) {
+  return new ParameterServer(dim, "memory", "");
+}
+// provider-backed PS ("memory", "file", or a registered plugin); returns
+// NULL if the provider is unknown or its initialize() fails.
+void* ps_create2(int64_t dim, const char* provider, const char* cfg) {
+  auto* ps = new ParameterServer(dim, provider, cfg);
+  if (!ps->ok()) {
+    delete ps;
+    return nullptr;
+  }
+  return ps;
+}
 void ps_destroy(void* h) { delete static_cast<ParameterServer*>(h); }
+int64_t ps_scan(void* h, int64_t* gids, float* rows, int64_t max_n) {
+  return static_cast<ParameterServer*>(h)->Scan(gids, rows, max_n);
+}
 void ps_push(void* h, const int64_t* gids, const float* rows, int64_t n) {
   static_cast<ParameterServer*>(h)->Push(gids, rows, n);
 }

@@ -4,6 +4,7 @@
 // Drives the C ABI of libtde.so via dlopen — the surface Python uses.
 
 #include <dlfcn.h>
+#include <unistd.h>
 
 #include <cassert>
 #include <cstdint>
@@ -20,6 +21,9 @@ using SizeFn = int64_t (*)(void*);
 using VoidFn = void (*)(void*);
 using PsPushFn = void (*)(void*, const int64_t*, const float*, int64_t);
 using PsPullFn = int64_t (*)(void*, const int64_t*, float*, int64_t);
+using PsCreate2Fn = void* (*)(int64_t, const char*, const char*);
+using RemoveFn = int64_t (*)(void*, const int64_t*, int64_t, int64_t*,
+                             int64_t*);
 
 int main(int argc, char** argv) {
   const char* so = argc > 1 ? argv[1] : "libtde.so";
@@ -107,6 +111,66 @@ int main(int argc, char** argv) {
   hits = ps_pull(ps, miss, mrow, 1);
   assert(hits == 0);
   ps_destroy(ps);
+
+  // ---- targeted removal (policy-driven eviction) ------------------------
+  auto idt_remove = (RemoveFn)dlsym(lib, "idt_remove");
+  assert(idt_remove);
+  void* t3 = idt_create(4);
+  int64_t g3[3] = {10, 20, 30};
+  int64_t c3[3], f3;
+  idt_transform(t3, g3, c3, 3, &f3);
+  assert(idt_size(t3) == 3);
+  int64_t victims[2] = {c3[1], 99};  // one live slot, one bogus
+  int64_t out_g[2], out_s[2];
+  int64_t removed = idt_remove(t3, victims, 2, out_g, out_s);
+  assert(removed == 1 && out_g[0] == 20 && out_s[0] == c3[1]);
+  assert(idt_size(t3) == 2);
+  // freed slot is reusable and the survivors still resolve
+  int64_t g4[1] = {40};
+  int64_t c4[1];
+  assert(idt_transform(t3, g4, c4, 1, &f3) == 1);
+  int64_t c5[2];
+  int64_t g5[2] = {10, 30};
+  idt_transform(t3, g5, c5, 2, &f3);
+  assert(c5[0] == c3[0] && c5[1] == c3[2]);
+  idt_destroy(t3);
+
+  // ---- file storage provider: rows survive a simulated restart ----------
+  // (the storage-plugin ABI of tde_io.h; reference io_registry/redis_io)
+  auto ps_create2 = (PsCreate2Fn)dlsym(lib, "ps_create2");
+  auto ps_scan = (PsPullFn)dlsym(lib, "ps_scan");
+  assert(ps_create2 && ps_scan);
+  char logp[256];
+  std::snprintf(logp, sizeof logp, "/tmp/tde_io_test_%d.log", (int)getpid());
+  std::remove(logp);
+  void* fps = ps_create2(4, "file", logp);
+  assert(fps);
+  float frows[8] = {11, 12, 13, 14, 21, 22, 23, 24};
+  int64_t fg[2] = {7, 1000000009LL};
+  ps_push(fps, fg, frows, 2);
+  // overwrite gid 7 (last record must win on replay)
+  float frow2[4] = {91, 92, 93, 94};
+  ps_push(fps, fg, frow2, 1);
+  assert(ps_size(fps) == 2);
+  ps_destroy(fps);  // process "dies"
+
+  void* fps2 = ps_create2(4, "file", logp);  // restart: replay the log
+  assert(fps2);
+  assert(ps_size(fps2) == 2);
+  float fback[8] = {0};
+  assert(ps_pull(fps2, fg, fback, 2) == 2);
+  for (int i = 0; i < 4; ++i) assert(fback[i] == frow2[i]);
+  for (int i = 0; i < 4; ++i) assert(fback[4 + i] == frows[4 + i]);
+  // scan walks the whole store (checkpoint dump)
+  int64_t sg[4];
+  float srows[16];
+  int64_t sn = ps_scan(fps2, sg, srows, 4);
+  assert(sn == 2);
+  ps_destroy(fps2);
+  std::remove(logp);
+
+  // unknown provider fails cleanly
+  assert(ps_create2(4, "no_such_backend", "") == nullptr);
 
   std::puts("dynamic_embedding_test PASS");
   return 0;

@@ -372,3 +372,161 @@ def test_kernel_enum_parity_pricing():
     assert sq.storage.ddr > 0  # quantized table bytes in host RAM
     # quant table bytes shrink with the quant dtype in HBM-resident form
     assert priced(CK.QUANT).shards[0].storage.hbm <= sf.storage.hbm
+
+
+# --------------------------------------------------------------- round 2 #9
+class TestEstimatorValidation:
+    """The cost model must track reality: feed the HEADLINE BENCH config
+    through EmbeddingPerfEstimator and require the predicted step time to
+    land within 2x of the measured single-chip number (VERDICT #9)."""
+
+    def _measured_s_per_step(self):
+        import json
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_r01.json",
+        )
+        if os.path.exists(path):
+            with open(path) as f:
+                rec = json.load(f)
+            return rec["parsed"]["value"] / 10  # 10 batches/epoch
+        return 1.597e-3  # BENCH_r01 record (0.01597 s/epoch / 10)
+
+    def test_perf_estimator_within_2x_of_measured_bench(self):
+        from torchrec_tpu.planner.types import PlannerShard, ShardingOption
+
+        # bench.py headline shapes: MLPerf rows / 128, dim 128, batch 64,
+        # 64 ids per feature, ONE v5e chip
+        mlperf_rows = [
+            45833188, 36746, 17245, 7413, 20243, 3, 7114, 1441, 62,
+            29275261, 1572176, 345138, 10, 2209, 11267, 128, 4, 974, 14,
+            48937457, 11316796, 40094537, 452104, 12606, 104, 35,
+        ]
+        rows = [max(r // 128, 4) for r in mlperf_rows]
+        t = topo(world=1)
+        pe = EmbeddingPerfEstimator(t, batch_size=64)
+        predicted = 0.0
+        for i, r in enumerate(rows):
+            cfg = EmbeddingBagConfig(
+                name=f"t{i}", num_embeddings=r, embedding_dim=128,
+                feature_names=[f"f{i}"],
+            )
+            o = ShardingOption(
+                table=cfg,
+                sharding_type=ShardingType.TABLE_WISE,
+                compute_kernel=ComputeKernel.FUSED,
+                shards=[PlannerShard(0, r, 0, 128, rank=0)],
+                pooling_factor=64.0,
+            )
+            pe.estimate(o)
+            predicted += sum(s.perf.total for s in o.shards)
+        measured = self._measured_s_per_step()
+        assert measured / 2 < predicted < measured * 2, (
+            f"cost model off reality: predicted {predicted * 1e3:.3f} ms "
+            f"vs measured {measured * 1e3:.3f} ms per step"
+        )
+
+
+class TestStatsReport:
+    def test_full_report_sections(self):
+        t = topo()
+        opts = estimated_options(tables(), t)
+        placed = GreedyPerfPartitioner().partition(
+            next(GreedyProposer().propose(opts)), t
+        )
+        text = EmbeddingStats().render(
+            placed, t, batch_size=64, num_proposals=12, num_plans=3,
+            run_time=0.5, reserved_hbm_percent=0.15,
+            dense_param_bytes=1 << 20,
+        )
+        # reference-style boxed report with every section
+        assert "--- Planner Statistics ---" in text
+        assert "Evaluated 12 proposal(s), found 3 possible plan(s)" in text
+        # one row per rank with HBM% and the 5-way perf breakdown
+        for r in range(t.world_size):
+            assert f"\n# {r} " in text or f"# {r}  " in text
+        assert "HBM (GB)" in text and "Perf (ms)" in text
+        assert "Input (MB)" in text and "Output (MB)" in text
+        assert "Parameter Info:" in text
+        assert "Compute Kernels:" in text
+        assert "Imbalance:" in text
+        assert "Critical Path:" in text
+        assert "Storage Reservation: 15.0% HBM" in text
+        # every table appears in the parameter info
+        for tb in tables():
+            assert tb.name in text
+
+    def test_report_via_planner_debug(self, capsys):
+        t = topo()
+        EmbeddingShardingPlanner(t, debug=True).plan(tables())
+        out = capsys.readouterr().out
+        assert "--- Planner Statistics ---" in out
+        assert "proposal(s)" in out
+
+
+class TestStorageReservations:
+    def test_fixed_absolute(self):
+        from torchrec_tpu.planner import FixedAbsoluteStorageReservation
+
+        t = topo()
+        r = FixedAbsoluteStorageReservation(hbm_reserved_bytes=2 << 30)
+        assert r.reserve(t) == pytest.approx((2 << 30) / t.hbm_cap)
+
+    def test_inference_uses_x1_multipliers(self):
+        from torchrec_tpu.planner import (
+            HeuristicalStorageReservation,
+            InferenceStorageReservation,
+        )
+
+        t = topo()
+        dense = 1 << 30
+        inf = InferenceStorageReservation(percentage=0.05)
+        tr = HeuristicalStorageReservation(percentage=0.05)
+        # training reserves 4x dense (grads+optimizer); serving only 1x
+        assert inf.reserve(t, dense_param_bytes=dense) < tr.reserve(
+            t, dense_param_bytes=dense
+        )
+        assert inf.reserve(t, dense_param_bytes=dense) == pytest.approx(
+            0.05 + dense / t.hbm_cap
+        )
+
+    def test_inference_dense_override(self):
+        from torchrec_tpu.planner import InferenceStorageReservation
+
+        t = topo()
+        r = InferenceStorageReservation(
+            percentage=0.0, dense_tensor_estimate=1 << 30
+        )
+        # explicit estimate replaces the module-derived bytes
+        assert r.reserve(t, dense_param_bytes=123) == pytest.approx(
+            (1 << 30) / t.hbm_cap
+        )
+
+    def test_sku_aware_margin_is_sku_invariant(self):
+        from torchrec_tpu.planner import SKUAwareStorageReservation
+
+        r = SKUAwareStorageReservation(
+            home_generation="v5e", percentage=0.10
+        )
+        small = topo(gen="v5e")   # 16 GiB
+        big = topo(gen="v5p")     # 95 GiB
+        # the reserved BYTE count is anchored to the home SKU: the
+        # fraction shrinks on the bigger chip instead of scaling up
+        assert r.reserve(small) == pytest.approx(0.10)
+        assert r.reserve(big) == pytest.approx(
+            0.10 * small.hbm_cap / big.hbm_cap
+        )
+
+    def test_sku_aware_measured_base_replaces_computed(self):
+        from torchrec_tpu.planner import SKUAwareStorageReservation
+
+        t = topo()
+        r = SKUAwareStorageReservation(
+            model_base_bytes=1 << 30, runtime_overhead_bytes=1 << 28
+        )
+        # measured static base + runtime tax; dense term is NOT re-added
+        assert r.reserve(t, dense_param_bytes=1 << 40) == pytest.approx(
+            ((1 << 30) + (1 << 28)) / t.hbm_cap
+        )

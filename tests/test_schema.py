@@ -76,8 +76,10 @@ def test_sharding_schema():
     for method in ["apply", "apply_local", "apply_gradients_local",
                    "shard_params", "unshard_params", "init_optimizer"]:
         assert hasattr(ShardedEmbeddingBagCollection, method), method
+    # hierarchical=True factorizes the shard world into a (host, chip)
+    # mesh for TWRW/GRID two-level collectives
     assert sig_params(ShardingEnv.from_devices) == [
-        "devices", "replica_size", "local_size",
+        "devices", "replica_size", "local_size", "hierarchical",
     ]
 
 

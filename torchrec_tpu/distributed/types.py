@@ -33,6 +33,9 @@ __all__ = [
     "ParameterSharding",
     "EmbeddingModuleShardingPlan",
     "ShardingPlan",
+    "ShardingBucketMetadata",
+    "bucket_metadata_from_rows",
+    "bucket_metadata_from_shards",
 ]
 
 
@@ -187,6 +190,64 @@ class ParameterSharding:
 class EmbeddingModuleShardingPlan(Dict[str, ParameterSharding]):
     """table name -> ParameterSharding for one module
     (reference EmbeddingModuleShardingPlan)."""
+
+
+@dataclasses.dataclass
+class ShardingBucketMetadata:
+    """Bucket layout of a row-wise-bucketized table (reference
+    distributed/types.py:1581): virtual/KVZCH tables checkpoint their rows
+    bucket-addressed so a resharded restore routes buckets to new owners.
+
+    ``num_buckets_per_shard[i]``: buckets in shard i.
+    ``bucket_offsets_per_shard[i]``: index of shard i's first bucket.
+    ``bucket_size``: rows per bucket (uniform).
+    """
+
+    num_buckets_per_shard: List[int]
+    bucket_offsets_per_shard: List[int]
+    bucket_size: int
+
+
+def bucket_metadata_from_rows(
+    rows_per_shard: Sequence[int], num_buckets: int
+) -> ShardingBucketMetadata:
+    """Bucket metadata from per-shard row counts (reference
+    utils.py:651 get_bucket_metadata_from_shard_metadata, taking row
+    counts instead of torch ShardMetadata)."""
+    table_rows = int(sum(rows_per_shard))
+    if table_rows % num_buckets:
+        raise ValueError(
+            f"table rows {table_rows} not divisible by num_buckets "
+            f"{num_buckets}"
+        )
+    bucket_size = table_rows // num_buckets
+    meta = ShardingBucketMetadata([], [], bucket_size)
+    off = 0
+    for rows in rows_per_shard:
+        if rows % bucket_size:
+            raise ValueError(
+                f"shard rows {rows} not divisible by bucket size "
+                f"{bucket_size}"
+            )
+        n = rows // bucket_size
+        meta.num_buckets_per_shard.append(n)
+        meta.bucket_offsets_per_shard.append(off)
+        off += n
+    return meta
+
+
+def bucket_metadata_from_shards(
+    shards: Sequence[Shard], num_buckets: int
+) -> ShardingBucketMetadata:
+    """Bucket metadata from a plan's placed shards (row-wise only)."""
+    for s in shards:
+        if s.col_start != 0:
+            raise ValueError(
+                "bucketization requires row-wise-only sharding"
+            )
+    return bucket_metadata_from_rows(
+        [s.row_count for s in shards], num_buckets
+    )
 
 
 @dataclasses.dataclass

@@ -24,7 +24,12 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["IDTransformer", "ParameterServer", "IDTransformerCollection"]
+__all__ = [
+    "IDTransformer",
+    "ParameterServer",
+    "IDTransformerCollection",
+    "register_io_plugin",
+]
 
 _LIB = None
 
@@ -34,11 +39,15 @@ def _lib() -> ctypes.CDLL:
     if _LIB is not None:
         return _LIB
     root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    src = os.path.join(root, "cpp", "dynamic_embedding", "id_transformer.cc")
-    so = os.path.join(root, "cpp", "dynamic_embedding", "libtde.so")
-    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+    d = os.path.join(root, "cpp", "dynamic_embedding")
+    srcs = [os.path.join(d, "id_transformer.cc"), os.path.join(d, "io_registry.cc")]
+    hdrs = [os.path.join(d, "tde_io.h")]
+    so = os.path.join(d, "libtde.so")
+    newest = max(os.path.getmtime(p) for p in srcs + hdrs)
+    if not os.path.exists(so) or os.path.getmtime(so) < newest:
         subprocess.run(
-            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", so, src],
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", so,
+             *srcs, "-ldl"],
             check=True,
         )
     lib = ctypes.CDLL(so)
@@ -52,6 +61,13 @@ def _lib() -> ctypes.CDLL:
     lib.idt_transform.argtypes = [ctypes.c_void_p, p64, p64, i64, p64]
     lib.idt_evict.restype = i64
     lib.idt_evict.argtypes = [ctypes.c_void_p, i64, p64, p64]
+    lib.idt_transform2.restype = i64
+    lib.idt_transform2.argtypes = [
+        ctypes.c_void_p, p64, p64, i64, p64,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.idt_remove.restype = i64
+    lib.idt_remove.argtypes = [ctypes.c_void_p, p64, i64, p64, p64]
     lib.idt_export.restype = i64
     lib.idt_export.argtypes = [ctypes.c_void_p, p64, p64, i64]
     lib.idt_restore.restype = i64
@@ -62,12 +78,18 @@ def _lib() -> ctypes.CDLL:
     lib.idt_capacity.argtypes = [ctypes.c_void_p]
     lib.ps_create.restype = ctypes.c_void_p
     lib.ps_create.argtypes = [i64]
+    lib.ps_create2.restype = ctypes.c_void_p
+    lib.ps_create2.argtypes = [i64, ctypes.c_char_p, ctypes.c_char_p]
     lib.ps_destroy.argtypes = [ctypes.c_void_p]
     lib.ps_push.argtypes = [ctypes.c_void_p, p64, pf, i64]
     lib.ps_pull.restype = i64
     lib.ps_pull.argtypes = [ctypes.c_void_p, p64, pf, i64]
+    lib.ps_scan.restype = i64
+    lib.ps_scan.argtypes = [ctypes.c_void_p, p64, pf, i64]
     lib.ps_size.restype = i64
     lib.ps_size.argtypes = [ctypes.c_void_p]
+    lib.tde_io_register_plugin.restype = ctypes.c_int
+    lib.tde_io_register_plugin.argtypes = [ctypes.c_char_p]
     _LIB = lib
     return lib
 
@@ -99,15 +121,31 @@ class IDTransformer:
         fills and ``auto_evict``, the coldest ~10% of slots are evicted and
         the transform retried — the reference's transform->evict loop
         (contrib .../id_transformer_group.cpp)."""
+        cids, eg, es, _ = self.transform_with_fresh(global_ids, auto_evict)
+        return cids, eg, es
+
+    def transform_with_fresh(
+        self, global_ids: np.ndarray, auto_evict: bool = True
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """``transform`` plus a per-id bool mask of ids newly mapped this
+        call — recycled slots whose new id is fresh must be re-initialized
+        by the caller (they hold the previous tenant's row)."""
         gids = np.ascontiguousarray(global_ids, np.int64)
         n = gids.shape[0]
         cids = np.empty(n, np.int64)
+        fresh_flags = np.zeros(n, np.uint8)
         fresh = ctypes.c_int64(0)
-        ok = self._lib.idt_transform(
-            self._h, _as_i64(gids), _as_i64(cids), n, ctypes.byref(fresh)
-        )
+
+        def _call():
+            return self._lib.idt_transform2(
+                self._h, _as_i64(gids), _as_i64(cids), n, ctypes.byref(fresh),
+                fresh_flags.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
+
+        ok = _call()
         evicted_g = np.empty(0, np.int64)
         evicted_s = np.empty(0, np.int64)
+        all_fresh = fresh_flags.astype(bool)
         retries = 0
         while ok < n and auto_evict:
             # another thread may refill between evict and retry: keep
@@ -127,22 +165,32 @@ class IDTransformer:
             eg, es = self.evict(n_evict)
             evicted_g = np.concatenate([evicted_g, eg])
             evicted_s = np.concatenate([evicted_s, es])
-            ok = self._lib.idt_transform(
-                self._h, _as_i64(gids), _as_i64(cids), n, ctypes.byref(fresh)
-            )
+            ok = _call()
+            all_fresh |= fresh_flags.astype(bool)
             retries += 1
         if ok < n:
             raise RuntimeError(
                 f"transformer full: {n - ok} ids of {n} unmapped "
                 f"(capacity {self.capacity}); call evict() or enable auto_evict"
             )
-        return cids, evicted_g, evicted_s
+        return cids, evicted_g, evicted_s, all_fresh
 
     def evict(self, n: int) -> Tuple[np.ndarray, np.ndarray]:
         gids = np.empty(n, np.int64)
         slots = np.empty(n, np.int64)
         k = self._lib.idt_evict(self._h, n, _as_i64(gids), _as_i64(slots))
         return gids[:k], slots[:k]
+
+    def remove(self, slots: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """Targeted removal by slot index (policy-driven virtual-table
+        eviction). Returns the (gids, slots) actually removed — unknown or
+        already-empty slots are skipped."""
+        s = np.ascontiguousarray(slots, np.int64)
+        n = len(s)
+        rg = np.empty(n, np.int64)
+        rs = np.empty(n, np.int64)
+        k = self._lib.idt_remove(self._h, _as_i64(s), n, _as_i64(rg), _as_i64(rs))
+        return rg[:k], rs[:k]
 
     def export_state(self) -> Tuple[np.ndarray, np.ndarray]:
         n = self.capacity
@@ -162,14 +210,34 @@ class IDTransformer:
         return int(self._lib.idt_size(self._h))
 
 
+def register_io_plugin(so_path: str) -> None:
+    """Load an external storage-provider plugin .so (must export
+    ``tde_io_provider``; reference io_registry.cpp register_plugin). Its
+    provider name becomes usable as ``ParameterServer(provider=...)``."""
+    rc = _lib().tde_io_register_plugin(os.fsencode(so_path))
+    if rc != 0:
+        raise RuntimeError(f"plugin load failed (rc={rc}): {so_path}")
+
+
 class ParameterServer:
     """Host row store for evicted/fetched embedding rows (reference ps.h:26
-    LocalShard; in-memory map stands in for the Redis io backend)."""
+    LocalShard) over a pluggable storage provider (reference io_registry.cpp
+    + redis/redis_io.cpp): ``memory`` (default), ``file`` (durable
+    append-log, cfg = path — the Redis stand-in), or any plugin registered
+    with :func:`register_io_plugin`."""
 
-    def __init__(self, dim: int):
+    def __init__(self, dim: int, provider: str = "memory", config: str = ""):
         self._lib = _lib()
-        self._h = self._lib.ps_create(dim)
+        self._h = self._lib.ps_create2(
+            dim, provider.encode(), config.encode()
+        )
+        if not self._h:
+            raise ValueError(
+                f"parameter-server provider {provider!r} failed to "
+                f"initialize (config={config!r})"
+            )
         self.dim = dim
+        self.provider = provider
 
     def __del__(self):
         if getattr(self, "_h", None):
@@ -193,6 +261,17 @@ class ParameterServer:
             len(g),
         )
         return out, int(hits)
+
+    def scan(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Dump all stored (gids, rows) — the checkpoint walk."""
+        n = len(self)
+        gids = np.empty(n, np.int64)
+        rows = np.empty((n, self.dim), np.float32)
+        k = self._lib.ps_scan(
+            self._h, _as_i64(gids),
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+        )
+        return gids[:k], rows[:k]
 
     def __len__(self) -> int:
         return int(self._lib.ps_size(self._h))

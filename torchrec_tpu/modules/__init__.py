@@ -9,8 +9,15 @@ from torchrec_tpu.modules.crossnet import (
 from torchrec_tpu.modules.deepfm import DeepFM, FactorizationMachine
 from torchrec_tpu.modules.embedding_configs import (
     BaseEmbeddingConfig,
+    CountBasedEvictionPolicy,
+    CountTimestampMixedEvictionPolicy,
     EmbeddingBagConfig,
     EmbeddingConfig,
+    FeatureL2NormBasedEvictionPolicy,
+    FeatureScoreBasedEvictionPolicy,
+    NoEvictionPolicy,
+    TimestampBasedEvictionPolicy,
+    VirtualTableEvictionPolicy,
 )
 from torchrec_tpu.modules.embedding_modules import (
     EmbeddingBagCollection,
@@ -87,4 +94,11 @@ __all__ = [
     "TensorPool",
     "KTRegroupAsDict",
     "regroup_kts",
+    "VirtualTableEvictionPolicy",
+    "NoEvictionPolicy",
+    "CountBasedEvictionPolicy",
+    "TimestampBasedEvictionPolicy",
+    "CountTimestampMixedEvictionPolicy",
+    "FeatureL2NormBasedEvictionPolicy",
+    "FeatureScoreBasedEvictionPolicy",
 ]

@@ -19,8 +19,11 @@ from torchrec_tpu.planner.shard_estimators import (
 )
 from torchrec_tpu.planner.stats import EmbeddingStats
 from torchrec_tpu.planner.storage_reservations import (
+    FixedAbsoluteStorageReservation,
     FixedPercentageStorageReservation,
     HeuristicalStorageReservation,
+    InferenceStorageReservation,
+    SKUAwareStorageReservation,
 )
 from torchrec_tpu.planner.types import (
     ParameterConstraints,
@@ -48,8 +51,11 @@ __all__ = [
     "EmbeddingPerfEstimator",
     "EmbeddingStorageEstimator",
     "EmbeddingStats",
+    "FixedAbsoluteStorageReservation",
     "FixedPercentageStorageReservation",
     "HeuristicalStorageReservation",
+    "InferenceStorageReservation",
+    "SKUAwareStorageReservation",
     "ParameterConstraints",
     "Perf",
     "PlannerError",

@@ -34,6 +34,18 @@ SSD_CAP = 4096 * GiB
 # reference models bwd as 2x fwd compute (constants.py:26)
 BACKWARD_COMPUTE_MULTIPLIER = 2.0
 
+# issue-rate floors, measured on v5e at the headline bench (CLAUDE.md
+# device profile): XLA row gathers issue at ~12-20 ns/row regardless of
+# table size, and narrow-row lookups are issue-bound, not bandwidth-bound.
+# Calibrated against the measured profile (106.5k ids/step):
+#   fwd gather+pool 0.27 ms -> ~2.5 ns/id
+#   bwd sort+count+dedup+write+optim ~1.03 ms -> ~9.7 ns/id
+# The perf estimator takes max(bandwidth term, issue term) per pass; a
+# validation test (tests/test_planner.py) pins the prediction within 2x of
+# the measured BENCH number.
+FWD_ISSUE_S_PER_ROW = 2.5e-9
+BWD_ISSUE_S_PER_ROW = 9.7e-9
+
 # overhead per XLA kernel dispatch involved in a lookup pass (seconds)
 KERNEL_OVERHEAD_S = 2e-6
 

@@ -99,6 +99,7 @@ class EmbeddingShardingPlanner:
         tables: Sequence[BaseEmbeddingConfig],
         dense_param_bytes: int = 0,
     ) -> EmbeddingModuleShardingPlan:
+        t_start = time.monotonic()
         reserve = self._reservation.reserve(
             self._topology, dense_param_bytes=dense_param_bytes
         )
@@ -153,7 +154,16 @@ class EmbeddingShardingPlanner:
         # retained for stats/dry-run reporting (planner/dry_run.py)
         self.last_plan_options = best
         if self._debug:
-            self._stats.log(best, self._topology)
+            self._stats.log(
+                best,
+                self._topology,
+                batch_size=self._perf_estimator._batch,
+                num_proposals=self.num_proposals,
+                num_plans=self.num_plans,
+                run_time=time.monotonic() - t_start,
+                reserved_hbm_percent=reserve,
+                dense_param_bytes=dense_param_bytes,
+            )
         return _to_module_plan(best)
 
 

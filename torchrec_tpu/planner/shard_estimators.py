@@ -92,9 +92,16 @@ class EmbeddingPerfEstimator:
                     touched * (1 - clf) ** 2 * (1.0 / t.ssd_bw - 1.0 / t.ddr_bw)
                 )
 
-        fwd_compute = fwd_bytes / hbm_bw + constants.KERNEL_OVERHEAD_S
+        # narrow-row lookups are ISSUE-bound on TPU (measured ~2.5 ns/row
+        # fwd, ~9.7 ns/id for the whole sort/dedup/write backward; see
+        # constants.py) — take the max of the bandwidth and issue terms
+        fwd_compute = (
+            max(fwd_bytes / hbm_bw, ids_here * constants.FWD_ISSUE_S_PER_ROW)
+            + constants.KERNEL_OVERHEAD_S
+        )
         bwd_compute = 0.0 if is_quant else (
-            bwd_bytes / hbm_bw + constants.KERNEL_OVERHEAD_S
+            max(bwd_bytes / hbm_bw, ids_here * constants.BWD_ISSUE_S_PER_ROW)
+            + constants.KERNEL_OVERHEAD_S
         )
         # lump miss traffic into the backward term (training) or the
         # forward term (inference kernels, which have no backward)
