@@ -3,6 +3,7 @@ from torchrec_tpu.metrics.metric_module import (
     MetricsConfig,
     RecMetricEnum,
     RecMetricModule,
+    StepAuxCounters,
     generate_metric_module,
 )
 from torchrec_tpu.metrics.metrics import (
@@ -28,6 +29,7 @@ __all__ = [
     "MetricsConfig",
     "RecMetricEnum",
     "RecMetricModule",
+    "StepAuxCounters",
     "generate_metric_module",
     "AccuracyMetric",
     "AUCMetric",

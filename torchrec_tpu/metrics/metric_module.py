@@ -38,8 +38,53 @@ __all__ = [
     "RecMetricEnum",
     "MetricsConfig",
     "RecMetricModule",
+    "StepAuxCounters",
     "generate_metric_module",
 ]
+
+
+class StepAuxCounters:
+    """Accumulates scalar health counters from the train step's aux dict.
+
+    The sparse paths emit per-step drop counters ("emb_grad_overflow" from
+    the max_unique_gradient_rows window, "a2a_dropped" from the bucketized
+    input dist's static capacity) that signal SILENT training corruption
+    when nonzero. This folds them into the metric state so they reach the
+    same reporting sink as model-quality metrics (the reference routes
+    such health signals through its state-metrics/throughput family,
+    torchrec/metrics/metric_module.py:197 + fbgemm bounds-check counters).
+
+    jit-safe: ``update(state, aux)`` adds any present keys; missing keys
+    pass through untouched.
+    """
+
+    def __init__(
+        self, keys: Sequence[str] = ("emb_grad_overflow", "a2a_dropped")
+    ):
+        self.keys = tuple(keys)
+
+    def init_state(self) -> Dict[str, jnp.ndarray]:
+        return {k: jnp.zeros((), jnp.float32) for k in self.keys}
+
+    def update(
+        self, state: Dict[str, jnp.ndarray], aux: Dict[str, jnp.ndarray]
+    ) -> Dict[str, jnp.ndarray]:
+        return {
+            k: (
+                state[k] + aux[k].astype(jnp.float32)
+                if k in aux
+                else state[k]
+            )
+            for k in self.keys
+        }
+
+    def compute(self, state: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        return {f"counter-{k}|lifetime": state[k] for k in self.keys}
+
+    def sync(self, state, axis_name: str):
+        return {
+            k: jax.lax.psum(v, axis_name) for k, v in state.items()
+        }
 
 
 class RecMetricEnum(enum.Enum):
@@ -181,6 +226,7 @@ class RecMetricModule:
         metrics: Sequence[RecMetric],
         throughput: Optional[ThroughputMetric] = None,
         compute_interval_steps: int = 100,
+        aux_counters: Optional[StepAuxCounters] = None,
     ):
         self.metrics = list(metrics)
         names = [m.metric_name for m in self.metrics]
@@ -188,19 +234,28 @@ class RecMetricModule:
             raise ValueError(f"duplicate metric names: {names}")
         self.throughput = throughput
         self.compute_interval_steps = compute_interval_steps
+        self.aux_counters = aux_counters
 
     def init_state(self) -> Dict[str, dict]:
-        return {m.metric_name: m.init_state() for m in self.metrics}
+        state = {m.metric_name: m.init_state() for m in self.metrics}
+        if self.aux_counters is not None:
+            state["_aux_counters"] = self.aux_counters.init_state()
+        return state
 
-    def update(self, state, predictions, labels, weights=None):
+    def update(self, state, predictions, labels, weights=None, aux=None):
         if self.throughput is not None:
             self.throughput.update()
-        return {
+        new = {
             m.metric_name: m.update(
                 state[m.metric_name], predictions, labels, weights
             )
             for m in self.metrics
         }
+        if self.aux_counters is not None:
+            new["_aux_counters"] = self.aux_counters.update(
+                state["_aux_counters"], aux or {}
+            )
+        return new
 
     def should_compute(self, step: int) -> bool:
         return step > 0 and step % self.compute_interval_steps == 0
@@ -210,6 +265,11 @@ class RecMetricModule:
         out: Dict[str, float] = {}
         for m in self.metrics:
             for k, v in m.compute(state[m.metric_name]).items():
+                out[k] = float(v)
+        if self.aux_counters is not None:
+            for k, v in self.aux_counters.compute(
+                state["_aux_counters"]
+            ).items():
                 out[k] = float(v)
         if self.throughput is not None:
             out.update(self.throughput.compute())
@@ -222,6 +282,12 @@ class RecMetricModule:
         for m in self.metrics:
             synced = m.sync(state[m.metric_name], axis_name)
             out.update(m.compute(synced))
+        if self.aux_counters is not None:
+            out.update(
+                self.aux_counters.compute(
+                    self.aux_counters.sync(state["_aux_counters"], axis_name)
+                )
+            )
         return out
 
 

@@ -1100,6 +1100,39 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
             new_params[g.key], new_states[g.key] = tbl, st
         return new_params, new_states
 
+    def gradient_overflow(self, kjt: KeyedJaggedTensor) -> jnp.ndarray:
+        """Large-table slots whose gradients the windowed backward DROPS
+        this step (int32 scalar, jit-safe, ~free: one masked count per
+        group — no sort).
+
+        ``max_unique_gradient_rows`` bounds the sorted large-table window;
+        when a batch exceeds it the excess slots silently lose their
+        updates (class docstring contract). Surface this through the train
+        step aux ("emb_grad_overflow") / metrics stack so production runs
+        see the violation instead of training wrong silently (the
+        reference's analog is FBGEMM TBE's uvm-cache/bounds-check
+        counters, fbgemm_gpu bounds_check_indices).
+        """
+        if self._max_unique is None:
+            return jnp.zeros((), jnp.int32)
+        kjt, b, f, seg, slot_feature, slot_batch = self._prep(kjt)
+        values = kjt.values()
+        total = jnp.zeros((), jnp.int32)
+        for gi, g in enumerate(self._groups):
+            if g.small_rows >= g.total_rows:
+                continue  # no windowed (large) region in this group
+            ids_g, seg_g, in_group, n_gf = self._group_indices(
+                gi, values, seg, slot_feature, slot_batch, b
+            )
+            if n_gf == 0 or ids_g.shape[0] == 0:
+                continue
+            u = min(self._max_unique, ids_g.shape[0])
+            n_large = jnp.sum(
+                (in_group & (ids_g >= g.small_rows)).astype(jnp.int32)
+            )
+            total = total + jnp.maximum(n_large - jnp.int32(u), 0)
+        return total
+
 
 class EmbeddingCollection(_EmbeddingCollectionBase):
     """Unpooled lookups: ``apply(params, KJT) -> Dict[str, JaggedTensor]``

@@ -124,6 +124,9 @@ def make_train_step(
             "loss": loss,
             "logits": jax.lax.stop_gradient(logits),
             "labels": batch.labels,
+            # slots silently dropped by the max_unique_gradient_rows
+            # window this step — nonzero means the model trained WRONG
+            "emb_grad_overflow": ebc.gradient_overflow(kjt),
         }
         return new_state, aux
 
