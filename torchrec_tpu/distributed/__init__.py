@@ -14,6 +14,10 @@ from torchrec_tpu.distributed.sharding_plan import (
     table_wise,
     tower_sharding_plan,
 )
+from torchrec_tpu.distributed.fused_params import (
+    FusedParams,
+    apply_fused_params,
+)
 from torchrec_tpu.distributed.qcomms import CommType, QCommsConfig
 from torchrec_tpu.distributed.types import (
     EmbeddingModuleShardingPlan,
@@ -26,7 +30,9 @@ from torchrec_tpu.distributed.types import (
 __all__ = [
     "tower_sharding_plan",
     "CommType",
+    "FusedParams",
     "QCommsConfig",
+    "apply_fused_params",
     "ShardedEmbeddingBagCollection",
     "ShardedEmbeddingTowerCollection",
     "ShardedEmbeddingCollection",

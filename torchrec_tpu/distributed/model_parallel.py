@@ -87,6 +87,7 @@ class DistributedModelParallel:
         batch_size: int = 512,
         input_dist: str = "replicated",
         a2a_capacity_factor: float = 2.0,
+        fused_params=None,
     ):
         """``input_dist``: ``"replicated"`` feeds every device the global
         KJT (small-world / inference default); ``"bucketized"`` expects
@@ -109,6 +110,13 @@ class DistributedModelParallel:
                 "contract also needs forward_sparse/forward_dense/init)"
             )
         self._ebc_module = ebc
+        if fused_params is not None:
+            from torchrec_tpu.distributed.fused_params import (
+                apply_fused_params,
+            )
+
+            apply_fused_params(ebc, fused_params)
+        self.fused_params = fused_params
         tables = ebc._tables
         if plan is None:
             if planner is None:
@@ -156,9 +164,17 @@ class DistributedModelParallel:
     def init_train_state(
         self,
         key: jax.Array,
-        emb_optimizer: EmbeddingOptimizer,
-        dense_tx: optax.GradientTransformation,
+        emb_optimizer: Optional[EmbeddingOptimizer] = None,
+        dense_tx: optax.GradientTransformation = None,
     ) -> TrainState:
+        if emb_optimizer is None:
+            fp = getattr(self, "fused_params", None)
+            emb_optimizer = fp.make_optimizer() if fp is not None else None
+            if emb_optimizer is None:
+                raise ValueError(
+                    "emb_optimizer required (or pass fused_params with an "
+                    "optimizer name to DistributedModelParallel)"
+                )
         params = self.model.init(key)
         unsharded_sparse = params.pop("sparse")
         sparse_params = self.sharded_ebc.shard_params(unsharded_sparse)
@@ -178,13 +194,17 @@ class DistributedModelParallel:
     # -------------------------------------------------------------- training
     def make_train_step(
         self,
-        emb_optimizer: EmbeddingOptimizer,
-        dense_tx: optax.GradientTransformation,
+        emb_optimizer: Optional[EmbeddingOptimizer] = None,
+        dense_tx: optax.GradientTransformation = None,
         loss_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = bce_with_logits,
         lr_schedule=None,
         example_state: Optional[TrainState] = None,
     ):
         """Build the jitted SPMD train step.
+
+        ``emb_optimizer`` may be omitted when ``fused_params`` named one
+        (the apply_optimizer_in_backward analog — the sharding config
+        owns the sparse optimizer).
 
         ``step(state, batch) -> (state, aux)`` with:
           * batch.dense_features/labels batch-sharded over the shard axis,
@@ -193,6 +213,14 @@ class DistributedModelParallel:
         """
         from jax import shard_map
 
+        if emb_optimizer is None:
+            fp = getattr(self, "fused_params", None)
+            emb_optimizer = fp.make_optimizer() if fp is not None else None
+            if emb_optimizer is None:
+                raise ValueError(
+                    "emb_optimizer required (or pass fused_params with an "
+                    "optimizer name to DistributedModelParallel)"
+                )
         model = self.model
         sebc = self.sharded_ebc
         env = self.env

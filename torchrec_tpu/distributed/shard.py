@@ -27,10 +27,18 @@ def shard(
     module: Union[EmbeddingBagCollection, EmbeddingCollection],
     env: ShardingEnv,
     plan: Optional[EmbeddingModuleShardingPlan] = None,
+    fused_params=None,
     **kwargs,
 ):
     """Shard ONE embedding module (reference shard.py:55). With no plan,
-    the cost-model planner places the tables."""
+    the cost-model planner places the tables. ``fused_params``: a
+    :class:`~torchrec_tpu.distributed.fused_params.FusedParams` bundle
+    threaded into the module's kernel knobs before sharding (reference
+    sharders' fused_params dict)."""
+    if fused_params is not None:
+        from torchrec_tpu.distributed.fused_params import apply_fused_params
+
+        apply_fused_params(module, fused_params)
     if plan is None:
         from torchrec_tpu.planner import EmbeddingShardingPlanner, Topology
 
