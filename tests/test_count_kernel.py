@@ -194,6 +194,7 @@ def test_v3_vbe_matches_v2(forced_v3):
 from hypothesis import given, settings, strategies as st
 
 
+@pytest.mark.slow
 @settings(max_examples=20, deadline=None)
 @given(
     sizes=st.lists(

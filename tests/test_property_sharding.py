@@ -9,6 +9,7 @@ the sharded program numerically identical to the unsharded module.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from hypothesis import given, settings, strategies as st
 
 from torchrec_tpu.distributed import (
@@ -41,6 +42,7 @@ def _plan_for(kind: str, rank: int):
     }[kind]()
 
 
+@pytest.mark.slow
 @settings(max_examples=12, deadline=None)
 @given(
     st.lists(

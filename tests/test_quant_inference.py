@@ -100,7 +100,14 @@ class TestShardedQuantTableWise:
     def _mesh(self):
         return jax.sharding.Mesh(np.array(jax.devices()[:8]), ("serve",))
 
-    @pytest.mark.parametrize("dt", [DataType.INT8, DataType.INT4, DataType.FP8])
+    @pytest.mark.parametrize(
+        "dt",
+        [
+            DataType.INT8,
+            pytest.param(DataType.INT4, marks=pytest.mark.slow),
+            pytest.param(DataType.FP8, marks=pytest.mark.slow),
+        ],
+    )
     def test_matches_unsharded(self, dt):
         from torchrec_tpu.inference.sharded_quant import (
             ShardedQuantEmbeddingBagCollection,
@@ -271,7 +278,14 @@ class TestShardedQuantEC:
     def _mesh(self):
         return jax.sharding.Mesh(np.array(jax.devices()[:8]), ("serve",))
 
-    @pytest.mark.parametrize("dt", [DataType.INT8, DataType.INT4, DataType.FP8])
+    @pytest.mark.parametrize(
+        "dt",
+        [
+            DataType.INT8,
+            pytest.param(DataType.INT4, marks=pytest.mark.slow),
+            pytest.param(DataType.FP8, marks=pytest.mark.slow),
+        ],
+    )
     def test_matches_unsharded(self, dt):
         from torchrec_tpu.inference.sharded_quant import (
             ShardedQuantEmbeddingCollection,
@@ -425,6 +439,7 @@ class TestQuantManagedCollision:
 from hypothesis import given, settings, strategies as st
 
 
+@pytest.mark.slow
 @settings(max_examples=12, deadline=None)
 @given(
     sizes=st.lists(

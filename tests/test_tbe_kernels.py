@@ -12,10 +12,21 @@ import pytest
 from torchrec_tpu.ops.tbe_pallas import row_scatter_add, row_scatter_write
 
 
-@pytest.fixture
-def data():
+@pytest.fixture(
+    params=[
+        # interpret-mode cost scales with the chunk-padded U (emulated
+        # DMAs); the fast case shrinks the chunk via the test-only _chunk
+        # knob while still covering a multi-chunk grid + remainder pad.
+        # The full-size production chunk is fast-loop-excluded here and
+        # covered compiled-on-hardware by test_real_device_smoke.py.
+        pytest.param((150, 64), id="U150c64"),
+        pytest.param((2100, 0), id="U2100", marks=pytest.mark.slow),
+    ]
+)
+def data(request):
     rng = np.random.default_rng(0)
-    R, D, U = 5000, 128, 2100
+    (U, chunk) = request.param
+    R, D = 5000, 128
     table = rng.normal(size=(R, D)).astype(np.float32)
     # distinct real rows + OOB sentinels + NEGATIVE sentinels (the
     # position-layout dedup emits num_rows+pos; kernels compare unsigned)
@@ -23,17 +34,17 @@ def data():
         rng.choice(R, size=U - 60, replace=False),
         np.arange(R, R + 30), np.full(30, -1),
     ]).astype(np.int32)
-    return table, rows, rng
+    return table, rows, rng, chunk
 
 
 def test_row_scatter_add_skips_oob_and_negative(data):
-    table, rows, rng = data
+    table, rows, rng, chunk = data
     U, D = rows.shape[0], table.shape[1]
     deltas = rng.normal(size=(U, D)).astype(np.float32)
     out = np.asarray(
         row_scatter_add(
             jnp.asarray(table), jnp.asarray(rows), jnp.asarray(deltas),
-            interpret=True,
+            interpret=True, _chunk=chunk,
         )
     )
     want = table.copy()
@@ -43,13 +54,13 @@ def test_row_scatter_add_skips_oob_and_negative(data):
 
 
 def test_row_scatter_write_skips_oob_and_negative(data):
-    table, rows, rng = data
+    table, rows, rng, chunk = data
     U, D = rows.shape[0], table.shape[1]
     vals = rng.normal(size=(U, D)).astype(np.float32)
     out = np.asarray(
         row_scatter_write(
             jnp.asarray(table), jnp.asarray(rows), jnp.asarray(vals),
-            interpret=True,
+            interpret=True, _chunk=chunk,
         )
     )
     want = table.copy()
@@ -58,23 +69,31 @@ def test_row_scatter_write_skips_oob_and_negative(data):
     np.testing.assert_allclose(out, want, rtol=1e-6)
 
 
-def test_row_scatter_write_branch_free_scratch_tail():
+@pytest.mark.parametrize(
+    "U,chunk",
+    [
+        pytest.param(150, 64, id="U150c64"),
+        pytest.param(1100, 0, id="U1100", marks=pytest.mark.slow),
+    ],
+)
+def test_row_scatter_write_branch_free_scratch_tail(U, chunk):
     """in_bounds=True: sentinels live in the blob's scratch tail (the
     position-layout dedup emits total_rows + pos < padded_rows), every DMA
     is unconditional, and the logical region matches the branched kernel."""
     rng = np.random.default_rng(3)
-    R, D, U = 5000, 128, 1100  # U not a chunk multiple -> pad-row path
-    S = -(-U // 1024) * 1024
+    R, D = 5000, 128  # U not a chunk multiple -> pad-row path
+    S = -(-U // (chunk or 1024)) * (chunk or 1024)
     table = rng.normal(size=(R + S, D)).astype(np.float32)
-    real = rng.choice(R, size=U - 200, replace=False).astype(np.int32)
+    n_sent = min(200, U // 3)  # rows parked in the scratch tail
+    real = rng.choice(R, size=U - n_sent, replace=False).astype(np.int32)
     rows = (R + np.arange(U)).astype(np.int32)  # distinct scratch targets
-    pos = np.sort(rng.permutation(U)[: U - 200])
+    pos = np.sort(rng.permutation(U)[: U - n_sent])
     rows[pos] = real
     vals = rng.normal(size=(U, D)).astype(np.float32)
     out = np.asarray(
         row_scatter_write(
             jnp.asarray(table), jnp.asarray(rows), jnp.asarray(vals),
-            in_bounds=True, interpret=True,
+            in_bounds=True, interpret=True, _chunk=chunk,
         )
     )
     want = table[:R].copy()

@@ -136,13 +136,16 @@ def _row_scatter_add_kernel(
     jax.lax.fori_loop(max(n_groups - ngrp, 0), n_groups, drain, 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=(0,))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "_chunk"), donate_argnums=(0,)
+)
 def row_scatter_add(
     table: jnp.ndarray,
     rows: jnp.ndarray,
     deltas: jnp.ndarray,
     *,
     interpret: bool = False,
+    _chunk: int = 0,
 ) -> jnp.ndarray:
     """``table[rows] += deltas`` for DISTINCT rows, in place, cost O(|rows|).
 
@@ -153,8 +156,10 @@ def row_scatter_add(
     u = rows.shape[0]
     if d % 128:
         raise ValueError(f"row width {d} must be a multiple of 128")
-    # pad U to a chunk multiple with OOB sentinels (skipped in-kernel)
-    chunk = _CHUNK
+    # pad U to a chunk multiple with OOB sentinels (skipped in-kernel).
+    # _chunk: interpret-mode test knob ONLY (emulated-DMA count scales with
+    # the padded U); real lowering needs the T(1024) SMEM-tiled _CHUNK.
+    chunk = _chunk or _CHUNK
     pad = (-u) % chunk
     if pad:
         rows = jnp.concatenate(
@@ -483,7 +488,9 @@ def _row_scatter_write_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "in_bounds"), donate_argnums=(0,)
+    jax.jit,
+    static_argnames=("interpret", "in_bounds", "_chunk"),
+    donate_argnums=(0,),
 )
 def row_scatter_write(
     table: jnp.ndarray,
@@ -492,6 +499,7 @@ def row_scatter_write(
     *,
     in_bounds: bool = False,
     interpret: bool = False,
+    _chunk: int = 0,
 ) -> jnp.ndarray:
     """``table[rows] = values`` for DISTINCT rows, in place; OOB skipped.
 
@@ -507,7 +515,8 @@ def row_scatter_write(
     if d % 128:
         raise ValueError(f"row width {d} must be a multiple of 128")
     u = rows.shape[0]
-    chunk = _CHUNK
+    # _chunk: interpret-mode test knob ONLY (see row_scatter_add)
+    chunk = _chunk or _CHUNK
     pad = (-u) % chunk
     if pad:
         pad_rows = (
