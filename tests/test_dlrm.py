@@ -16,8 +16,10 @@ from torchrec_tpu.models import (
     DLRM,
     DLRM_DCN,
     DLRM_Projection,
+    DLRM_Transformer,
     DLRMTrain,
     InteractionArch,
+    InteractionTransformerArch,
 )
 from torchrec_tpu.modules import EmbeddingBagCollection, EmbeddingBagConfig
 from torchrec_tpu.ops import RowWiseAdagrad
@@ -69,6 +71,32 @@ class TestInteractionArch:
         np.testing.assert_allclose(out, np.stack(expected), rtol=1e-5)
 
 
+class TestInteractionTransformerArch:
+    def test_shapes_and_token_mixing(self):
+        """Output is [B, (F+1)*D] and every token's output depends on
+        every other token (attention actually mixes the stack)."""
+        arch = InteractionTransformerArch(
+            num_sparse_features=3, embedding_dim=8, nhead=2,
+            ntransformer_layers=1,
+        )
+        params = arch.init(jax.random.key(0))
+        rng = np.random.default_rng(0)
+        dense = jnp.asarray(rng.normal(size=(2, 8)).astype(np.float32))
+        sparse = jnp.asarray(rng.normal(size=(2, 3, 8)).astype(np.float32))
+        out = arch.apply(params, dense, sparse)
+        assert out.shape == (2, 4 * 8)
+        # perturbing one sparse token must move the DENSE token's output
+        sparse2 = sparse.at[:, 2, :].add(1.0)
+        out2 = arch.apply(params, dense, sparse2)
+        assert not np.allclose(out[:, :8], out2[:, :8])
+
+    def test_head_divisibility_rejected(self):
+        with pytest.raises(ValueError):
+            InteractionTransformerArch(
+                num_sparse_features=3, embedding_dim=10, nhead=4
+            )
+
+
 class TestDLRMVariants:
     @pytest.mark.parametrize(
         "builder",
@@ -80,8 +108,11 @@ class TestDLRMVariants:
                 interaction_branch1_layer_sizes=(32, 32),
                 interaction_branch2_layer_sizes=(32, 48),
             ),
+            lambda: make_model(
+                DLRM_Transformer, nhead=4, ntransformer_layers=2
+            ),
         ],
-        ids=["dlrm", "dlrm_dcn", "dlrm_projection"],
+        ids=["dlrm", "dlrm_dcn", "dlrm_projection", "dlrm_transformer"],
     )
     def test_forward_shapes(self, builder):
         model = builder()

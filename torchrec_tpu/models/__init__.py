@@ -10,11 +10,13 @@ from torchrec_tpu.models.dlrm import (
     DLRM,
     DLRM_DCN,
     DLRM_Projection,
+    DLRM_Transformer,
     DLRMTrain,
     DenseArch,
     InteractionArch,
     InteractionDCNArch,
     InteractionProjectionArch,
+    InteractionTransformerArch,
     OverArch,
     SparseArch,
     bce_with_logits,
@@ -31,11 +33,13 @@ __all__ = [
     "DLRM",
     "DLRM_DCN",
     "DLRM_Projection",
+    "DLRM_Transformer",
     "DLRMTrain",
     "DenseArch",
     "InteractionArch",
     "InteractionDCNArch",
     "InteractionProjectionArch",
+    "InteractionTransformerArch",
     "OverArch",
     "SparseArch",
     "bce_with_logits",

@@ -33,10 +33,12 @@ __all__ = [
     "InteractionArch",
     "InteractionDCNArch",
     "InteractionProjectionArch",
+    "InteractionTransformerArch",
     "OverArch",
     "DLRM",
     "DLRM_DCN",
     "DLRM_Projection",
+    "DLRM_Transformer",
     "DLRMTrain",
     "bce_with_logits",
 ]
@@ -180,6 +182,90 @@ class InteractionProjectionArch:
         return jnp.concatenate(
             [dense, inter.reshape(b, -1).astype(dense.dtype)], axis=1
         )
+
+
+def _layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+                eps: float = 1e-5) -> jnp.ndarray:
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * scale + bias
+
+
+@dataclasses.dataclass(frozen=True)
+class InteractionTransformerArch:
+    """Transformer-encoder interaction over the (F+1) x D token stack
+    (reference models/experimental/transformerdlrm.py:18): the dense
+    vector and the F pooled embeddings form a length-(F+1) sequence; a
+    post-norm encoder (MHA + ReLU FFN, the nn.TransformerEncoderLayer
+    contract) mixes them and the output flattens to [B, (F+1)*D].
+
+    TPU-first: attention over the tiny (F+1) sequence is three batched
+    einsums on the MXU (no kv-cache/masking machinery — every token
+    attends to all); ``ff_dim`` defaults to 4*D rather than the
+    reference's fixed 2048 so the FFN matmuls stay proportionate."""
+
+    num_sparse_features: int
+    embedding_dim: int
+    nhead: int = 8
+    ntransformer_layers: int = 4
+    ff_dim: Optional[int] = None
+
+    def __post_init__(self):
+        if self.embedding_dim % self.nhead:
+            raise ValueError(
+                f"embedding_dim {self.embedding_dim} must be divisible by "
+                f"nhead {self.nhead}"
+            )
+
+    @property
+    def _ff(self) -> int:
+        return self.ff_dim or 4 * self.embedding_dim
+
+    def init(self, key: jax.Array) -> Params:
+        d, ff = self.embedding_dim, self._ff
+        ks = jax.random.split(key, 6 * self.ntransformer_layers)
+        params: Params = {}
+        i = 0
+        for l in range(self.ntransformer_layers):
+            for name, shape in [
+                ("wq", (d, d)), ("wk", (d, d)), ("wv", (d, d)), ("wo", (d, d)),
+                ("ff1", (d, ff)), ("ff2", (ff, d)),
+            ]:
+                params[f"l{l}/{name}"] = (
+                    jax.random.normal(ks[i], shape) * (shape[0] ** -0.5)
+                )
+                i += 1
+            params[f"l{l}/ln1_s"] = jnp.ones((d,))
+            params[f"l{l}/ln1_b"] = jnp.zeros((d,))
+            params[f"l{l}/ln2_s"] = jnp.ones((d,))
+            params[f"l{l}/ln2_b"] = jnp.zeros((d,))
+        return params
+
+    def apply(
+        self, params: Params, dense: jnp.ndarray, sparse: jnp.ndarray
+    ) -> jnp.ndarray:
+        b, d = dense.shape
+        t = self.num_sparse_features + 1
+        h = d // self.nhead
+        x = jnp.concatenate([dense[:, None, :], sparse], axis=1)  # [B, T, D]
+        for l in range(self.ntransformer_layers):
+            q = (x @ params[f"l{l}/wq"]).reshape(b, t, self.nhead, h)
+            k = (x @ params[f"l{l}/wk"]).reshape(b, t, self.nhead, h)
+            v = (x @ params[f"l{l}/wv"]).reshape(b, t, self.nhead, h)
+            att = jnp.einsum(
+                "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+            ) / jnp.sqrt(float(h))
+            att = jax.nn.softmax(att, axis=-1).astype(x.dtype)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, t, d)
+            x = _layer_norm(
+                x + ctx @ params[f"l{l}/wo"],
+                params[f"l{l}/ln1_s"], params[f"l{l}/ln1_b"],
+            )
+            ffn = jax.nn.relu(x @ params[f"l{l}/ff1"]) @ params[f"l{l}/ff2"]
+            x = _layer_norm(
+                x + ffn, params[f"l{l}/ln2_s"], params[f"l{l}/ln2_b"]
+            )
+        return x.reshape(b, t * d)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -342,6 +428,46 @@ class DLRM_Projection(DLRM):
         )
         interactions = self._interaction().apply(
             dense_params["interaction"], embedded_dense, emb_values.reshape(b, f, d)
+        )
+        return self.over_arch.apply(dense_params["over_arch"], interactions)[:, 0]
+
+
+@dataclasses.dataclass(frozen=True)
+class DLRM_Transformer(DLRM):
+    """DLRM with transformer-encoder interactions (reference
+    models/experimental/transformerdlrm.py:94)."""
+
+    nhead: int = 8
+    ntransformer_layers: int = 4
+    ff_dim: Optional[int] = None
+
+    def _interaction(self):
+        return InteractionTransformerArch(
+            self.sparse_arch.num_features,
+            self.sparse_arch.embedding_dim,
+            nhead=self.nhead,
+            ntransformer_layers=self.ntransformer_layers,
+            ff_dim=self.ff_dim,
+        )
+
+    def _over_in(self) -> int:
+        f, d = self.sparse_arch.num_features, self.sparse_arch.embedding_dim
+        return (f + 1) * d
+
+    def init(self, key: jax.Array) -> Params:
+        p = super().init(key)
+        p["interaction"] = self._interaction().init(jax.random.fold_in(key, 7))
+        return p
+
+    def forward_dense(self, dense_params, dense_features, emb_values):
+        b = dense_features.shape[0]
+        f, d = self.sparse_arch.num_features, self.sparse_arch.embedding_dim
+        embedded_dense = self.dense_arch.apply(
+            dense_params["dense_arch"], dense_features
+        )
+        interactions = self._interaction().apply(
+            dense_params["interaction"], embedded_dense,
+            emb_values.reshape(b, f, d),
         )
         return self.over_arch.apply(dense_params["over_arch"], interactions)[:, 0]
 
