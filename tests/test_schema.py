@@ -17,9 +17,13 @@ def sig_params(obj):
 def test_root_exports():
     import torchrec_tpu as tr
 
+    # reference-parity root surface (torchrec/__init__.py:13-29)
     for name in [
         "JaggedTensor", "KeyedJaggedTensor", "KeyedTensor",
         "ComputeKernel", "DataType", "PoolingType", "ShardingType",
+        "EmbeddingBagConfig", "EmbeddingConfig",
+        "EmbeddingBagCollection", "EmbeddingCollection",
+        "Multistreamable", "Pipelineable",
     ]:
         assert hasattr(tr, name), name
 

@@ -6,6 +6,14 @@ batches, Pallas table-batched embedding kernels, shard_map sharding over
 device meshes, a cost-model sharding planner, and fused sparse optimizers.
 """
 
+from torchrec_tpu.modules.embedding_configs import (
+    EmbeddingBagConfig,
+    EmbeddingConfig,
+)
+from torchrec_tpu.modules.embedding_modules import (
+    EmbeddingBagCollection,
+    EmbeddingCollection,
+)
 from torchrec_tpu.sparse import (
     JaggedTensor,
     KeyedJaggedTensor,
@@ -22,6 +30,10 @@ from torchrec_tpu.types import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "EmbeddingBagConfig",
+    "EmbeddingConfig",
+    "EmbeddingBagCollection",
+    "EmbeddingCollection",
     "JaggedTensor",
     "KeyedJaggedTensor",
     "KeyedTensor",
