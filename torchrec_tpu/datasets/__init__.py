@@ -10,6 +10,7 @@ from torchrec_tpu.datasets.criteo import (
     criteo_kaggle,
     criteo_terabyte,
 )
+from torchrec_tpu.datasets.criteo_native import NativeCriteoIterDataPipe
 from torchrec_tpu.datasets.movielens import (
     MovieLensRatingsBatcher,
     movielens_20m,
@@ -28,6 +29,7 @@ __all__ = [
     "criteo_tsv_reader",
     "criteo_kaggle",
     "criteo_terabyte",
+    "NativeCriteoIterDataPipe",
     "MovieLensRatingsBatcher",
     "movielens_20m",
     "movielens_25m",
