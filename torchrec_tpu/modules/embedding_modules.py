@@ -251,6 +251,32 @@ class _EmbeddingCollectionBase:
         """Per-table FQN -> weight views (state_dict analog)."""
         return {t.name: self.table_slice(params, t.name) for t in self._tables}
 
+    def params_from_tables(
+        self, per_table: Dict[str, np.ndarray]
+    ) -> Params:
+        """Inverse of :meth:`split_params`: assemble the group-stacked
+        param pytree from per-table full weight arrays (state_dict load —
+        reference load_state_dict semantics). Every table must be present
+        with its exact [rows, dim] shape; scratch tails are zeroed."""
+        params: Params = {}
+        for g in self._groups:
+            dtype = g.data_type.as_jnp()
+            parts = []
+            for tname, rows in zip(g.table_names, g.table_rows):
+                if tname not in per_table:
+                    raise KeyError(f"missing table {tname!r}")
+                w = np.asarray(per_table[tname])
+                if w.shape != (rows, g.dim):
+                    raise ValueError(
+                        f"table {tname!r}: expected {(rows, g.dim)}, "
+                        f"got {w.shape}"
+                    )
+                parts.append(jnp.asarray(w, dtype))
+            if g.scratch_rows:
+                parts.append(jnp.zeros((g.scratch_rows, g.dim), dtype))
+            params[g.key] = jnp.concatenate(parts, axis=0)
+        return params
+
     def init_optimizer(
         self, params: Params, optimizer: "EmbeddingOptimizer"
     ) -> Dict[str, Dict[str, jnp.ndarray]]:
