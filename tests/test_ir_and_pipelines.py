@@ -24,9 +24,12 @@ from torchrec_tpu.models import DLRM
 from torchrec_tpu.modules import EmbeddingBagCollection, EmbeddingBagConfig
 from torchrec_tpu.ops import SGD
 from torchrec_tpu.training import (
+    GradientAccumulationConfig,
     init_train_state,
+    make_grad_accum_train_step,
     make_semi_sync_train_step,
     make_train_step,
+    stack_batches,
 )
 
 
@@ -132,6 +135,89 @@ def test_semi_sync_matches_sync_with_one_step_lag():
     # simpler strong check: flushing applies exactly one update per batch
     g = model.embedding_bag_collection.groups[0]
     assert np.isfinite(np.asarray(s_semi.sparse_params[g.key])).all()
+
+
+def test_grad_accum_matches_manual_loop():
+    """GA semantics oracle (reference gradient_accumulation.py fused-TBE
+    behavior): sparse tables update per micro-batch at FIXED dense params;
+    dense optimizer steps ONCE on the mean of the accumulated grads."""
+    from torchrec_tpu.models.dlrm import bce_with_logits
+
+    model = make_model()
+    ebc = model.embedding_bag_collection
+    opt = SGD(learning_rate=0.1)
+    tx = optax.adam(0.05)
+    K = 3
+    batches = [make_batch(model, seed=10 + i) for i in range(K)]
+
+    state = init_train_state(model, jax.random.key(3), opt, tx)
+    ga_step = jax.jit(
+        make_grad_accum_train_step(
+            model, opt, tx, GradientAccumulationConfig(num_steps=K)
+        )
+    )
+    new_state, aux = ga_step(state, stack_batches(batches))
+    assert aux["loss"].shape == (K,) and aux["logits"].shape[0] == K
+
+    # oracle: explicit python loop
+    sparse, emb_state = state.sparse_params, state.emb_opt_state
+    acc = jax.tree.map(jnp.zeros_like, state.dense_params)
+    for b in batches:
+        emb_values = model.forward_sparse({"sparse": sparse},
+                                          b.sparse_features)
+
+        def objective(dense_params, emb_values, b=b):
+            logits = model.forward_dense(dense_params, b.dense_features,
+                                         emb_values)
+            return bce_with_logits(logits, b.labels.astype(jnp.float32))
+
+        dg, eg = jax.grad(objective, argnums=(0, 1))(state.dense_params,
+                                                     emb_values)
+        sparse, emb_state = ebc.apply_gradients(
+            sparse, emb_state, opt, b.sparse_features, eg
+        )
+        acc = jax.tree.map(jnp.add, acc, dg)
+    mean = jax.tree.map(lambda g: g / K, acc)
+    updates, _ = tx.update(mean, state.dense_opt_state, state.dense_params)
+    want_dense = optax.apply_updates(state.dense_params, updates)
+
+    for key in sparse:
+        np.testing.assert_allclose(
+            np.asarray(new_state.sparse_params[key]), np.asarray(sparse[key]),
+            rtol=1e-5, atol=1e-6,
+        )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        new_state.dense_params, want_dense,
+    )
+    assert int(new_state.step) == 1
+
+
+def test_grad_accum_single_step_matches_sync():
+    model = make_model()
+    opt = SGD(learning_rate=0.1)
+    tx = optax.sgd(0.05)
+    state = init_train_state(model, jax.random.key(0), opt, tx)
+    b = make_batch(model, seed=5)
+
+    s_sync, aux_sync = jax.jit(make_train_step(model, opt, tx))(state, b)
+    ga = jax.jit(make_grad_accum_train_step(
+        model, opt, tx, GradientAccumulationConfig(num_steps=1)))
+    s_ga, aux_ga = ga(state, stack_batches([b]))
+
+    for key in s_sync.sparse_params:
+        np.testing.assert_allclose(
+            np.asarray(s_ga.sparse_params[key]),
+            np.asarray(s_sync.sparse_params[key]), rtol=1e-6, atol=1e-7,
+        )
+    np.testing.assert_allclose(
+        np.asarray(aux_ga["loss"][0]), np.asarray(aux_sync["loss"]),
+        rtol=1e-6,
+    )
+    with pytest.raises(ValueError):
+        GradientAccumulationConfig(num_steps=0)
 
 
 def test_prefetch_pipeline_runs_host_transform_ahead():

@@ -28,7 +28,17 @@ from torchrec_tpu.models.dlrm import DLRM, bce_with_logits
 from torchrec_tpu.ops.fused_optim import EmbeddingOptimizer
 from torchrec_tpu.sparse import KeyedJaggedTensor
 
-__all__ = ["TrainState", "Batch", "make_train_step", "make_eval_step", "make_semi_sync_train_step", "init_train_state"]
+__all__ = [
+    "TrainState",
+    "Batch",
+    "GradientAccumulationConfig",
+    "make_train_step",
+    "make_eval_step",
+    "make_semi_sync_train_step",
+    "make_grad_accum_train_step",
+    "stack_batches",
+    "init_train_state",
+]
 
 
 @jax.tree_util.register_dataclass
@@ -220,6 +230,117 @@ def make_semi_sync_train_step(
 
     init_carry = SemiSyncCarry(kjt=None, emb_grad=None)
     return step, init_carry, flush
+
+
+@dataclasses.dataclass(frozen=True)
+class GradientAccumulationConfig:
+    """Gradient-accumulation settings (reference
+    distributed/train_pipeline/gradient_accumulation.py:31
+    GradientAccumulationConfig). ``num_warmup_steps`` exists there only for
+    DDP static-graph compatibility; under one jitted SPMD program there is
+    no graph capture to warm up, so it is accepted and ignored."""
+
+    num_steps: int = 1
+    num_warmup_steps: int = 1
+
+    def __post_init__(self) -> None:
+        if self.num_steps < 1:
+            raise ValueError(f"num_steps must be >= 1, got {self.num_steps}")
+
+
+def stack_batches(batches) -> Batch:
+    """Stack per-micro-batch ``Batch`` pytrees into one ``Batch`` whose
+    leaves carry a leading ``[num_steps, ...]`` axis (the scan input for
+    :func:`make_grad_accum_train_step`). All micro-batches must share
+    static shapes: same KJT keys/capacity, same batch size."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+
+
+def make_grad_accum_train_step(
+    model: DLRM,
+    emb_optimizer: EmbeddingOptimizer,
+    dense_tx: optax.GradientTransformation,
+    config: GradientAccumulationConfig,
+    loss_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = bce_with_logits,
+    lr_schedule: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+):
+    """Gradient-accumulation train step (reference
+    distributed/train_pipeline/gradient_accumulation.py:118
+    GradientAccumulationWrapper). Matches the reference's fused-TBE
+    semantics exactly: the embedding optimizer is fused into the backward,
+    so SPARSE tables update on EVERY micro-batch; only the DENSE gradients
+    accumulate, and the dense optimizer steps once per ``num_steps``
+    micro-batches on their mean.
+
+    Returns ``step(state, microbatches) -> (state, aux)`` where
+    ``microbatches`` is a :class:`Batch` with a leading ``[num_steps]``
+    axis on every leaf (build it with :func:`stack_batches`). The
+    micro-batch loop is a ``lax.scan`` inside ONE jitted program, so XLA
+    overlaps micro-batch i+1's forward with i's sparse update. ``aux``
+    carries per-micro-batch ``loss``/``logits``/``labels`` (leading
+    ``[num_steps]`` axis) plus the summed ``emb_grad_overflow``.
+    """
+    ebc = model.embedding_bag_collection
+    num_steps = config.num_steps
+
+    def step(state: TrainState, microbatches: Batch):
+        lr = lr_schedule(state.step) if lr_schedule is not None else None
+
+        def micro(carry, mb: Batch):
+            sparse, emb_state, acc = carry
+            kjt = mb.sparse_features
+            emb_values = model.forward_sparse({"sparse": sparse}, kjt)
+
+            def objective(dense_params, emb_values):
+                logits = model.forward_dense(
+                    dense_params, mb.dense_features, emb_values
+                )
+                loss = loss_fn(logits, mb.labels.astype(jnp.float32))
+                return loss, logits
+
+            (loss, logits), (dense_grads, emb_grad) = jax.value_and_grad(
+                objective, argnums=(0, 1), has_aux=True
+            )(state.dense_params, emb_values)
+
+            sparse, emb_state = ebc.apply_gradients(
+                sparse, emb_state, emb_optimizer, kjt, emb_grad, lr=lr
+            )
+            acc = jax.tree.map(jnp.add, acc, dense_grads)
+            ys = {
+                "loss": loss,
+                "logits": jax.lax.stop_gradient(logits),
+                "labels": mb.labels,
+                "emb_grad_overflow": ebc.gradient_overflow(kjt),
+            }
+            return (sparse, emb_state, acc), ys
+
+        zero = jax.tree.map(jnp.zeros_like, state.dense_params)
+        (new_sparse, new_emb_state, acc), ys = jax.lax.scan(
+            micro,
+            (state.sparse_params, state.emb_opt_state, zero),
+            microbatches,
+        )
+        mean_grads = jax.tree.map(lambda g: g / num_steps, acc)
+        updates, new_dense_opt = dense_tx.update(
+            mean_grads, state.dense_opt_state, state.dense_params
+        )
+        new_dense = optax.apply_updates(state.dense_params, updates)
+        new_state = TrainState(
+            sparse_params=new_sparse,
+            dense_params=new_dense,
+            emb_opt_state=new_emb_state,
+            dense_opt_state=new_dense_opt,
+            step=state.step + 1,
+        )
+        aux = {
+            "loss": ys["loss"],
+            "logits": ys["logits"],
+            "labels": ys["labels"],
+            "emb_grad_overflow": ys["emb_grad_overflow"].sum(),
+        }
+        return new_state, aux
+
+    return step
 
 
 def make_eval_step(
