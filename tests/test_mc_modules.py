@@ -215,3 +215,136 @@ def test_hash_zch_in_batch_conflict_resolution():
     for i, s, s2 in zip(np.asarray(ids), o, np.asarray(out2)):
         if slot_ids[s] == i:  # claimed
             assert s2 == s
+
+
+def test_mc_adapter_mpzch_and_sort_zch():
+    """Adapters build MC compositions straight from plain configs
+    (reference mc_adapter.py:36,147)."""
+    from torchrec_tpu.modules import (
+        McEmbeddingBagCollectionAdapter,
+        McEmbeddingCollectionAdapter,
+    )
+    from torchrec_tpu.modules.embedding_configs import EmbeddingConfig
+
+    tables = [
+        EmbeddingBagConfig(name="t0", num_embeddings=16, embedding_dim=8,
+                           feature_names=["f0"]),
+        EmbeddingBagConfig(name="t1", num_embeddings=8, embedding_dim=8,
+                           feature_names=["f1"]),
+    ]
+    for method in ("mpzch", "sort_zch"):
+        ad = McEmbeddingBagCollectionAdapter(
+            tables, input_hash_size=2**20, zch_method=method,
+        )
+        params = ad.init(jax.random.key(0))
+        states = ad.init_mc_state()
+        ids = np.array([900001, 12, 900001, 777, 5, 31], np.int32)
+        kjt = KeyedJaggedTensor(
+            keys=["f0", "f1"],
+            values=jnp.asarray(ids),
+            lengths=jnp.asarray(np.array([[2, 1], [2, 1]], np.int32)),
+        )
+        kt, params, states = jax.jit(
+            lambda p, s, k: ad.apply(p, s, k, train=True)
+        )(params, states, kjt)
+        assert kt.values().shape == (2, 16)
+        remapped = ad.remap(states, kjt)
+        rv = np.asarray(remapped.values())
+        assert rv[:3].max() < 16 and rv[3:].max() < 8
+        # same raw id in one feature resolves to the same slot
+        assert rv[0] == rv[2]
+
+    ec_tables = [EmbeddingConfig(name="e0", num_embeddings=16,
+                                 embedding_dim=8, feature_names=["s0"])]
+    ad = McEmbeddingCollectionAdapter(ec_tables, input_hash_size=1000)
+    params = ad.init(jax.random.key(1))
+    states = ad.init_mc_state()
+    kjt = kjt_of([40, 41, 40], key="s0")
+    out, params, states = ad.apply(params, states, kjt, train=True)
+    assert out["s0"].values().shape == (3, 8)
+
+    with pytest.raises(NotImplementedError):
+        McEmbeddingBagCollectionAdapter(tables, 100, zch_method="nope")
+
+
+def test_mpzch_scalar_metrics_and_logger():
+    """mpzch_batch_stats counters match hand-derived values and the
+    ScalarLogger reports windowed rates (reference hash_mc_metrics.py:80)."""
+    from torchrec_tpu.modules.hash_mc_modules import (
+        HashZchManagedCollisionModule,
+    )
+    from torchrec_tpu.modules import ScalarLogger, mpzch_batch_stats
+    from torchrec_tpu.modules.hash_mc_metrics import (
+        CallableScalarLoggerBackend,
+    )
+
+    m = HashZchManagedCollisionModule(zch_size=32, num_probes=4, ttl=100)
+    s0 = m.init_state()
+    ids = jnp.asarray(np.array([7, 19, 7, 1001, 55], np.int32))
+
+    @jax.jit
+    def step(state, ids):
+        out, new_state = m.forward(state, ids, train=True)
+        return out, new_state, mpzch_batch_stats(m, state, new_state, ids)
+
+    _, s1, stats1 = step(s0, ids)
+    assert int(stats1["total"]) == 5
+    assert int(stats1["hit_cnt"]) == 0          # empty table: nothing resident
+    assert int(stats1["insert_cnt"]) == 4       # 4 unique ids claim slots
+    assert int(stats1["eviction_cnt"]) == 0
+    np.testing.assert_allclose(float(stats1["usage"]), 4 / 32)
+
+    _, s2, stats2 = step(s1, ids)
+    assert int(stats2["hit_cnt"]) == 5          # all resident now
+    assert int(stats2["insert_cnt"]) == 0
+
+    reports = []
+    logger = ScalarLogger(
+        "t0", zch_size=32, frequency=2,
+        backend=CallableScalarLoggerBackend(
+            lambda name, step_i, sc: reports.append((name, step_i, sc))
+        ),
+    )
+    logger.update({k: np.asarray(v) for k, v in stats1.items()})
+    assert not reports
+    logger.update({k: np.asarray(v) for k, v in stats2.items()})
+    (name, step_i, sc), = reports
+    assert name == "t0" and step_i == 2
+    np.testing.assert_allclose(sc["hit_rate"], 5 / 10)
+    np.testing.assert_allclose(sc["insert_rate"], 4 / 10)
+    assert sc["total_cnt"] == 10
+    with pytest.raises(ValueError):
+        ScalarLogger("x", 8, frequency=0)
+
+
+def test_pruning_logger_contract():
+    """Context-manager contract + stamped fields reach the log record
+    (reference pruning_logger.py:23)."""
+    import logging as _logging
+
+    from torchrec_tpu.modules.pruning_logger import (
+        PruningLoggerDefault,
+        StdlibPruningLogger,
+    )
+
+    with PruningLoggerDefault.pruning_logger(event="reselect") as ns:
+        ns.rows = 5  # noop sink still accepts stamps
+
+    records = []
+
+    class Capture(_logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    lg = _logging.getLogger("torchrec_tpu.modules.pruning_logger")
+    h = Capture()
+    lg.addHandler(h)
+    lg.setLevel(_logging.INFO)
+    try:
+        with StdlibPruningLogger.pruning_logger(
+            event="itep_reselect", trainer="tr0"
+        ) as ns:
+            ns.pruned_rows = 123
+    finally:
+        lg.removeHandler(h)
+    assert any("itep_reselect" in r and "123" in r for r in records)

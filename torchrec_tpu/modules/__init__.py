@@ -42,9 +42,23 @@ from torchrec_tpu.modules.itep import (
     ITEPEmbeddingBagCollection,
     ITEPEmbeddingCollection,
 )
+from torchrec_tpu.modules.hash_mc_metrics import (
+    ConsoleScalarLoggerBackend,
+    ScalarLogger,
+    ScalarLoggerBackend,
+    mpzch_batch_stats,
+)
+from torchrec_tpu.modules.mc_adapter import (
+    McEmbeddingBagCollectionAdapter,
+    McEmbeddingCollectionAdapter,
+)
 from torchrec_tpu.modules.mc_embedding_modules import (
     ManagedCollisionEmbeddingBagCollection,
     ManagedCollisionEmbeddingCollection,
+)
+from torchrec_tpu.modules.pruning_logger import (
+    PruningLogger,
+    PruningLoggerDefault,
 )
 from torchrec_tpu.modules.mc_modules import (
     DISTANCE_LFU_EVICTION,
@@ -83,6 +97,14 @@ __all__ = [
     "ITEPEmbeddingCollection",
     "ManagedCollisionEmbeddingBagCollection",
     "ManagedCollisionEmbeddingCollection",
+    "McEmbeddingBagCollectionAdapter",
+    "McEmbeddingCollectionAdapter",
+    "ScalarLogger",
+    "ScalarLoggerBackend",
+    "ConsoleScalarLoggerBackend",
+    "mpzch_batch_stats",
+    "PruningLogger",
+    "PruningLoggerDefault",
     "ManagedCollisionCollection",
     "MCHManagedCollisionModule",
     "LFU_EVICTION",

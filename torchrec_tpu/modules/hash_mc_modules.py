@@ -58,7 +58,22 @@ class HashZchManagedCollisionModule:
             "slot_ids": jnp.full((self.zch_size,), _EMPTY, jnp.int32),
             "slot_expiry": jnp.zeros((self.zch_size,), jnp.int32),
             "iter": jnp.zeros((), jnp.int32),
+            # slots whose resident id was REPLACED last step (padded -1) —
+            # the ManagedCollisionCollection contract for row resets
+            "evicted_slots": jnp.full((self.zch_size,), -1, jnp.int32),
         }
+
+    def profile(
+        self,
+        state: State,
+        values: jnp.ndarray,
+        valid: Optional[jnp.ndarray] = None,
+    ) -> State:
+        """State-update half of :meth:`forward` (the
+        ManagedCollisionCollection driver interface shared with
+        MCHManagedCollisionModule — profile then remap)."""
+        _, new_state = self.forward(state, values, valid=valid, train=True)
+        return new_state
 
     def remap(self, state: State, ids: jnp.ndarray) -> jnp.ndarray:
         """Lookup-only (eval/inference): probe for a match; miss -> last
@@ -119,10 +134,18 @@ class HashZchManagedCollisionModule:
         # unresolved ids (all probes occupied): deterministic fallback bucket
         fallback = _mix(safe_ids, self.num_probes - 1, z)
         out = jnp.where(resolved, out, fallback)
+        # slots whose RESIDENT id was replaced this step (TTL takeovers) —
+        # their embedding rows are stale and get reset by the MC wrapper
+        replaced = (
+            (state["slot_ids"] != _EMPTY)
+            & (slot_ids != state["slot_ids"])
+        )
+        evicted = jnp.where(replaced, jnp.arange(z, dtype=jnp.int32), -1)
         return out, {
             "slot_ids": slot_ids,
             "slot_expiry": expiry,
             "iter": it,
+            "evicted_slots": evicted,
         }
 
     def output_size(self) -> int:
