@@ -277,3 +277,50 @@ class TestCrossRankSync:
         )
         got = jax.jit(fn)(jnp.asarray(p), jnp.asarray(l), jnp.asarray(w))
         np.testing.assert_allclose(got, auc_oracle(p, l, w), rtol=1e-3)
+
+
+class TestSnapshotAndNoOp:
+    def test_state_snapshot_roundtrip(self):
+        """Snapshot -> restore resumes metric accumulation exactly
+        (reference metric_state_snapshot.py:24)."""
+        mm = generate_metric_module(
+            MetricsConfig(
+                rec_metrics=[RecMetricEnum.NE, RecMetricEnum.AUC],
+                auc_window=128,
+            ),
+            batch_size=16,
+        )
+        p, l, w = data(n=64, seed=9)
+        state = mm.update(mm.init_state(), jnp.asarray(p[:32]),
+                          jnp.asarray(l[:32]), jnp.asarray(w[:32]))
+        snap = mm.state_snapshot(state)
+        assert all(isinstance(x, np.ndarray) for x in jax.tree.leaves(snap))
+        restored = mm.load_state_snapshot(snap)
+        state = mm.update(state, jnp.asarray(p[32:]), jnp.asarray(l[32:]),
+                          jnp.asarray(w[32:]))
+        restored = mm.update(restored, jnp.asarray(p[32:]),
+                             jnp.asarray(l[32:]), jnp.asarray(w[32:]))
+        a, b = mm.compute(state), mm.compute(restored)
+        assert a.keys() == b.keys()
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=1e-6)
+
+    def test_load_snapshot_structure_mismatch(self):
+        mm = generate_metric_module(
+            MetricsConfig(rec_metrics=[RecMetricEnum.NE]), batch_size=4
+        )
+        other = generate_metric_module(
+            MetricsConfig(rec_metrics=[RecMetricEnum.MSE]), batch_size=4
+        )
+        snap = mm.state_snapshot(mm.init_state())
+        with pytest.raises(ValueError):
+            other.load_state_snapshot(snap)
+
+    def test_noop_module(self):
+        from torchrec_tpu.metrics import NoOpMetricModule
+
+        mm = NoOpMetricModule()
+        state = mm.init_state()
+        state = mm.update(state, jnp.ones((4,)), jnp.ones((4,)))
+        assert not mm.should_compute(100)
+        assert mm.compute(state) == {}

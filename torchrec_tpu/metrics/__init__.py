@@ -1,6 +1,7 @@
 """Training metrics (reference torchrec/metrics/__init__.py)."""
 from torchrec_tpu.metrics.metric_module import (
     MetricsConfig,
+    NoOpMetricModule,
     RecMetricEnum,
     RecMetricModule,
     StepAuxCounters,
@@ -29,6 +30,7 @@ __all__ = [
     "MetricsConfig",
     "RecMetricEnum",
     "RecMetricModule",
+    "NoOpMetricModule",
     "StepAuxCounters",
     "generate_metric_module",
     "AccuracyMetric",

@@ -38,6 +38,7 @@ __all__ = [
     "RecMetricEnum",
     "MetricsConfig",
     "RecMetricModule",
+    "NoOpMetricModule",
     "StepAuxCounters",
     "generate_metric_module",
 ]
@@ -289,6 +290,45 @@ class RecMetricModule:
                 )
             )
         return out
+
+    def state_snapshot(self, state) -> Dict[str, dict]:
+        """Checkpointable host copy of the metric state (reference
+        metric_state_snapshot.py:24 MetricStateSnapshot.from_metrics —
+        there it must collect distributed buffers off each RecMetric; here
+        metric state is already ONE explicit pytree, so a snapshot is just
+        that pytree pulled to host numpy)."""
+        import numpy as np
+
+        return jax.tree.map(np.asarray, state)
+
+    def load_state_snapshot(self, snapshot) -> Dict[str, dict]:
+        """Inverse of :meth:`state_snapshot`: validates the snapshot's
+        structure against a fresh ``init_state`` and returns it as device
+        arrays (reference metric_state_snapshot.py:87
+        _load_into_reduced_states)."""
+        ref = self.init_state()
+        if jax.tree.structure(snapshot) != jax.tree.structure(ref):
+            raise ValueError(
+                "snapshot structure does not match this metric module's "
+                "configuration"
+            )
+        return jax.tree.map(
+            lambda s, r: jnp.asarray(s, r.dtype), snapshot, ref
+        )
+
+
+class NoOpMetricModule(RecMetricModule):
+    """Metrics disabled (reference noop_metric_module.py:20): same
+    interface, empty state, never computes."""
+
+    def __init__(self) -> None:
+        super().__init__(metrics=[], throughput=None)
+
+    def update(self, state, predictions, labels, weights=None, aux=None):
+        return state
+
+    def should_compute(self, step: int) -> bool:
+        return False
 
 
 def generate_metric_module(
