@@ -129,3 +129,71 @@ def test_int4_quant_ebc():
     want = back[1] + back[2]
     np.testing.assert_allclose(np.asarray(kt.values())[0], want, rtol=1e-4,
                                atol=1e-5)
+
+
+# -- old_rows reuse (forward-gather CSE contract) ---------------------------
+
+@pytest.mark.parametrize(
+    "name", ["sgd", "rowwise_adagrad", "adam", "lamb", "partial_rowwise_lamb",
+             "lars_sgd", "adagrad", "partial_rowwise_adam"]
+)
+def test_update_old_rows_equivalence(name):
+    """update(old_rows=table[ids] with GARBAGE at sentinel positions) must
+    produce the same table/state as the self-gathering form: sentinel-slot
+    old values only feed dropped writes (the _scatter_add_rows contract the
+    EBC v3 backward relies on for forward-gather CSE)."""
+    kwargs = {"weight_decay": 0.01} if name in (
+        "sgd", "rowwise_adagrad", "adam", "lamb", "lars_sgd"
+    ) else {}
+    opt = make_optimizer(name, learning_rate=0.05, **kwargs)
+    key = jax.random.key(3)
+    table = jax.random.normal(key, (R, D), jnp.float32)
+    # position layout: real ids at run starts, OOB sentinels elsewhere
+    uids = np.array([3, R + 1, 7, R + 2, 40, R + 5], np.int32)
+    grads = jax.random.normal(jax.random.key(4), (6, D), jnp.float32)
+    st = opt.init(table)
+
+    t_ref, s_ref = opt.update(table, st, jnp.asarray(uids), grads,
+                              ids_sorted=False)
+
+    real = uids < R
+    old = np.where(
+        real[:, None],
+        np.asarray(table)[np.minimum(uids, R - 1)],
+        np.float32(1e30),  # garbage at sentinel positions
+    )
+    t_new, s_new = opt.update(table, st, jnp.asarray(uids), grads,
+                              ids_sorted=False, old_rows=jnp.asarray(old))
+
+    np.testing.assert_allclose(np.asarray(t_ref), np.asarray(t_new), rtol=0)
+    for k in s_ref:
+        if np.asarray(s_ref[k]).shape and np.asarray(s_ref[k]).shape[0] == R:
+            np.testing.assert_allclose(
+                np.asarray(s_ref[k]), np.asarray(s_new[k]), rtol=0
+            )
+
+
+def test_update_old_rows_equivalence_stochastic_rounding():
+    """The gather+write branch of _scatter_add_rows (used on TPU and for
+    stochastic rounding) must honor old_rows: bf16 tables round-trip
+    exactly through the fp32 upcast the EBC forward hands over."""
+    opt = make_optimizer("sgd", learning_rate=0.05, stochastic_rounding=True)
+    table = jax.random.normal(jax.random.key(5), (R, D)).astype(jnp.bfloat16)
+    uids = np.array([3, R + 1, 7, R + 2, 40, R + 5], np.int32)
+    grads = jax.random.normal(jax.random.key(6), (6, D), jnp.float32)
+    st = opt.init(table)
+
+    t_ref, s_ref = opt.update(table, st, jnp.asarray(uids), grads,
+                              ids_sorted=False)
+    real = uids < R
+    old = np.where(
+        real[:, None],
+        np.asarray(table)[np.minimum(uids, R - 1)].astype(np.float32),
+        np.float32(1e30),
+    )
+    t_new, s_new = opt.update(table, st, jnp.asarray(uids), grads,
+                              ids_sorted=False, old_rows=jnp.asarray(old))
+    np.testing.assert_array_equal(
+        np.asarray(t_ref, np.float32), np.asarray(t_new, np.float32)
+    )
+    assert int(s_ref["sr_step"]) == int(s_new["sr_step"])

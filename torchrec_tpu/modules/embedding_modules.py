@@ -604,6 +604,9 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
     #   "v1": flat scalar scatter-add (~9.6 ns/slot).
     _CM_IMPL = "v3"
     _CM_FORCE_V3 = False
+    # hand the v3 backward the forward's gathered window rows as the
+    # optimizer's old_rows (CSE removes one 20.5k-row gather); A/B gate
+    _REUSE_FWD_ROWS = True
     _CM_PACKED_SORT = True  # single-u32 packed sort when (key, seg) fit  # tests: run v3 with interpret kernels off-TPU
 
     def _cm_impl(self, gi: int, weights) -> str:
@@ -1034,13 +1037,32 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
             if small < total and ids_g.shape[0] > 0:
                 # large rows: sort/dedup + sparse scatter (zero-capacity
                 # batches have no slots -> nothing to update)
+                old_rows = None
                 if v3:
                     u = min(self._max_unique, ids_g.shape[0])
+                    sids_u = jax.lax.dynamic_slice(sk, (n_small,), (u,))
                     uids, ugrads = dedup_rows_from_sorted(
-                        jax.lax.dynamic_slice(sk, (n_small,), (u,)),
+                        sids_u,
                         jax.lax.dynamic_slice(ss, (n_small,), (u,)),
                         pooled_grad, total, lo_row=small,
                     )
+                    if self._REUSE_FWD_ROWS:
+                        # the IDENTICAL expression to the forward's compact
+                        # window gather -> XLA CSEs it across the step, so
+                        # the optimizer's own table[uids] gather disappears
+                        # (~0.09 ms at the headline shapes). Position layout
+                        # makes this valid: at run starts uids == sids_u, and
+                        # every other position is an OOB sentinel whose write
+                        # is dropped / parked in the scratch tail.
+                        table_f32 = (
+                            tbl.astype(jnp.float32)
+                            if g.data_type != DataType.FP32
+                            else tbl
+                        )
+                        old_rows = jnp.take(
+                            table_f32, jnp.minimum(sids_u, total - 1),
+                            axis=0, indices_are_sorted=True,
+                        )
                 else:
                     valid_l = in_group & (ids_g >= small)
                     uids, ugrads = dedup_rows_from_pooled(
@@ -1058,7 +1080,7 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 )
                 tbl, st = optimizer.update(
                     tbl, st, uids, ugrads, lr=lr, ids_sorted=not v3,
-                    ids_in_bounds=in_bounds,
+                    ids_in_bounds=in_bounds, old_rows=old_rows,
                 )
             if small > 0 and use_cm:
                 # count-matmul fast path (C is CSE-shared with the forward)
