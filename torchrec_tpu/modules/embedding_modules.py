@@ -607,6 +607,11 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
     # hand the v3 backward the forward's gathered window rows as the
     # optimizer's old_rows (CSE removes one 20.5k-row gather); A/B gate
     _REUSE_FWD_ROWS = True
+    # ONE-launch fused small-path matmul kernels (vs per-table XLA loops);
+    # A/B gate, auto-falls-back when the pooled block exceeds VMEM.
+    # Default OFF: pending a real-TPU in-context A/B (CPU-mesh equivalence
+    # is proven in tests/test_small_fused.py; flip only on a measured win).
+    _SMALL_MM_FUSED = False
     _CM_PACKED_SORT = True  # single-u32 packed sort when (key, seg) fit  # tests: run v3 with interpret kernels off-TPU
 
     def _cm_impl(self, gi: int, weights) -> str:
@@ -661,17 +666,73 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
         n_small = jnp.sum((key < g.small_rows).astype(jnp.int32))
         return sk, ss, sw, n_small
 
-    def _count_matrix_v3(self, gi: int, sk, ss, b: int) -> jnp.ndarray:
+    def _count_matrix_v3(
+        self, gi: int, sk, ss, b: int, pad_rows: bool = False
+    ) -> jnp.ndarray:
         """C from the sorted stream — zero scatters (Pallas MXU kernel).
         Only valid when every table has one feature (column = batch slot:
-        ``ss % b``); the gate in _cm_impl guarantees it."""
+        ``ss % b``); the gate in _cm_impl guarantees it. ``pad_rows`` keeps
+        the kernel's block-padded row layout (fused small-path form)."""
         from torchrec_tpu.ops.tbe_pallas import sorted_count_matrix
 
         g = self._groups[gi]
         return sorted_count_matrix(
             sk, ss % jnp.int32(b), g.small_rows, b,
-            interpret=self._CM_FORCE_V3,
+            interpret=self._CM_FORCE_V3, pad_rows=pad_rows,
         )
+
+    def _use_small_fused(self, gi: int, b: int) -> bool:
+        """Gate for the ONE-launch fused small-path matmul kernels: the
+        whole [n_gf, B, dim] pooled block must sit in VMEM."""
+        if not self._SMALL_MM_FUSED or b == 0:
+            return False
+        g = self._groups[gi]
+        n_gf = len(self._group_features[gi])
+        return n_gf * b * g.dim * 4 <= 4 * 2**20
+
+    def _small_fused_plan(self, gi: int):
+        """Static per-512-row-block table entries for the fused kernels:
+        (feat [NB, S], lo [NB, S], hi [NB, S]) int32 numpy arrays. ``feat``
+        is the group-feature position owning the rows (-1 pad); lo/hi are
+        the block-local row range. Cached as NUMPY (not jnp: inside a trace
+        jnp.asarray yields a tracer, and caching a tracer leaks it); object
+        identity stays stable across traces for constant caching."""
+        cache = getattr(self, "_small_fused_plan_cache", None)
+        if cache is None:
+            cache = self._small_fused_plan_cache = {}
+        if gi in cache:
+            return cache[gi]
+        from torchrec_tpu.ops.tbe_pallas import _CM_RB as rb
+
+        g = self._groups[gi]
+        gpos = self._group_feature_pos[gi]
+        nb = max(-(-g.small_rows // rb), 1)
+        entries: List[List] = [[] for _ in range(nb)]
+        for name, off, rows in zip(
+            g.table_names, g.row_offsets, g.table_rows
+        ):
+            if off >= g.small_rows:
+                continue
+            tbl_idx = next(
+                ii for ii, t in enumerate(self._tables) if t.name == name
+            )
+            fis = [
+                ii for ii, t in enumerate(self._feature_table) if t == tbl_idx
+            ]
+            p = int(gpos[fis[0]])  # v3 gate: exactly one feature per table
+            for j in range(off // rb, -(-(off + rows) // rb)):
+                lo = max(off - j * rb, 0)
+                hi = min(off + rows - j * rb, rb)
+                entries[j].append((p, lo, hi))
+        s_max = max(1, max(len(e) for e in entries))
+        feat = np.full((nb, s_max), -1, np.int32)
+        lo_a = np.zeros((nb, s_max), np.int32)
+        hi_a = np.zeros((nb, s_max), np.int32)
+        for j, e in enumerate(entries):
+            for s, (p, lo, hi) in enumerate(e):
+                feat[j, s], lo_a[j, s], hi_a[j, s] = p, lo, hi
+        cache[gi] = (feat, lo_a, hi_a)
+        return cache[gi]
 
     def _small_pool_matmul(
         self, gi: int, C_flat: jnp.ndarray, table_f32: jnp.ndarray, b: int
@@ -820,7 +881,8 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                     jnp.where(in_range, sseg, n_gf * b),
                     num_segments=n_gf * b,
                 )
-                C = self._count_matrix_v3(gi, sk, ss, b)
+                fused = self._use_small_fused(gi, b)
+                C = self._count_matrix_v3(gi, sk, ss, b, pad_rows=fused)
             elif use_cm and self._max_unique is not None:
                 # COMPACT forward for the large-table slots: rank-compact
                 # the stream to the slot bound (the identical compaction the
@@ -872,9 +934,20 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 )  # [n_gf*B, dim]
             if use_cm:
                 if C is not None:  # v3: built from the shared sort above
-                    pooled = pooled + self._small_pool_matmul_v1(
-                        gi, C, table_f32, b
-                    )
+                    if self._use_small_fused(gi, b):
+                        from torchrec_tpu.ops.tbe_pallas import (
+                            small_pool_from_counts,
+                        )
+
+                        meta = self._small_fused_plan(gi)
+                        pooled = pooled + small_pool_from_counts(
+                            C, params[g.key], *meta, n_gf,
+                            interpret=self._CM_FORCE_V3,
+                        )
+                    else:
+                        pooled = pooled + self._small_pool_matmul_v1(
+                            gi, C, table_f32, b
+                        )
                 elif impl in ("v1", "v2"):
                     cm = (self._count_matrix_v2 if impl == "v2"
                           else self._count_matrix_v1)
@@ -1085,10 +1158,23 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
             if small > 0 and use_cm:
                 # count-matmul fast path (C is CSE-shared with the forward)
                 if v3:
-                    C = self._count_matrix_v3(gi, sk, ss, b)
-                    acc, touched = self._small_acc_matmul_v1(
-                        gi, C, pooled_grad, b
-                    )
+                    fused = self._use_small_fused(gi, b)
+                    C = self._count_matrix_v3(gi, sk, ss, b, pad_rows=fused)
+                    if fused:
+                        from torchrec_tpu.ops.tbe_pallas import (
+                            small_acc_from_counts,
+                        )
+
+                        meta = self._small_fused_plan(gi)
+                        acc = small_acc_from_counts(
+                            C, pooled_grad, *meta,
+                            interpret=self._CM_FORCE_V3,
+                        )[:small]
+                        touched = jnp.sum(C[:small], axis=1) > 0
+                    else:
+                        acc, touched = self._small_acc_matmul_v1(
+                            gi, C, pooled_grad, b
+                        )
                 elif impl in ("v1", "v2"):
                     cm = (self._count_matrix_v2 if impl == "v2"
                           else self._count_matrix_v1)

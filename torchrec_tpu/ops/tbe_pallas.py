@@ -620,7 +620,7 @@ def _sorted_count_kernel_w(c_lo, c_hi, ids, col, w, out, *, rb, ck, kb):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("small_rows", "kb", "interpret")
+    jax.jit, static_argnames=("small_rows", "kb", "interpret", "pad_rows")
 )
 def sorted_count_matrix(
     sorted_ids: jnp.ndarray,
@@ -630,6 +630,7 @@ def sorted_count_matrix(
     sorted_w: jnp.ndarray | None = None,
     *,
     interpret: bool = False,
+    pad_rows: bool = False,
 ) -> jnp.ndarray:
     """C[small_rows, kb] from an ascending-sorted slot stream.
 
@@ -642,7 +643,11 @@ def sorted_count_matrix(
     """
     n = sorted_ids.shape[0]
     if n == 0:  # zero-capacity stream (empty batch)
-        return jnp.zeros((small_rows, kb), jnp.float32)
+        rows = (
+            max(-(-small_rows // _CM_RB), 1) * _CM_RB
+            if pad_rows else small_rows
+        )
+        return jnp.zeros((rows, kb), jnp.float32)
     rb, ck = _CM_RB, _CM_CK
     nb = max(-(-small_rows // rb), 1)
     small_pad = nb * rb
@@ -697,4 +702,161 @@ def sorted_count_matrix(
         out_shape=jax.ShapeDtypeStruct((small_pad, kb), jnp.float32),
         interpret=interpret,
     )(c_lo, c_hi, *operands)
-    return c[:small_rows]
+    # pad_rows=True keeps the block-padded [nb*RB, kb] layout the fused
+    # small-path matmul kernels below consume directly
+    return c if pad_rows else c[:small_rows]
+
+
+# -- fused small-table pool / accumulate (block-diagonal matmuls) -----------
+#
+# The v3 small-table path multiplies the count matrix C [small, B] against
+# the small region of the table blob (forward pooling: pooled_f = C_f^T @
+# T_f per table f) and against the pooled-output cotangent (backward:
+# acc_f = C_f @ G_f). Looping those per table costs ~6 XLA ops per small
+# table per direction — ~150 tiny dispatches per step at the DLRM headline
+# (21 small tables), each paying µs-level launch overhead for a matmul the
+# MXU finishes in ~1 µs. These two kernels run the WHOLE direction in ONE
+# launch over 512-row blocks of the small region: per block, a static list
+# of (feature, row-range) entries (scalar-prefetched) masks C to one
+# table's rows and feeds one [RB, B] x ... MXU contraction; table
+# boundaries inside a block are resolved by the mask, so the blob layout
+# needs no block alignment.
+
+
+def _small_pool_kernel(
+    feat_ref,  # SMEM [NB, S] int32: group-feature pos per block entry (-1 pad)
+    lo_ref,  # SMEM [NB, S] int32: entry row range start, block-local
+    hi_ref,  # SMEM [NB, S] int32: entry row range end, block-local
+    c_ref,  # VMEM [RB, B] f32: count block j
+    t_ref,  # VMEM [RB, W] table block j (storage dtype)
+    out_ref,  # VMEM [n_gf, B, W] f32: pooled contributions (all blocks)
+    *,
+    rb: int,
+    s_max: int,
+):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)
+    t_blk = t_ref[...].astype(jnp.float32)
+    for s in range(s_max):
+        p = feat_ref[j, s]
+
+        @pl.when(p >= 0)
+        def _(s=s, p=p):
+            mask = (rows >= lo_ref[j, s]) & (rows < hi_ref[j, s])
+            cm = jnp.where(mask, c_ref[...], 0.0)
+            contrib = jax.lax.dot_general(
+                cm, t_blk, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [B, W]
+            out_ref[pl.ds(p, 1)] = out_ref[pl.ds(p, 1)] + contrib[None]
+
+
+def _small_acc_kernel(
+    feat_ref,  # SMEM [NB, S] int32
+    lo_ref,  # SMEM [NB, S] int32
+    hi_ref,  # SMEM [NB, S] int32
+    c_ref,  # VMEM [RB, B] f32
+    g_ref,  # VMEM [n_gf, B, W] f32: pooled-output cotangent
+    out_ref,  # VMEM [RB, W] f32: gradient accumulator block j
+    *,
+    rb: int,
+    s_max: int,
+):
+    j = pl.program_id(0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (rb, 1), 0)
+    # each grid step owns a fresh output block: zero it, then accumulate
+    out_ref[...] = jnp.zeros_like(out_ref)
+    for s in range(s_max):
+        p = feat_ref[j, s]
+
+        @pl.when(p >= 0)
+        def _(s=s, p=p):
+            mask = (rows >= lo_ref[j, s]) & (rows < hi_ref[j, s])
+            cm = jnp.where(mask, c_ref[...], 0.0)
+            g_p = g_ref[pl.ds(p, 1)][0]  # [B, W]
+            out_ref[...] += jax.lax.dot_general(
+                cm, g_p, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_gf", "interpret")
+)
+def small_pool_from_counts(
+    c_pad: jnp.ndarray,  # [NB*RB, B] f32 block-padded count matrix
+    table: jnp.ndarray,  # [rows >= NB*RB, W] blob (storage dtype)
+    block_feat: jnp.ndarray,  # [NB, S] int32 (-1 pad)
+    block_lo: jnp.ndarray,  # [NB, S] int32 block-local
+    block_hi: jnp.ndarray,  # [NB, S] int32 block-local
+    n_gf: int,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """ONE-launch forward small-table pooling: [n_gf * B, W] contributions
+    (zero rows for features whose table is not small)."""
+    nb, s_max = block_feat.shape
+    rb = c_pad.shape[0] // nb
+    b = c_pad.shape[1]
+    w = table.shape[1]
+    if table.shape[0] < nb * rb:
+        table = jnp.pad(table, ((0, nb * rb - table.shape[0]), (0, 0)))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((rb, b), lambda j, *_: (j, 0)),
+            pl.BlockSpec((rb, w), lambda j, *_: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec(
+            (n_gf, b, w), lambda j, *_: (0, 0, 0)
+        ),
+    )
+    out = pl.pallas_call(
+        functools.partial(_small_pool_kernel, rb=rb, s_max=s_max),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_gf, b, w), jnp.float32),
+        interpret=interpret,
+    )(block_feat, block_lo, block_hi, c_pad, table)
+    return out.reshape(n_gf * b, w)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def small_acc_from_counts(
+    c_pad: jnp.ndarray,  # [NB*RB, B] f32
+    pooled_grad: jnp.ndarray,  # [n_gf * B, W] f32
+    block_feat: jnp.ndarray,  # [NB, S] int32
+    block_lo: jnp.ndarray,
+    block_hi: jnp.ndarray,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """ONE-launch backward small-table gradient accumulation:
+    [NB*RB, W] (block-padded; slice to small_rows)."""
+    nb, s_max = block_feat.shape
+    rb = c_pad.shape[0] // nb
+    b = c_pad.shape[1]
+    w = pooled_grad.shape[1]
+    n_gf = pooled_grad.shape[0] // b
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((rb, b), lambda j, *_: (j, 0)),
+            pl.BlockSpec((n_gf, b, w), lambda j, *_: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((rb, w), lambda j, *_: (j, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_small_acc_kernel, rb=rb, s_max=s_max),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * rb, w), jnp.float32),
+        interpret=interpret,
+    )(block_feat, block_lo, block_hi, c_pad,
+      pooled_grad.reshape(n_gf, b, w).astype(jnp.float32))
+    return out
