@@ -106,9 +106,11 @@ def test_optimizer_schema():
     # sorted-gather/scatter hints stay honest. ids_in_bounds: blobs with a
     # write-kernel scratch tail (TableGroup.scratch_rows) pass True to take
     # the branch-free scatter.
+    # old_rows: caller-provided table[unique_ids] (forward-gathered window
+    # rows reused via CSE — kills one 20k-row gather per step)
     assert sig_params(EmbeddingOptimizer.update) == [
         "self", "table", "state", "unique_ids", "unique_grads", "lr",
-        "ids_sorted", "ids_in_bounds",
+        "ids_sorted", "ids_in_bounds", "old_rows",
     ]
     assert sig_params(EmbeddingOptimizer.dense_update) == [
         "self", "table", "state", "grad", "touched", "lr",
@@ -175,3 +177,130 @@ def test_fused_ebc_and_streamable():
     )
     assert hasattr(Multistreamable, "record_stream")
     assert hasattr(Pipelineable, "to")
+
+
+def test_quant_schema():
+    """Round-2 quant surface (reference quant/embedding_modules.py:739,
+    1054, 1207 + distributed/quant_embedding.py:597)."""
+    from torchrec_tpu.quant import (
+        QuantEmbeddingBagCollection,
+        QuantEmbeddingCollection,
+        QuantManagedCollisionEmbeddingBagCollection,
+        QuantManagedCollisionEmbeddingCollection,
+    )
+    from torchrec_tpu.inference import (
+        ShardedQuantEmbeddingBagCollection,
+        ShardedQuantEmbeddingCollection,
+    )
+
+    assert sig_params(QuantEmbeddingCollection.__init__) == [
+        "self", "ec", "data_type",
+    ]
+    assert sig_params(ShardedQuantEmbeddingCollection.__init__) == [
+        "self", "qec", "mesh", "axis", "placement",
+    ]
+    for cls in [
+        QuantEmbeddingBagCollection,
+        QuantEmbeddingCollection,
+        QuantManagedCollisionEmbeddingBagCollection,
+        QuantManagedCollisionEmbeddingCollection,
+        ShardedQuantEmbeddingBagCollection,
+        ShardedQuantEmbeddingCollection,
+    ]:
+        assert hasattr(cls, "apply"), cls.__name__
+
+
+def test_eviction_policy_schema():
+    """Virtual-table eviction-policy family (reference
+    modules/embedding_configs.py:181-359)."""
+    from torchrec_tpu.modules import (
+        CountBasedEvictionPolicy,
+        CountTimestampMixedEvictionPolicy,
+        FeatureL2NormBasedEvictionPolicy,
+        FeatureScoreBasedEvictionPolicy,
+        NoEvictionPolicy,
+        TimestampBasedEvictionPolicy,
+        VirtualTableEvictionPolicy,
+    )
+
+    for cls in [
+        NoEvictionPolicy, CountBasedEvictionPolicy,
+        TimestampBasedEvictionPolicy, CountTimestampMixedEvictionPolicy,
+        FeatureL2NormBasedEvictionPolicy, FeatureScoreBasedEvictionPolicy,
+    ]:
+        assert issubclass(cls, VirtualTableEvictionPolicy), cls.__name__
+    p = sig_params(CountBasedEvictionPolicy.__init__)
+    for name in ["eviction_threshold", "decay_rate"]:
+        assert name in p, name
+
+
+def test_dynamic_embedding_schema():
+    """PS storage-plugin ABI surface (reference
+    csrc/dynamic_embedding/details/io_registry.cpp)."""
+    from torchrec_tpu.dynamic_embedding import (
+        IDTransformer,
+        IDTransformerCollection,
+        ParameterServer,
+        register_io_plugin,
+    )
+
+    assert sig_params(ParameterServer.__init__) == [
+        "self", "dim", "provider", "config",
+    ]
+    assert sig_params(register_io_plugin) == ["so_path"]
+    for method in ["push", "pull", "scan"]:
+        assert hasattr(ParameterServer, method), method
+    assert hasattr(IDTransformer, "evict")
+    assert hasattr(IDTransformer, "transform")
+    assert IDTransformerCollection is not None
+
+
+def test_dmp_and_env_schema():
+    """DMP input-dist switch + hierarchical (host, chip) ShardingEnv +
+    fused_params threading (round-2 VERDICT items #1/#4/carry-over)."""
+    from torchrec_tpu.distributed import FusedParams, ShardingEnv
+    from torchrec_tpu.distributed.model_parallel import (
+        DistributedModelParallel,
+    )
+
+    assert sig_params(DistributedModelParallel.__init__) == [
+        "self", "model", "env", "plan", "planner", "batch_size",
+        "input_dist", "a2a_capacity_factor", "fused_params",
+    ]
+    assert sig_params(ShardingEnv.from_devices) == [
+        "devices", "replica_size", "local_size", "hierarchical",
+    ]
+    fp = sig_params(FusedParams)
+    for name in ["optimizer", "learning_rate", "stochastic_rounding",
+                 "max_unique_gradient_rows", "cache_load_factor"]:
+        assert name in fp, name
+
+
+def test_sharded_mc_and_itep_schema():
+    """Sharded MC-EC + sharded ITEP (reference distributed/mc_embedding.py:55,
+    distributed/itep_embeddingbag.py:70,349)."""
+    from torchrec_tpu.distributed.itep_embeddingbag import (
+        ShardedITEPEmbeddingBagCollection,
+    )
+    from torchrec_tpu.distributed.mc_embedding import (
+        ShardedManagedCollisionEmbeddingCollection,
+    )
+    from torchrec_tpu.distributed.mc_embeddingbag import (
+        ShardedManagedCollisionEmbeddingBagCollection,
+    )
+
+    assert sig_params(ShardedManagedCollisionEmbeddingCollection.__init__) \
+        == ["self", "mc_ec", "plan", "env"]
+    assert sig_params(ShardedITEPEmbeddingBagCollection.__init__) == [
+        "self", "itep_ebc", "plan", "env",
+    ]
+    assert ShardedManagedCollisionEmbeddingBagCollection is not None
+
+
+def test_kv_embedding_schema():
+    from torchrec_tpu.modules import KeyValueEmbeddingBagCollection
+
+    assert sig_params(KeyValueEmbeddingBagCollection.__init__) == [
+        "self", "tables", "cache_rows", "optimizer_state_width",
+        "ps_provider", "ps_config",
+    ]
