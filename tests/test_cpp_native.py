@@ -62,3 +62,14 @@ def test_dynamic_embedding_native(tmp_path):
         tmp_path,
         extra_args=(plugin,),
     )
+
+
+def test_criteo_loader_native(tmp_path):
+    from torchrec_tpu.datasets.criteo_native import _lib
+
+    _lib()
+    _build_and_run(
+        os.path.join(ROOT, "cpp", "tests", "criteo_loader_test.cc"),
+        os.path.join(ROOT, "cpp", "data", "libcriteo.so"),
+        tmp_path,
+    )
