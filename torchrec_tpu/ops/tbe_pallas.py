@@ -183,9 +183,9 @@ def row_scatter_add(
         in_specs=[
             pl.BlockSpec((chunk,), lambda i: (i,), memory_space=pltpu.SMEM),
             pl.BlockSpec((chunk, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
         scratch_shapes=[
             pltpu.VMEM((_NGRP, _GROUP, d), table.dtype),
@@ -366,9 +366,9 @@ def fused_sorted_sgd_apply(
         grid=(1,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),  # pooled (padded)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # table
+            pl.BlockSpec(memory_space=pl.ANY),  # table
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((8, d), table.dtype),
             pltpu.VMEM((nslot, 8, d), table.dtype),
@@ -544,9 +544,9 @@ def row_scatter_write(
         in_specs=[
             pl.BlockSpec((chunk,), lambda i: (i,), memory_space=pltpu.SMEM),
             pl.BlockSpec((chunk, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
         scratch_shapes=sems,
         input_output_aliases={2: 0},
