@@ -94,3 +94,70 @@ def test_tier_checkpoint_roundtrip():
     b, _, _ = kv2.transform(["f"], np.array([5, 6, 7], np.int64),
                             np.ones((1, 3), np.int32), params, states, opt)
     np.testing.assert_array_equal(a, b)
+
+
+def step_b(kv, params, opt, states, raw_ids, batched):
+    keys = ["f"]
+    lengths = np.ones((1, len(raw_ids)), np.int32)
+    vals, params, states = kv.transform(
+        keys, np.asarray(raw_ids, np.int64), lengths, params, states, opt,
+        device_batched=batched,
+    )
+    kjt = KeyedJaggedTensor(
+        keys=keys, values=jnp.asarray(vals), lengths=jnp.asarray(lengths)
+    )
+    kt = kv.apply(params, kjt)
+    cot = jnp.ones_like(kt.values())
+    params, states = kv.apply_gradients(params, states, opt, kjt, cot)
+    return params, states, vals
+
+
+def test_device_batched_transform_matches_eager():
+    """The ONE-jitted-program transfer path (batched) is numerically
+    identical to the eager per-table gather/scatter path across a workload
+    with capacity evictions, fresh admits, and PS-history re-admits."""
+    ea, pa, opt, sa = make(cache=4)
+    eb, pb, _, sb = make(cache=4)
+    batches = [
+        [111, 7],
+        [1000, 2000, 3000, 4000],   # floods the 4-slot cache, evicts
+        [111],                      # back from PS history
+        [5000, 6000, 7000],
+        [111, 2000, 9000],
+    ]
+    for ids in batches:
+        pa, sa, va = step_b(ea, pa, opt, sa, ids, batched=False)
+        pb, sb, vb = step_b(eb, pb, opt, sb, ids, batched=True)
+        np.testing.assert_array_equal(va, vb)
+    g = ea._ebc.groups[0]
+    np.testing.assert_allclose(
+        np.asarray(pa[g.key]), np.asarray(pb[g.key]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(sa[g.key]["momentum"]), np.asarray(sb[g.key]["momentum"]),
+        rtol=1e-6,
+    )
+    # PS tiers agree on an evicted id's spilled row + optimizer column
+    # (batched mode defers the push until the next transform/flush)
+    eb.flush_spills()
+    fa, _ = ea._ps["t"].pull(np.array([1000], np.int64))
+    fb, _ = eb._ps["t"].pull(np.array([1000], np.int64))
+    np.testing.assert_allclose(fa, fb, rtol=1e-6)
+
+
+def test_fresh_rows_hash_host_device_bit_equal():
+    from torchrec_tpu.modules.kv_embedding import _fresh_rows_hash
+
+    gids = np.array([3, 1 << 40, (1 << 63) + 17], np.uint64)
+    lo = (gids & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (gids >> np.uint64(32)).astype(np.uint32)
+    host = _fresh_rows_hash(np, lo, hi, 16, np.float32(0.25))
+    dev = np.asarray(
+        jax.jit(lambda l, h: _fresh_rows_hash(jnp, l, h, 16, jnp.float32(0.25)))(
+            jnp.asarray(lo), jnp.asarray(hi)
+        )
+    )
+    np.testing.assert_array_equal(host.astype(np.float32), dev)
+    assert (np.abs(host) <= 0.25).all()
+    # distinct gids -> distinct rows
+    assert np.abs(host[0] - host[1]).max() > 0

@@ -302,5 +302,5 @@ def test_kv_embedding_schema():
 
     assert sig_params(KeyValueEmbeddingBagCollection.__init__) == [
         "self", "tables", "cache_rows", "optimizer_state_width",
-        "ps_provider", "ps_config",
+        "ps_provider", "ps_config", "max_unique_gradient_rows",
     ]

@@ -26,6 +26,7 @@ optimizers are the standard fused path.
 
 from __future__ import annotations
 
+import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -37,6 +38,116 @@ from torchrec_tpu.modules.embedding_modules import EmbeddingBagCollection
 from torchrec_tpu.sparse import KeyedJaggedTensor
 
 __all__ = ["KeyValueEmbeddingBagCollection"]
+
+
+# fmix32 (murmur3 finalizer) constants for the fresh-row counter hash
+_FMIX1 = 0x85EBCA6B
+_FMIX2 = 0xC2B2AE35
+_GOLD = 0x9E3779B9
+
+
+def _fresh_rows_hash(xp, lo, hi, dim: int, bound):
+    """uniform(-bound, bound) rows from an fmix32 counter hash of
+    (gid, column). ``lo``/``hi``: uint32 arrays [n] (the gid's 64-bit
+    halves); ``bound``: scalar or [n]. ``xp`` is numpy or jax.numpy — the
+    two implementations are bit-identical, so host-side fresh init (eager
+    transform) and device-side fresh init (batched transform) agree and
+    fresh-row generation can live wherever it's cheapest (~0.1 us/row on
+    device vs ~25 us/row for a per-row numpy Generator)."""
+    u32 = xp.uint32
+    lo = lo.astype(u32)[:, None]
+    hi = hi.astype(u32)[:, None]
+    col = xp.arange(1, dim + 1, dtype=u32)[None, :]
+    x = (lo ^ (hi * u32(_FMIX1))) + col * u32(_GOLD)
+    x = x ^ (x >> u32(16))
+    x = x * u32(_FMIX1)
+    x = x ^ (x >> u32(13))
+    x = x * u32(_FMIX2)
+    x = x ^ (x >> u32(16))
+    u = x.astype(xp.float32) * xp.float32(2.0**-32)  # [0, 1)
+    b = xp.asarray(bound, xp.float32)
+    if b.ndim == 1:
+        b = b[:, None]
+    return (xp.float32(2.0) * u - xp.float32(1.0)) * b
+
+
+def _row_write(table: jnp.ndarray, idx: jnp.ndarray, rows: jnp.ndarray):
+    """``table[idx] = rows`` for distinct in-range idx; out-of-range
+    (sentinel) entries dropped. Pallas write kernel on TPU (O(touched)
+    vs XLA's whole-table streaming scatter), plain drop-scatter elsewhere."""
+    from torchrec_tpu.ops.tbe_pallas import (
+        row_scatter_write,
+        supports_row_scatter_add,
+    )
+
+    if supports_row_scatter_add(table):
+        return row_scatter_write(table, idx, rows)
+    return table.at[idx].set(
+        rows.astype(table.dtype), mode="drop", unique_indices=True
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _spill_fill_device(params, opt_states, args):
+    """ONE device program for a whole step's cache-tier traffic: per group
+    blob, gather the evicted rows (+ momentum), generate fresh-init rows
+    in-device from the gid hash, and write history + fresh rows into their
+    slots. Replaces the eager per-table gather/scatter dispatches — over a
+    tunneled backend each eager op costs ~0.5 s of dispatch latency, and
+    XLA's eager scatter streams the whole cache blob.
+
+    ``args[key]``: spill_idx [S], hist_idx [H], hist_rows [H, dim],
+    hist_mom [H], fresh_idx [F], fresh_lo/hi [F] uint32, fresh_b [F].
+    Sentinel idx == blob rows -> dropped (gathers clamp; host ignores the
+    padded tail). Returns (params, opt_states, {key: (rows [S, dim],
+    mom [S] | None)}).
+    """
+    params = dict(params)
+    if opt_states:
+        opt_states = {
+            k: dict(v) if isinstance(v, dict) else v
+            for k, v in opt_states.items()
+        }
+    spilled = {}
+    for key in sorted(args.keys()):
+        a = args[key]
+        tbl = params[key]
+        n, dim = tbl.shape
+        sub = opt_states.get(key) if opt_states else None
+        has_mom = isinstance(sub, dict) and "momentum" in sub
+        # spill gathers read the PRE-fill table (SSA: the fill below
+        # produces a new value)
+        sp = jnp.clip(a["spill_idx"], 0, n - 1)
+        sp_rows = jnp.take(tbl, sp, axis=0).astype(jnp.float32)
+        sp_mom = jnp.take(sub["momentum"], sp) if has_mom else None
+        fresh_rows = _fresh_rows_hash(
+            jnp, a["fresh_lo"], a["fresh_hi"], dim, a["fresh_b"]
+        )
+        idx = jnp.concatenate([a["hist_idx"], a["fresh_idx"]])
+        rows = jnp.concatenate(
+            [a["hist_rows"].astype(tbl.dtype), fresh_rows.astype(tbl.dtype)]
+        )
+        params[key] = _row_write(tbl, idx, rows)
+        if has_mom:
+            mom_vals = jnp.concatenate(
+                [
+                    a["hist_mom"],
+                    jnp.zeros(a["fresh_idx"].shape[0], jnp.float32),
+                ]
+            )
+            sub["momentum"] = sub["momentum"].at[idx].set(
+                mom_vals, mode="drop", unique_indices=True
+            )
+            opt_states[key] = sub
+        spilled[key] = (sp_rows, sp_mom)
+    return params, opt_states, spilled
+
+
+def _pad_pow2(n: int, lo: int = 256) -> int:
+    c = lo
+    while c < n:
+        c *= 2
+    return c
 
 
 class KeyValueEmbeddingBagCollection:
@@ -55,6 +166,7 @@ class KeyValueEmbeddingBagCollection:
         optimizer_state_width: int = 1,  # rowwise-adagrad momentum scalar
         ps_provider: str = "memory",
         ps_config: str = "",  # "{table}" expands to the table name
+        max_unique_gradient_rows: Optional[int] = None,
     ):
         from torchrec_tpu.dynamic_embedding import (
             IDTransformer,
@@ -75,7 +187,9 @@ class KeyValueEmbeddingBagCollection:
             for t in tables
         ]
         self._virtual_tables = list(tables)
-        self._ebc = EmbeddingBagCollection(cached)
+        self._ebc = EmbeddingBagCollection(
+            cached, max_unique_gradient_rows=max_unique_gradient_rows
+        )
         self._cache_rows = dict(cache_rows)
         self._osw = optimizer_state_width
         self._idt = {
@@ -105,6 +219,10 @@ class KeyValueEmbeddingBagCollection:
             t.name: EvictionTracker(cache_rows[t.name]) for t in tables
         }
         self._clock_min = 0.0  # logical minutes when now_min not supplied
+        # deferred spill-push (batched mode): (by_key plans, device rows)
+        # fetched + pushed at the NEXT transform/flush, so the blocking
+        # device_get overlaps the intervening train-step compute
+        self._spill_pending = None
 
     @property
     def embedding_bag_collection(self) -> EmbeddingBagCollection:
@@ -125,6 +243,7 @@ class KeyValueEmbeddingBagCollection:
         opt_states,
         optimizer,
         now_min: Optional[float] = None,
+        device_batched: bool = False,
     ):
         """Host-side pre-batch transform: remap raw ids -> cache slots,
         spilling evicted rows to the PS and filling admitted rows from it.
@@ -134,15 +253,26 @@ class KeyValueEmbeddingBagCollection:
         dynamic-embedding dataloader transform). ``now_min``: wall-clock
         minutes for timestamp eviction policies (defaults to a logical
         clock advancing 1/batch, keeping tests deterministic).
+
+        ``device_batched=True`` defers all device-side spill/fill traffic
+        into ONE jitted donated program per step (:func:`_spill_fill_device`
+        — fresh rows generated on device, Pallas write scatter on TPU)
+        instead of eager per-table gather/scatter ops. Numerically
+        identical to the eager path; use it whenever dispatch latency or
+        cache-blob size matters (the UVM benchmark path).
         """
         if now_min is None:
             self._clock_min += 1.0
             now_min = self._clock_min
         else:
             self._clock_min = float(now_min)
+        # deferred spills must land in the PS before any pull sees stale
+        # history
+        self.flush_spills()
         per_key = lengths.sum(axis=1)
         offs = np.concatenate([[0], np.cumsum(per_key)]).astype(np.int64)
         out = values.astype(np.int64).copy()
+        pending: List[dict] = []
         for tname, idt in self._idt.items():
             feats = [
                 i for i, k in enumerate(kjt_keys)
@@ -157,10 +287,17 @@ class KeyValueEmbeddingBagCollection:
             if not len(gids):
                 continue
             cids, evicted_g, evicted_s, fresh = idt.transform_with_fresh(gids)
-            params, opt_states = self._spill_and_fill(
-                tname, idt, evicted_g, evicted_s, gids, cids, fresh,
-                params, opt_states,
-            )
+            if device_batched:
+                pending.append(
+                    self._plan_transfer(
+                        tname, evicted_g, evicted_s, gids, cids, fresh
+                    )
+                )
+            else:
+                params, opt_states = self._spill_and_fill(
+                    tname, idt, evicted_g, evicted_s, gids, cids, fresh,
+                    params, opt_states,
+                )
             tracker = self._trackers[tname]
             tracker.free(evicted_s)
             policy = self._policies[tname]
@@ -180,19 +317,138 @@ class KeyValueEmbeddingBagCollection:
                 )
                 out[a:b] = span_cids
                 pos += b - a
+        if pending:
+            params, opt_states = self._execute_transfers(
+                pending, params, opt_states
+            )
         return out.astype(np.int32), params, opt_states
+
+    def _plan_transfer(self, tname, evicted_g, evicted_s, gids, cids, fresh):
+        """Host bookkeeping for one table's step traffic (batched mode):
+        which blob slots spill, which fill from PS history (rows pulled
+        here), which fill fresh on-device."""
+        ebc = self._ebc
+        ti = next(i for i, t in enumerate(ebc._tables) if t.name == tname)
+        gi, row_off = ebc._table_group[ti]
+        grp = ebc._groups[gi]
+        dim = grp.dim
+        uniq, first = np.unique(gids, return_index=True)
+        uniq_fresh = fresh[first]
+        slots_of = cids[first].astype(np.int64) + row_off
+        f_ids = uniq[uniq_fresh]
+        f_slots = slots_of[uniq_fresh]
+        if len(f_ids):
+            fetched, _hits = self._ps[tname].pull(f_ids)
+            has_hist = np.abs(fetched).sum(axis=1) > 0
+        else:
+            fetched = np.zeros((0, dim + self._osw), np.float32)
+            has_hist = np.zeros((0,), bool)
+        g = f_ids[~has_hist].astype(np.uint64)
+        return {
+            "table": tname,
+            "key": grp.key,
+            "dim": dim,
+            "spill_idx": np.asarray(evicted_s, np.int64) + row_off,
+            "spill_gids": np.asarray(evicted_g, np.int64),
+            "hist_idx": f_slots[has_hist],
+            "hist_rows": fetched[has_hist, :dim].astype(np.float32),
+            "hist_mom": fetched[has_hist, dim].astype(np.float32)
+            if self._osw
+            else np.zeros((int(has_hist.sum()),), np.float32),
+            "fresh_idx": f_slots[~has_hist],
+            "fresh_lo": (g & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            "fresh_hi": (g >> np.uint64(32)).astype(np.uint32),
+            "fresh_b": np.full(
+                len(g),
+                np.sqrt(1.0 / self._cache_rows[tname]),
+                np.float32,
+            ),
+        }
+
+    def _execute_transfers(self, pending, params, opt_states):
+        """Merge per-table transfer plans by group blob, pad to pow2 caps
+        (sentinel idx = blob rows -> dropped), run ONE jitted device
+        program, then push the returned spilled rows to the PS."""
+        by_key: Dict[str, List[dict]] = {}
+        for p in pending:
+            by_key.setdefault(p["key"], []).append(p)
+        args = {}
+        for key, plans in by_key.items():
+            n_blob = int(params[key].shape[0])
+            dim = plans[0]["dim"]
+
+            def cat(field, pad_val, cap, dtype, width=None):
+                a = np.concatenate([p[field] for p in plans]) if plans else []
+                a = np.asarray(a, dtype)
+                shape = (cap,) if width is None else (cap, width)
+                out = np.full(shape, pad_val, dtype)
+                out[: len(a)] = a
+                return jnp.asarray(out)
+
+            n_sp = sum(len(p["spill_idx"]) for p in plans)
+            n_hi = sum(len(p["hist_idx"]) for p in plans)
+            n_fr = sum(len(p["fresh_idx"]) for p in plans)
+            s_cap, h_cap, f_cap = (
+                _pad_pow2(n_sp), _pad_pow2(n_hi), _pad_pow2(n_fr),
+            )
+            args[key] = {
+                "spill_idx": cat("spill_idx", n_blob, s_cap, np.int32),
+                "hist_idx": cat("hist_idx", n_blob, h_cap, np.int32),
+                "hist_rows": cat("hist_rows", 0.0, h_cap, np.float32, dim),
+                "hist_mom": cat("hist_mom", 0.0, h_cap, np.float32),
+                "fresh_idx": cat("fresh_idx", n_blob, f_cap, np.int32),
+                "fresh_lo": cat("fresh_lo", 0, f_cap, np.uint32),
+                "fresh_hi": cat("fresh_hi", 0, f_cap, np.uint32),
+                "fresh_b": cat("fresh_b", 1.0, f_cap, np.float32),
+            }
+        params, opt_states, spilled = _spill_fill_device(
+            params, opt_states, args
+        )
+        # defer the blocking fetch+push: flushed at the next transform (or
+        # flush_spills), by when the step's device compute has overlapped it
+        self._spill_pending = (by_key, spilled)
+        return params, opt_states
+
+    def flush_spills(self) -> None:
+        """Push any deferred batched-mode spills to the PS. Called
+        automatically at the start of every transform and before any PS /
+        tier-state read; call explicitly before inspecting the PS."""
+        if self._spill_pending is None:
+            return
+        by_key, spilled = self._spill_pending
+        self._spill_pending = None
+        spilled = jax.device_get(spilled)
+        for key, plans in by_key.items():
+            rows, mom = spilled[key]
+            off = 0
+            for p in plans:
+                n = len(p["spill_gids"])
+                if not n:
+                    continue
+                st = np.zeros((n, self._osw), np.float32)
+                if mom is not None and self._osw:
+                    st[:, 0] = mom[off : off + n]
+                self._ps[p["table"]].push(
+                    p["spill_gids"],
+                    np.concatenate(
+                        [np.asarray(rows[off : off + n], np.float32), st],
+                        axis=1,
+                    ),
+                )
+                off += n
 
     def _fresh_rows(self, tname: str, gids: np.ndarray, dim: int) -> np.ndarray:
         """Deterministic per-gid fresh-init rows: uniform(-b, b) with
         b = sqrt(1/cache_rows), the default table init bounds — a fresh id
         admitted into a recycled slot must NOT inherit the previous
-        tenant's trained row."""
-        b = float(np.sqrt(1.0 / self._cache_rows[tname]))
-        rows = np.empty((len(gids), dim), np.float32)
-        for i, g in enumerate(gids):
-            rng = np.random.default_rng(np.uint64(g) ^ np.uint64(0x9E3779B9))
-            rows[i] = rng.uniform(-b, b, dim).astype(np.float32)
-        return rows
+        tenant's trained row. Host-side form of :func:`_fresh_rows_hash`
+        (bit-identical to the device-side form the batched transform
+        uses)."""
+        g = np.asarray(gids, np.uint64)
+        lo = (g & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        hi = (g >> np.uint64(32)).astype(np.uint32)
+        b = np.float32(np.sqrt(1.0 / self._cache_rows[tname]))
+        return _fresh_rows_hash(np, lo, hi, dim, b).astype(np.float32)
 
     def _spill_and_fill(
         self, tname, idt, evicted_g, evicted_s, gids, cids, fresh,
@@ -284,6 +540,7 @@ class KeyValueEmbeddingBagCollection:
 
         if now_min is None:
             now_min = self._clock_min
+        self.flush_spills()
         counts: Dict[str, int] = {}
         for tname, idt in self._idt.items():
             policy = self._policies[tname]
@@ -334,6 +591,7 @@ class KeyValueEmbeddingBagCollection:
     def export_tier_state(self) -> Dict[str, Dict[str, np.ndarray]]:
         """Per table: the id->slot map + eviction-tracker metadata
         (the reference checkpoints KVZCH eviction headers with the rows)."""
+        self.flush_spills()
         out = {}
         for tname, idt in self._idt.items():
             gids, slots = idt.export_state()
