@@ -291,6 +291,7 @@ def exchange(
             "recv_cap": recv_cap,
             "owner": owner,
             "in_off": in_off,
+            "all_counts": all_counts,
             "send_ok": send_ok,
             "send_sizes": send_sizes,
             "recv_sizes": recv_sizes,
@@ -365,12 +366,15 @@ def reverse_exchange(
     """
     if route["mode"] == "ragged":
         me = jax.lax.axis_index(axis_name)
-        send_ok = route["send_ok"]  # [W_src, W_dst]
         recv_sizes = route["recv_sizes"]  # what each src sent me
         recv_off = (jnp.cumsum(recv_sizes) - recv_sizes).astype(jnp.int32)
-        # my returned segment lands at src's sorted-stream in_off for dst=me
+        # my returned segment lands at src's sorted-stream offset of the
+        # slots it destined to ME — the exclusive cumsum of its UNCLAMPED
+        # counts (src's in_off[me]). Using the clamped sends here would
+        # shift every segment after a capacity-dropped one.
+        all_counts = route["all_counts"]  # [W_src, W_dst] unclamped
         dst_off = (
-            jnp.cumsum(send_ok, axis=1) - send_ok
+            jnp.cumsum(all_counts, axis=1) - all_counts
         )[:, me].astype(jnp.int32)  # [W_src]
         out = jnp.zeros((route["n_send"],) + payload.shape[1:], payload.dtype)
         return jax.lax.ragged_all_to_all(
