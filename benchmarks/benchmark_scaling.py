@@ -39,7 +39,7 @@ import numpy as np
 
 BATCH = 64
 IDS_PER_FEATURE = 8  # reference study uses short pooling (random dataset)
-ITERS = 100
+ITERS = 500  # CLAUDE.md timing rule: >=500 chained iters to drown RTT jitter
 
 
 def build(num_tables: int, dim: int, rows: int):

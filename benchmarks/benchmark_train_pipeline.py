@@ -22,7 +22,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def main(batch: int = 256, iters: int = 200) -> None:
+def main(batch: int = 256, iters: int = 500) -> None:  # >=500: RTT jitter rule
     import jax
 
     # The env var alone does not stick in this container; force the

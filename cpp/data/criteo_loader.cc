@@ -97,6 +97,9 @@ struct NpyFile {
     kind = descr[1];
     itemsize = std::atoi(descr.c_str() + 2);
     if ((kind != 'f' && kind != 'i') || itemsize <= 0) return false;
+    // float payloads must be f4 or f8 (FloatAt reads exactly those widths;
+    // silently memcpy'ing 4 bytes of a wider float would yield garbage)
+    if (kind == 'f' && itemsize != 4 && itemsize != 8) return false;
     size_t spos = hdr.find("'shape':");
     size_t par = hdr.find('(', spos);
     if (spos == std::string::npos || par == std::string::npos) return false;
@@ -139,8 +142,14 @@ struct NpyFile {
 
   float FloatAt(int64_t row, int64_t col) const {
     if (kind == 'f') {
+      const char* q = data + (row * cols + col) * itemsize;
+      if (itemsize == 8) {
+        double v;
+        std::memcpy(&v, q, 8);
+        return static_cast<float>(v);
+      }
       float v;
-      std::memcpy(&v, data + (row * cols + col) * itemsize, 4);
+      std::memcpy(&v, q, 4);
       return v;
     }
     return static_cast<float>(IntAt(row, col));

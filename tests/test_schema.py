@@ -75,7 +75,7 @@ def test_sharding_schema():
         "exchange_mode",
     ]
     assert sig_params(ShardedEmbeddingCollection.__init__) == [
-        "self", "ec", "plan", "env",
+        "self", "ec", "plan", "env", "exchange_mode",
     ]
     for method in ["apply", "apply_local", "apply_gradients_local",
                    "shard_params", "unshard_params", "init_optimizer"]:

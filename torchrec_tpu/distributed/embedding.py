@@ -31,6 +31,7 @@ from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from torchrec_tpu.ops.lookup import roll_rows as _roll_rows
 import numpy as np
 
 from torchrec_tpu.distributed._layout import (
@@ -66,10 +67,14 @@ class ShardedEmbeddingCollection(ShardedCollectionBase):
         ec: EmbeddingCollection,
         plan: EmbeddingModuleShardingPlan,
         env: ShardingEnv,
+        exchange_mode: Optional[str] = None,
     ):
+        """``exchange_mode``: force "ragged"/"padded" for the bucketized
+        a2a (None = platform default) — same knob as the EBC twin."""
         self._ec = ec
         self._plan = plan
         self._env = env
+        self._exchange_mode = exchange_mode
         self._all_tables = list(ec._tables)
         tables = {t.name: t for t in ec._tables}
         for name in tables:
@@ -356,7 +361,7 @@ class ShardedEmbeddingCollection(ShardedCollectionBase):
         kjt, b, f, slot_feature = self._slot_arrays(kjt_local)
         values = kjt.values()
         valid = slot_feature < f
-        mode = default_exchange_mode()
+        mode = self._exchange_mode or default_exchange_mode()
         streams = {}
         for c in self._classes:
             cap = values.shape[0] * c.max_blocks
@@ -449,7 +454,7 @@ class ShardedEmbeddingCollection(ShardedCollectionBase):
         cap = kjt.values().shape[0]
         from torchrec_tpu.distributed.input_dist import default_exchange_mode
 
-        mode = default_exchange_mode()
+        mode = self._exchange_mode or default_exchange_mode()
         new_params = dict(params)
         new_states = dict(opt_states)
         for c in self._classes:
@@ -650,7 +655,4 @@ class ShardedEmbeddingCollection(ShardedCollectionBase):
         return out
 
 
-def _roll_rows(x: jnp.ndarray, shift) -> jnp.ndarray:
-    n = x.shape[0]
-    idx = (jnp.arange(n, dtype=jnp.int32) + jnp.asarray(shift, jnp.int32)) % n
-    return jnp.take(x, idx, axis=0)
+

@@ -22,6 +22,7 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+from torchrec_tpu.ops.lookup import roll_rows as _roll_rows
 
 from torchrec_tpu.distributed.embedding import ShardedEmbeddingCollection
 from torchrec_tpu.distributed.embeddingbag import ShardedEmbeddingBagCollection
@@ -205,7 +206,4 @@ class ShardedITEPEmbeddingCollection:
         return out, new_states
 
 
-def _roll_rows(x: jnp.ndarray, shift) -> jnp.ndarray:
-    n = x.shape[0]
-    idx = (jnp.arange(n, dtype=jnp.int32) + jnp.asarray(shift, jnp.int32)) % n
-    return jnp.take(x, idx, axis=0)
+

@@ -17,6 +17,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from torchrec_tpu.ops.lookup import roll_rows as _roll_rows
 import numpy as np
 
 from torchrec_tpu.distributed.embedding import ShardedEmbeddingCollection
@@ -181,7 +182,4 @@ class ShardedManagedCollisionEmbeddingCollection:
         return out, new_params, new_states
 
 
-def _roll_rows(x: jnp.ndarray, shift) -> jnp.ndarray:
-    n = x.shape[0]
-    idx = (jnp.arange(n, dtype=jnp.int32) + jnp.asarray(shift, jnp.int32)) % n
-    return jnp.take(x, idx, axis=0)
+

@@ -175,6 +175,12 @@ class DistributedModelParallel:
                     "emb_optimizer required (or pass fused_params with an "
                     "optimizer name to DistributedModelParallel)"
                 )
+        if dense_tx is None:
+            raise ValueError(
+                "dense_tx (an optax.GradientTransformation for the dense "
+                "arch, e.g. optax.adagrad(0.01)) is required — only the "
+                "SPARSE optimizer can come from fused_params"
+            )
         params = self.model.init(key)
         unsharded_sparse = params.pop("sparse")
         sparse_params = self.sharded_ebc.shard_params(unsharded_sparse)
@@ -221,6 +227,12 @@ class DistributedModelParallel:
                     "emb_optimizer required (or pass fused_params with an "
                     "optimizer name to DistributedModelParallel)"
                 )
+        if dense_tx is None:
+            raise ValueError(
+                "dense_tx (an optax.GradientTransformation for the dense "
+                "arch) is required — only the SPARSE optimizer can come "
+                "from fused_params"
+            )
         model = self.model
         sebc = self.sharded_ebc
         env = self.env

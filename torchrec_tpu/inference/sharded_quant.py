@@ -33,6 +33,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from torchrec_tpu.ops.lookup import roll_rows as _roll_rows
 import numpy as np
 from jax import shard_map
 
@@ -405,7 +406,4 @@ class _StructureOnlyQEBC:
         return self._collection
 
 
-def _roll_rows(x: jnp.ndarray, shift) -> jnp.ndarray:
-    n = x.shape[0]
-    idx = (jnp.arange(n, dtype=jnp.int32) + jnp.asarray(shift, jnp.int32)) % n
-    return jnp.take(x, idx, axis=0)
+

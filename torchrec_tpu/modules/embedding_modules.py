@@ -28,6 +28,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from torchrec_tpu.ops.lookup import roll_rows as _roll_rows
 import numpy as np
 
 from torchrec_tpu.modules.embedding_configs import (
@@ -92,8 +93,11 @@ class TableGroup:
     # dead rows appended to the physical blob so the branch-free Pallas
     # write kernel can park dedup sentinels (always in
     # [total_rows, total_rows + window)) at real addresses instead of
-    # branching per row; zero-initialized, never read, stay exactly zero
-    # (sentinel positions carry zero gradients)
+    # branching per row. Zero-initialized but NOT guaranteed to stay zero:
+    # the _REUSE_FWD_ROWS backward writes old_row(+delta) copies at
+    # sentinel positions, so the tail holds batch-dependent garbage. It is
+    # never READ (all lookups/updates address logical rows; state_dict
+    # export slices [:total_rows]) — never treat it as a zeros source.
     scratch_rows: int = 0
 
     @property
@@ -1327,7 +1331,4 @@ class EmbeddingCollection(_EmbeddingCollectionBase):
         return out
 
 
-def _roll_rows(x: jnp.ndarray, shift) -> jnp.ndarray:
-    n = x.shape[0]
-    idx = (jnp.arange(n, dtype=jnp.int32) + jnp.asarray(shift, jnp.int32)) % n
-    return jnp.take(x, idx, axis=0)
+

@@ -391,12 +391,28 @@ class KeyValueEmbeddingBagCollection:
             s_cap, h_cap, f_cap = (
                 _pad_pow2(n_sp), _pad_pow2(n_hi), _pad_pow2(n_fr),
             )
+            # scatter-target padding must keep the combined hist+fresh idx
+            # array ALL-DISTINCT (the device program asserts
+            # unique_indices=True): give every pad slot its own OOB
+            # sentinel instead of repeating n_blob. All are >= n_blob, so
+            # mode="drop" / the Pallas OOB skip discards them either way.
+            hist_pad = n_blob + np.arange(h_cap, dtype=np.int64)
+            fresh_pad = n_blob + h_cap + np.arange(f_cap, dtype=np.int64)
+
+            def cat_idx(field, pads, cap):
+                a = np.concatenate(
+                    [np.asarray(p[field], np.int64) for p in plans]
+                )
+                out = pads[:cap].copy()
+                out[: len(a)] = a
+                return jnp.asarray(out.astype(np.int32))
+
             args[key] = {
                 "spill_idx": cat("spill_idx", n_blob, s_cap, np.int32),
-                "hist_idx": cat("hist_idx", n_blob, h_cap, np.int32),
+                "hist_idx": cat_idx("hist_idx", hist_pad, h_cap),
                 "hist_rows": cat("hist_rows", 0.0, h_cap, np.float32, dim),
                 "hist_mom": cat("hist_mom", 0.0, h_cap, np.float32),
-                "fresh_idx": cat("fresh_idx", n_blob, f_cap, np.int32),
+                "fresh_idx": cat_idx("fresh_idx", fresh_pad, f_cap),
                 "fresh_lo": cat("fresh_lo", 0, f_cap, np.uint32),
                 "fresh_hi": cat("fresh_hi", 0, f_cap, np.uint32),
                 "fresh_b": cat("fresh_b", 1.0, f_cap, np.float32),
@@ -487,7 +503,12 @@ class KeyValueEmbeddingBagCollection:
             params[grp.key] = params[grp.key].at[tgt].set(
                 jnp.asarray(rows_np)
             )
-            if opt_states and "momentum" in opt_states.get(grp.key, {}):
+            # osw == 0 means optimizer state is NOT preserved across
+            # eviction (PS rows have no state columns); momentum of
+            # re-admitted ids restarts at 0 — same as the batched path
+            if self._osw and opt_states and "momentum" in opt_states.get(
+                grp.key, {}
+            ):
                 mom = np.where(
                     has_hist, fetched[:, dim], 0.0
                 ).astype(np.float32)
@@ -509,7 +530,10 @@ class KeyValueEmbeddingBagCollection:
         tgt = np.asarray(slots, np.int64) + row_off
         rows = np.asarray(jax.device_get(params[grp.key][jnp.asarray(tgt)]))
         st_cols = np.zeros((len(tgt), self._osw), np.float32)
-        if opt_states and "momentum" in opt_states.get(grp.key, {}):
+        # osw == 0: optimizer state is not carried through eviction
+        if self._osw and opt_states and "momentum" in opt_states.get(
+            grp.key, {}
+        ):
             st_cols[:, 0] = np.asarray(
                 jax.device_get(
                     opt_states[grp.key]["momentum"][jnp.asarray(tgt)]
@@ -608,6 +632,10 @@ class KeyValueEmbeddingBagCollection:
     def restore_tier_state(self, state: Dict[str, Dict[str, np.ndarray]]):
         from torchrec_tpu.dynamic_embedding import IDTransformer
 
+        # a deferred batched-mode spill belongs to the timeline being
+        # rolled back — pushing it AFTER the restore would leak
+        # post-snapshot rows into the restored PS history
+        self._spill_pending = None
         for tname, s in state.items():
             idt = IDTransformer(self._cache_rows[tname])
             idt.restore_state(s["global_ids"], s["slots"])

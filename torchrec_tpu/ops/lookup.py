@@ -371,3 +371,12 @@ def accumulate_dense(
         valid.astype(jnp.int32), tgt, num_segments=num_rows
     )
     return acc, counts > 0
+
+
+def roll_rows(x: jnp.ndarray, shift) -> jnp.ndarray:
+    """Cyclic roll of the leading axis by a (possibly traced) ``shift`` —
+    ``jnp.roll`` with a dynamic shift, lowered as one gather. Shared by the
+    MC/ITEP/quant remap paths (cursor-relative circular buffers)."""
+    n = x.shape[0]
+    idx = (jnp.arange(n, dtype=jnp.int32) + jnp.asarray(shift, jnp.int32)) % n
+    return jnp.take(x, idx, axis=0)

@@ -19,6 +19,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+from torchrec_tpu.ops.lookup import roll_rows as _roll_rows
 
 from torchrec_tpu.modules.embedding_configs import EmbeddingBagConfig
 from torchrec_tpu.modules.embedding_modules import (
@@ -257,12 +258,6 @@ class QuantEmbeddingCollection:
                     weights=_roll_rows(w, start) if w is not None else None,
                 )
         return out
-
-
-def _roll_rows(x: jnp.ndarray, shift) -> jnp.ndarray:
-    n = x.shape[0]
-    idx = (jnp.arange(n, dtype=jnp.int32) + jnp.asarray(shift, jnp.int32)) % n
-    return jnp.take(x, idx, axis=0)
 
 
 class QuantManagedCollisionEmbeddingCollection:
