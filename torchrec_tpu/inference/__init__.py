@@ -1,4 +1,10 @@
 """Inference conversion, sharded serving, and transports (reference torchrec/inference/__init__.py)."""
+from torchrec_tpu.inference.dlrm_predict import (
+    DLRMModelConfig,
+    DLRMPredictFactory,
+    DLRMPredictModule,
+    package_dlrm_model,
+)
 from torchrec_tpu.inference.modules import (
     QuantPredictor,
     quantize_inference_model,
@@ -10,6 +16,10 @@ from torchrec_tpu.inference.sharded_quant import (
 )
 
 __all__ = [
+    "DLRMModelConfig",
+    "DLRMPredictFactory",
+    "DLRMPredictModule",
+    "package_dlrm_model",
     "QuantPredictor",
     "quantize_inference_model",
     "shard_quant_model",
