@@ -139,6 +139,69 @@ def measure(num_tables: int, dim: int, rows: int) -> dict:
     }
 
 
+def dlrm_comparison(scale: int = 128) -> dict:
+    """The reference's `ebc_comparison_dlrm` rows (benchmarks/README.md:
+    48-53): unfused EBC vs fused EBC on the MLPerf DLRM tables at the
+    given ÷scale — reference 8xV100 numbers are 0.267 s/epoch (EBC ÷128)
+    vs 0.019 s/epoch (FusedEBC, all scales)."""
+    import bench
+
+    global BATCH, IDS_PER_FEATURE
+    BATCH, IDS_PER_FEATURE = bench.BATCH, bench.IDS_PER_FEATURE
+    bench.set_scale(scale)
+    fused_s = bench.run_scale()  # the headline path (10-step epochs)
+
+    # unfused: autodiff dense grads + SGD over the same tables/batches
+    ebc, params, opt, states, rows = bench.build()
+    values_stack, kjt_proto = bench.make_epoch_batches(rows)
+    keys, lengths = kjt_proto.keys(), kjt_proto.lengths()
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+
+    def one_step(params, values):
+        k = KeyedJaggedTensor(keys=keys, values=values, lengths=lengths)
+
+        def loss(p):
+            return ebc.apply(p, k).values().sum()
+
+        g = jax.grad(loss)(params)
+        return {
+            key: params[key] - bench.LR * g[key].astype(params[key].dtype)
+            for key in params
+        }
+
+    n_epochs = 5
+
+    @jax.jit
+    def run(params, values_stack):
+        def epoch(p, _):
+            p, _ = jax.lax.scan(
+                lambda p, v: (one_step(p, v), v[0]), p, values_stack
+            )
+            return p, None
+
+        p, _ = jax.lax.scan(epoch, params, None, length=n_epochs)
+        return p
+
+    run = jax.jit(run, donate_argnums=(0,))
+    import time
+
+    params = run(params, values_stack)
+    _ = float(np.asarray(next(iter(params.values()))[0, 0]))  # sync
+    t0 = time.perf_counter()
+    params = run(params, values_stack)
+    _ = float(np.asarray(next(iter(params.values()))[0, 0]))
+    unfused_s = (time.perf_counter() - t0) / n_epochs
+    return {
+        "metric": f"ebc_comparison_dlrm_div{scale}",
+        "unfused_s_per_epoch": round(unfused_s, 5),
+        "fused_s_per_epoch": round(fused_s, 5),
+        "speedup": round(unfused_s / fused_s, 2),
+        "ref_unfused_8xV100": 0.267 if scale == 128 else
+        (0.332 if scale == 64 else 0.462),
+        "ref_fused_8xV100": 0.019,
+    }
+
+
 def main(argv):
     global ITERS
     if "--smoke" in argv:
@@ -147,6 +210,11 @@ def main(argv):
         jax.config.update("jax_platforms", "cpu")
         ITERS = 3
         configs = [(4, 8, 64)]
+    elif "--dlrm" in argv:
+        scales = [int(a) for a in argv if a.isdigit()] or [128]
+        for s in scales:
+            print(json.dumps(dlrm_comparison(s)), flush=True)
+        return
     elif "--full" in argv:
         configs = [
             (t, d, r)

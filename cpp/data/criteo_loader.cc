@@ -187,13 +187,28 @@ class CriteoLoader {
       if (!dense_[i].Open(dense_paths[i]) ||
           !sparse_[i].Open(sparse_paths[i]) ||
           !labels_[i].Open(labels_paths[i]) ||
-          dense_[i].cols != kDense || sparse_[i].cols != kSparse) {
+          dense_[i].cols != kDense || sparse_[i].cols != kSparse ||
+          // mismatched day files would read past the shorter mmaps
+          sparse_[i].rows != dense_[i].rows ||
+          labels_[i].rows != dense_[i].rows ||
+          // i8 sparse ids without a modulus cannot safely narrow to the
+          // int32 batch buffer (raw 64-bit hashes would wrap negative) —
+          // require hashes (pass the table sizes) for wide id files
+          (sparse_[i].itemsize == 8 && !hashes)) {
         ok_ = false;
         return;
       }
       lengths[i] = dense_[i].rows;
     }
-    if (hashes) hashes_.assign(hashes, hashes + kSparse);
+    if (hashes) {
+      for (int c = 0; c < kSparse; ++c) {
+        if (hashes[c] <= 0) {  // zero/negative modulus -> SIGFPE in Produce
+          ok_ = false;
+          return;
+        }
+      }
+      hashes_.assign(hashes, hashes + kSparse);
+    }
     // per-rank global row range (reference get_file_row_ranges_and_
     // remainder:304 — even split, remainder to the last rank). Stored as
     // ranges, not per-row vectors: terabyte-scale day files are billions

@@ -169,10 +169,19 @@ class IDTransformer {
 
   int64_t Restore(const int64_t* gids, const int64_t* slot_ids, int64_t n) {
     std::lock_guard<std::mutex> g(mu_);
+    // validate the WHOLE batch before mutating anything: a partial restore
+    // that returns early would leave restored slots still on the free list
+    // (handed out again by the next Transform -> silent map corruption)
+    std::vector<char> seen(capacity_, 0);
     for (int64_t i = 0; i < n; ++i) {
       int64_t slot = slot_ids[i];
-      if (slot < 0 || slot >= capacity_ || slots_[slot].global_id != kEmpty)
-        return i;  // refuse inconsistent restore at row i
+      if (slot < 0 || slot >= capacity_ || slots_[slot].global_id != kEmpty ||
+          seen[slot])
+        return i;  // refuse inconsistent restore at row i; state untouched
+      seen[slot] = 1;
+    }
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t slot = slot_ids[i];
       slots_[slot].global_id = gids[i];
       slots_[slot].freq_power = 1;
       slots_[slot].last_time = 0;

@@ -218,6 +218,11 @@ int tde_io_register_provider(const TdeIOProvider* provider) {
   }
   Registry& r = registry();
   std::lock_guard<std::mutex> g(r.mu);
+  // duplicate type names are REJECTED, not overwritten: live
+  // ParameterServer instances hold pointers into this map (tde_io_resolve)
+  // and an in-place overwrite would redirect their dispatch to another
+  // provider's functions with the old provider's instance handle
+  if (r.providers.count(provider->type)) return 4;
   r.providers[provider->type] = *provider;
   return 0;
 }
@@ -232,9 +237,10 @@ int tde_io_register_plugin(const char* sofile) {
     return 2;
   }
   const TdeIOProvider* p = get();
-  if (tde_io_register_provider(p) != 0) {
+  int rc = tde_io_register_provider(p);
+  if (rc != 0) {
     dlclose(dl);
-    return 3;
+    return rc == 4 ? 4 : 3;  // 4 = name already registered
   }
   registry().dls.push_back(dl);
   return 0;

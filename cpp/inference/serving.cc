@@ -157,7 +157,10 @@ class BatchingQueue {
   }
 
   // Client side: blocks for its ticket's result; returns 1 on success,
-  // 0 on timeout, -1 on unknown ticket.
+  // 0 on timeout, -1 on unknown ticket. Timeout ABANDONS the ticket: the
+  // result slot and admission credit are released (a late PutResults row
+  // for it is dropped) — otherwise timed-out clients would wedge the
+  // queue at max_in_flight forever.
   int64_t WaitResult(int64_t ticket, float* out, int64_t timeout_us) {
     std::unique_lock<std::mutex> lk(mu_);
     auto it = results_.find(ticket);
@@ -168,6 +171,8 @@ class BatchingQueue {
     it = results_.find(ticket);
     if (!ok || !it->second.ready) {
       ++stats_.timeouts;
+      results_.erase(it);
+      --in_flight_;
       return 0;
     }
     std::memcpy(out, it->second.out.data(), sizeof(float) * out_dim_);

@@ -197,6 +197,7 @@ class TestModule:
                           jnp.asarray(w[:32]))
         state = mm.update(state, jnp.asarray(p[32:]), jnp.asarray(l[32:]),
                           jnp.asarray(w[32:]))
+        mm.tick(steps=2)  # host-side heartbeat (update() is jit-safe only)
         assert mm.should_compute(2) and not mm.should_compute(1)
         out = mm.compute(state)
         assert "ne-default|lifetime_ne" in out

@@ -530,3 +530,89 @@ class TestStorageReservations:
         assert r.reserve(t, dense_param_bytes=1 << 40) == pytest.approx(
             ((1 << 30) + (1 << 28)) / t.hbm_cap
         )
+
+
+class TestCacheStats:
+    """EmbeddingOffloadStats (reference shard_estimators.py:964): MRC-driven
+    miss pricing for offloaded kernels."""
+
+    def test_stack_distances_match_bruteforce(self):
+        from torchrec_tpu.planner.cache_stats import lru_stack_distances
+
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, 12, 200)
+        got = lru_stack_distances(ids)
+        last = {}
+        for pos, x in enumerate(ids):
+            if x in last:
+                expect = len(set(ids[last[x] + 1 : pos].tolist()))
+                assert got[pos] == expect, pos
+            else:
+                assert np.isinf(got[pos]), pos
+            last[x] = pos
+
+    def test_zipf_trace_beats_uniform_model(self):
+        from torchrec_tpu.planner.cache_stats import EmbeddingOffloadStats
+
+        rng = np.random.default_rng(1)
+        height = 10_000
+        zipf = np.minimum(rng.zipf(1.3, 50_000) - 1, height - 1)
+        stats = EmbeddingOffloadStats.from_id_trace(zipf, height)
+        # a 10% cache on zipf traffic misses FAR less than 90%
+        assert stats.expected_miss_rate(0.1) < 0.35
+        # monotone in clf, and full cache never misses (warm traffic)
+        rates = [stats.expected_miss_rate(c) for c in (0.05, 0.2, 0.5, 1.0)]
+        assert all(a >= b - 1e-6 for a, b in zip(rates, rates[1:]))
+        assert rates[-1] == 0.0
+        assert 0.0 < stats.cacheability <= 1.0
+        assert stats.expected_lookups == len(np.unique(zipf))
+
+    def test_uniform_trace_tracks_one_minus_clf(self):
+        from torchrec_tpu.planner.cache_stats import EmbeddingOffloadStats
+
+        rng = np.random.default_rng(2)
+        height = 1_000
+        # uniform re-reference traffic: miss ratio ~ 1 - clf
+        ids = rng.integers(0, height, 100_000)
+        stats = EmbeddingOffloadStats.from_id_trace(ids, height, num_bins=50)
+        for clf in (0.25, 0.5, 0.75):
+            assert abs(stats.expected_miss_rate(clf) - (1 - clf)) < 0.1, clf
+
+    def test_estimator_prices_mrc_stats(self):
+        """A highly cacheable table prices CHEAPER than the uniform model
+        at the same clf, and the stats ride constraints -> option -> perf."""
+        from torchrec_tpu.planner import (
+            EmbeddingEnumerator,
+            EmbeddingOffloadStats,
+            EmbeddingPerfEstimator,
+        )
+        from torchrec_tpu.planner.types import ParameterConstraints
+
+        t = topo()
+        rng = np.random.default_rng(3)
+        height = 200_000
+        zipf = np.minimum(rng.zipf(1.2, 40_000) - 1, height - 1)
+        stats = EmbeddingOffloadStats.from_id_trace(zipf, height)
+        table = EmbeddingBagConfig(
+            name="t", num_embeddings=height, embedding_dim=128,
+            feature_names=["f"],
+        )
+
+        def perf_with(cache_stats):
+            enum = EmbeddingEnumerator(
+                t,
+                constraints={"t": ParameterConstraints(
+                    sharding_types=[ShardingType.TABLE_WISE],
+                    compute_kernels=[ComputeKernel.FUSED_HOST_OFFLOAD],
+                    cache_load_factor=0.1,
+                    cache_stats=cache_stats,
+                )},
+            )
+            opts = enum.enumerate([table])
+            assert opts[0].cache_stats is cache_stats
+            est = EmbeddingPerfEstimator(t)
+            for o in opts:
+                est.estimate(o)
+            return opts[0].total_perf
+
+        assert perf_with(stats) < perf_with(None)

@@ -129,6 +129,17 @@ def test_inference_schema():
               "ids_capacity", "batching_timeout_us", "max_in_flight"]:
         assert p in q, p
 
+    from torchrec_tpu.inference import DLRMPredictFactory, DLRMPredictModule
+
+    assert sig_params(DLRMPredictFactory.create_predict_module) == [
+        "self", "params", "data_type", "key",
+    ]
+    for m in ["batching_metadata", "result_metadata", "model_inputs_data"]:
+        assert hasattr(DLRMPredictFactory, m), m
+    assert sig_params(DLRMPredictModule.predict_forward) == [
+        "self", "params", "batch",
+    ]
+
 
 def test_metric_module_schema():
     from torchrec_tpu.metrics.metric_module import (

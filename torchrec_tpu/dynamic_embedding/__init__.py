@@ -215,6 +215,12 @@ def register_io_plugin(so_path: str) -> None:
     ``tde_io_provider``; reference io_registry.cpp register_plugin). Its
     provider name becomes usable as ``ParameterServer(provider=...)``."""
     rc = _lib().tde_io_register_plugin(os.fsencode(so_path))
+    if rc == 4:
+        raise RuntimeError(
+            f"plugin provider name already registered (duplicate names are "
+            f"rejected — live ParameterServers hold the existing provider): "
+            f"{so_path}"
+        )
     if rc != 0:
         raise RuntimeError(f"plugin load failed (rc={rc}): {so_path}")
 
@@ -335,4 +341,21 @@ class IDTransformerCollection:
                     if prev
                     else (eg, es)
                 )
+        # features WITHOUT a dynamic table pass through untransformed
+        # (static-table features carry bounded slots already) — but they
+        # must actually fit the int32 device stream; silently truncating a
+        # 64-bit global id here would alias embedding rows with no signal
+        if len(out) and (
+            out.max(initial=0) > np.iinfo(np.int32).max
+            or out.min(initial=0) < np.iinfo(np.int32).min
+        ):
+            bad = [
+                k for fi, k in enumerate(keys)
+                if self._feature_to_table.get(k) is None and per_key[fi]
+            ]
+            raise ValueError(
+                f"untransformed ids overflow int32; features without a "
+                f"dynamic-table mapping: {bad} (map them in "
+                f"feature_to_table or pre-hash them)"
+            )
         return out.astype(np.int32), evictions

@@ -219,7 +219,13 @@ class RecMetricModule:
     Usage inside a train loop:
         state = mm.init_state()
         state = mm.update(state, preds, labels, weights)  # jit-safe
+        mm.tick()                                         # HOST side, 1/step
         if mm.should_compute(step): metrics = mm.compute(state)
+
+    ``update`` touches only traced state and may live inside the jitted
+    step; the throughput heartbeat reads the wall clock, so it is a
+    separate host-side ``tick()`` — calling it from traced code would
+    count compilations, not steps.
     """
 
     def __init__(
@@ -243,9 +249,14 @@ class RecMetricModule:
             state["_aux_counters"] = self.aux_counters.init_state()
         return state
 
-    def update(self, state, predictions, labels, weights=None, aux=None):
+    def tick(self, steps: int = 1) -> None:
+        """Host-side per-step throughput heartbeat (wall clock). Call once
+        per executed step OUTSIDE jit — e.g. next to ``should_compute``."""
         if self.throughput is not None:
-            self.throughput.update()
+            for _ in range(steps):
+                self.throughput.update()
+
+    def update(self, state, predictions, labels, weights=None, aux=None):
         new = {
             m.metric_name: m.update(
                 state[m.metric_name], predictions, labels, weights

@@ -1,4 +1,5 @@
 """Sharding planner (reference torchrec/distributed/planner/__init__.py)."""
+from torchrec_tpu.planner.cache_stats import EmbeddingOffloadStats
 from torchrec_tpu.planner.enumerators import EmbeddingEnumerator
 from torchrec_tpu.planner.partitioners import (
     GreedyPerfPartitioner,
@@ -38,6 +39,7 @@ from torchrec_tpu.planner.types import (
 __all__ = [
     "EmbeddingOffloadScaleupProposer",
     "EmbeddingEnumerator",
+    "EmbeddingOffloadStats",
     "GreedyPerfPartitioner",
     "MemoryBalancedPartitioner",
     "NoopPerfModel",

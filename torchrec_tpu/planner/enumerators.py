@@ -60,9 +60,14 @@ class EmbeddingEnumerator:
                 shards = self._shards_for(t, st, c)
                 if shards is None:
                     continue
-                for k in kernels:
-                    if st == ShardingType.DATA_PARALLEL and k != ComputeKernel.DENSE:
-                        k = ComputeKernel.DENSE
+                # DP forces the DENSE kernel — emit it ONCE, not one
+                # identical clone per entry in the kernel list (clones
+                # burn proposer flip/grid budget for zero new plans)
+                if st == ShardingType.DATA_PARALLEL:
+                    kernels_st = [ComputeKernel.DENSE]
+                else:
+                    kernels_st = kernels
+                for k in kernels_st:
                     options.append(
                         ShardingOption(
                             table=t,
@@ -75,6 +80,9 @@ class EmbeddingEnumerator:
                             is_weighted=c.is_weighted,
                             cache_load_factor=(
                                 c.cache_load_factor if k.uses_cache() else None
+                            ),
+                            cache_stats=(
+                                c.cache_stats if k.uses_cache() else None
                             ),
                         )
                     )

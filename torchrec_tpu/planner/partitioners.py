@@ -86,8 +86,10 @@ class GreedyPerfPartitioner:
                     sum(d.perf for d in devices[h * local : (h + 1) * local])
                     for h in range(n_hosts)
                 ]
-                # row groups of `local` shards each
-                n_groups = len(o.shards) // local
+                # row groups of up to `local` shards each (the enumerator
+                # drops empty tail shards, so the LAST group may be partial
+                # — a host whose first ranks take the shards)
+                n_groups = -(-len(o.shards) // local)
                 order = sorted(range(n_hosts), key=lambda h: host_loads[h])
                 ranks = []
                 for g in range(n_groups):

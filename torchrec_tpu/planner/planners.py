@@ -175,7 +175,16 @@ def _to_module_plan(
         plan[o.name] = ParameterSharding(
             sharding_type=o.sharding_type,
             compute_kernel=o.compute_kernel,
-            ranks=sorted({s.rank for s in o.shards if s.rank is not None}),
+            # DP's placement sentinel (-1) means "all ranks" — keep it OUT
+            # of the explicit rank list (load_plan filters it the same way;
+            # consumers treat a non-empty list as an explicit placement)
+            ranks=sorted(
+                {
+                    s.rank
+                    for s in o.shards
+                    if s.rank is not None and s.rank >= 0
+                }
+            ),
             shards=[
                 Shard(
                     row_start=s.row_start,

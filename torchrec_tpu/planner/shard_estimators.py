@@ -79,17 +79,23 @@ class EmbeddingPerfEstimator:
         slow_penalty = 0.0
         touched = fwd_bytes + bwd_bytes
         if ck.is_host_resident() or ck.is_ssd_backed():
+            from torchrec_tpu.planner.cache_stats import miss_fraction
+
             clf = (o.cache_load_factor or 0.2) if ck.uses_cache() else 0.0
+            # MRC-driven when the table carries measured stats (reference
+            # EmbeddingOffloadStats.expected_miss_rate); uniform-traffic
+            # (1 - clf) otherwise
+            miss = miss_fraction(o.cache_stats, clf) if ck.uses_cache() else 1.0
             slow_bw = (
                 t.ssd_bw
                 if ck == ComputeKernel.SSD_VIRTUAL_TABLE
                 else t.ddr_bw
             )
-            slow_penalty = touched * (1 - clf) * (1.0 / slow_bw - 1.0 / hbm_bw)
+            slow_penalty = touched * miss * (1.0 / slow_bw - 1.0 / hbm_bw)
             if ck == ComputeKernel.DRAM_SSD_VIRTUAL_TABLE:
                 # misses past the DRAM tier hit NVMe
                 slow_penalty += (
-                    touched * (1 - clf) ** 2 * (1.0 / t.ssd_bw - 1.0 / t.ddr_bw)
+                    touched * miss ** 2 * (1.0 / t.ssd_bw - 1.0 / t.ddr_bw)
                 )
 
         # narrow-row lookups are ISSUE-bound on TPU (measured ~2.5 ns/row

@@ -141,6 +141,10 @@ class ShardingOption:
     # (reference CacheParams.load_factor); scaled by the offload-scaleup
     # proposer to use leftover HBM
     cache_load_factor: Optional[float] = None
+    # MRC-histogram cache statistics (reference CacheParams.stats /
+    # EmbeddingOffloadStats): drives expected_miss_rate(clf) pricing in
+    # the estimator instead of the uniform-traffic (1 - clf) model
+    cache_stats: Optional["object"] = None
 
     @property
     def name(self) -> str:
@@ -169,6 +173,7 @@ class ShardingOption:
             compute_kernel=self.compute_kernel,
             shards=[dataclasses.replace(s) for s in self.shards],
             pooling_factor=self.pooling_factor,
+            cache_stats=self.cache_stats,
             is_weighted=self.is_weighted,
             cache_load_factor=self.cache_load_factor,
         )
@@ -186,6 +191,8 @@ class ParameterConstraints:
     batch_sizes: Optional[List[int]] = None
     is_weighted: bool = False
     cache_load_factor: Optional[float] = None  # host-offload cache ratio
+    # EmbeddingOffloadStats (planner/cache_stats.py): measured MRC stats
+    cache_stats: Optional["object"] = None
     device_group: Optional[str] = None
 
     def pooling_factor(self) -> float:
