@@ -616,3 +616,51 @@ class TestCacheStats:
             return opts[0].total_perf
 
         assert perf_with(stats) < perf_with(None)
+
+    def test_scaleup_allocates_budget_by_marginal_gain(self):
+        """With MRC stats, the scaleup proposer gives a zipf table (hits
+        saturate at a small cache) LESS budget than a uniform table of the
+        same size (constant marginal gain) — the reference's
+        cacheability-driven allocation."""
+        from torchrec_tpu.planner.cache_stats import EmbeddingOffloadStats
+        from torchrec_tpu.planner.proposers import (
+            EmbeddingOffloadScaleupProposer,
+        )
+        from torchrec_tpu.planner.types import PlannerShard, ShardingOption
+
+        rng = np.random.default_rng(4)
+        height = 100_000
+        # steep zipf: the head dominates, hits saturate at a tiny cache
+        zipf = np.minimum(rng.zipf(3.0, 40_000) - 1, height - 1)
+        uniform = rng.integers(0, height, 150_000)
+
+        def opt(name, trace):
+            t = EmbeddingBagConfig(
+                name=name, num_embeddings=height, embedding_dim=64,
+                feature_names=[name + "_f"],
+            )
+            return ShardingOption(
+                table=t, sharding_type=ShardingType.TABLE_WISE,
+                compute_kernel=ComputeKernel.FUSED_HOST_OFFLOAD,
+                shards=[PlannerShard(0, height, 0, 64)],
+                cache_load_factor=0.2,
+                cache_stats=EmbeddingOffloadStats.from_id_trace(
+                    trace, height
+                ),
+            )
+
+        o_zipf, o_uni = opt("zipf", zipf), opt("uni", uniform)
+        clfs = EmbeddingOffloadScaleupProposer._allocate(
+            [o_zipf, o_uni], scale=0.5
+        )
+        assert clfs[0] < clfs[1], clfs
+        # never over-spends the requested budget; stops early when the
+        # remaining marginal gain is zero (uniform's MRC exhausts ~0.78)
+        assert (clfs[0] + clfs[1]) / 2 <= 0.5 + 1e-9, clfs
+        assert clfs[1] >= 0.6, clfs
+        # without stats: equal split
+        o_uni2 = opt("uni2", uniform)
+        o_uni2.cache_stats = None
+        assert EmbeddingOffloadScaleupProposer._allocate(
+            [o_zipf, o_uni2], scale=0.4
+        ) == [0.4, 0.4]

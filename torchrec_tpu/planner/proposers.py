@@ -166,6 +166,55 @@ class EmbeddingOffloadScaleupProposer:
         self._scales = scales
         self._base = GreedyProposer(max_proposals=1)
 
+    @staticmethod
+    def _allocate(offloaded, scale: float) -> list:
+        """Per-table clf for a given average budget ``scale``.
+
+        Without MRC stats every table gets ``scale`` (the uniform-traffic
+        model has constant marginal gain, so equal split is optimal). With
+        stats, the shared row budget is assigned greedily to the table with
+        the best marginal miss-reduction per cached byte (the reference's
+        cacheability-driven Banner allocation, proposers.py:471) — zipf
+        tables saturate early and surrender budget to flatter tables.
+        """
+        import numpy as np
+
+        stats = [o.cache_stats for o in offloaded]
+        if any(s is None for s in stats):
+            return [scale] * len(offloaded)
+        rows = [o.table.num_embeddings for o in offloaded]
+        dims = [o.table.embedding_dim for o in offloaded]
+        budget = scale * sum(r * d for r, d in zip(rows, dims))  # weighted
+        # allocation increment per table = ONE MRC histogram bin: the miss
+        # curve is a step function over its bins, so finer increments see
+        # zero marginal gain between edges and the greedy degenerates to
+        # index order
+        inc = [1.0 / len(s.mrc_hist_counts) for s in stats]
+        alloc = [0.0] * len(offloaded)  # clf per table
+        spent = 0.0
+        heap = []
+        import heapq
+
+        def marginal(i, clf):
+            lo = stats[i].expected_miss_rate(clf)
+            hi = stats[i].expected_miss_rate(min(clf + inc[i], 1.0))
+            gained = (lo - hi) * stats[i].expected_lookups
+            bytes_added = rows[i] * dims[i] * inc[i]
+            return gained / max(bytes_added, 1.0)
+
+        for i in range(len(offloaded)):
+            heapq.heappush(heap, (-marginal(i, 0.0), i))
+        while heap and spent < budget:
+            neg, i = heapq.heappop(heap)
+            if neg >= 0.0 or alloc[i] >= 1.0:
+                break  # no table has any remaining marginal gain
+            alloc[i] = min(alloc[i] + inc[i], 1.0)
+            spent += rows[i] * dims[i] * inc[i]
+            if alloc[i] < 1.0:
+                heapq.heappush(heap, (-marginal(i, alloc[i]), i))
+        # floor: never propose a zero cache for an offloaded table
+        return [max(alloc[i], inc[i]) for i in range(len(offloaded))]
+
     def propose(self, options: Sequence[ShardingOption]):
         for base in self._base.propose(options):
             offloaded = [
@@ -178,8 +227,11 @@ class EmbeddingOffloadScaleupProposer:
             for scale in self._scales:
                 prop = [o.clone() for o in base]
                 if scale is not None:
-                    for i in offloaded:
-                        prop[i].cache_load_factor = scale
+                    clfs = self._allocate(
+                        [base[i] for i in offloaded], scale
+                    )
+                    for i, clf in zip(offloaded, clfs):
+                        prop[i].cache_load_factor = clf
                         for sh in prop[i].shards:
                             # mark dirty: the planner re-estimates options
                             # whose shards lost their cost annotations
