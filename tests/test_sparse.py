@@ -147,10 +147,17 @@ class TestKeyedJaggedTensor:
             p.segment_ids(), [2, 2, 3, 1, 1, 1, 4, 4]
         )
 
-    def test_permute_with_duplicates(self):
+    def test_permute_rejects_duplicates(self):
+        """Zero-copy views map each slot to ONE segment: a duplicated key
+        would silently contribute only to its last copy (segment_ids is
+        last-wins), so duplication is an explicit error — the reference
+        materializes on permute and so can duplicate; here take separate
+        select_keys views instead."""
         kjt = simple_kjt()
-        p = kjt.permute([0, 1, 0])
-        assert p.keys() == ["f0", "f1", "f0"]
+        with pytest.raises(ValueError, match="duplicate"):
+            kjt.permute([0, 1, 0])
+        with pytest.raises(ValueError, match="duplicate"):
+            kjt.select_keys(["f0", "f0"])
 
     def test_materialize_identity(self):
         kjt = simple_kjt()

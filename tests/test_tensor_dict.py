@@ -55,3 +55,21 @@ def test_capacity_and_errors():
         maybe_dict_to_kjt({"a": [[1]], "b": [[1], [2]]})  # batch mismatch
     with pytest.raises(TypeError):
         maybe_dict_to_kjt([1, 2, 3])
+
+
+def test_weighted_jagged_tensor_keeps_weights():
+    """Weights on JaggedTensor inputs survive the dict->KJT conversion
+    (unweighted siblings get 1.0)."""
+    from torchrec_tpu.sparse import JaggedTensor
+    from torchrec_tpu.sparse.tensor_dict import maybe_dict_to_kjt
+
+    jt = JaggedTensor(
+        values=jnp.array([1, 2, 3], jnp.int32),
+        lengths=jnp.array([2, 1], jnp.int32),
+        weights=jnp.array([0.5, 0.25, 2.0], jnp.float32),
+    )
+    kjt = maybe_dict_to_kjt(
+        {"w": jt, "plain": np.array([7, 8])}, capacity=8
+    )
+    w = np.asarray(kjt.weights())
+    np.testing.assert_allclose(w[:5], [0.5, 0.25, 2.0, 1.0, 1.0])

@@ -40,6 +40,7 @@ from jax import shard_map
 from torchrec_tpu.quant.embedding_modules import (
     QuantEmbeddingBagCollection,
     QuantParams,
+    gather_dequant,
 )
 from torchrec_tpu.sparse import KeyedJaggedTensor, KeyedTensor
 from torchrec_tpu.types import PoolingType
@@ -73,7 +74,7 @@ class _QuantClass:
 
     key: str
     dim: int
-    fmt: str  # "int8" | "int4" | "fp8"
+    fmt: str  # "int8" | "int4" | "fp8" | "fp16" | "bf16"
     feature_ids: Tuple[int, ...]  # global feature ids, class order
     # [W, F] local blob row offset of each feature's table (-1 = not local)
     row_off: np.ndarray
@@ -103,9 +104,10 @@ class ShardedQuantEmbeddingBagCollection:
         w = int(mesh.shape[axis])
         self._w = w
         ebc = self._ebc
-        fmt = {"INT8": "int8", "INT4": "int4", "FP8": "fp8"}[
-            qebc.data_type.value
-        ]
+        fmt = {
+            "INT8": "int8", "INT4": "int4", "FP8": "fp8",
+            "FP16": "fp16", "BF16": "bf16",
+        }[qebc.data_type.value]
         self._fmt = fmt
 
         # tolerate EC-backed structure-only views (sequence serving)
@@ -115,7 +117,10 @@ class ShardedQuantEmbeddingBagCollection:
             else ebc.embedding_configs()
         )
         if placement is None:
-            elem = {"int8": 1.0, "int4": 0.5, "fp8": 1.0}[fmt]
+            elem = {
+                "int8": 1.0, "int4": 0.5, "fp8": 1.0,
+                "fp16": 2.0, "bf16": 2.0,
+            }[fmt]
             placement = balance_tables(
                 {
                     t.name: int(t.num_embeddings * t.embedding_dim * elem)
@@ -218,22 +223,12 @@ class ShardedQuantEmbeddingBagCollection:
             valid = (cfeat >= 0) & (local_off >= 0)
             rows_idx = jnp.where(valid, local_off + values, 0)
             qt = sharded_qparams[c.key]
-            if c.fmt == "int4":
-                from torchrec_tpu.sparse.tensor_types import unpack_int4
-
-                packed = jnp.take(qt["q4"][0], rows_idx, axis=0, mode="clip")
-                rows = unpack_int4(packed).astype(jnp.float32)
-                s = jnp.take(qt["scale"][0], rows_idx, mode="clip")
-                z = jnp.take(qt["zero"][0], rows_idx, mode="clip")
-                rows = rows * s[:, None] + z[:, None]
-            else:
-                rows = jnp.take(
-                    qt["q"][0], rows_idx, axis=0, mode="clip"
-                ).astype(jnp.float32)
-                if c.fmt == "int8":
-                    s = jnp.take(qt["scale"][0], rows_idx, mode="clip")
-                    z = jnp.take(qt["zero"][0], rows_idx, mode="clip")
-                    rows = rows * s[:, None] + z[:, None]
+            # ONE dequant-gather implementation for every format (the
+            # sequence class below uses the same helper — keeping the
+            # pooled path inline would mean two copies of the quant math)
+            rows = gather_dequant(
+                {k: v[0] for k, v in qt.items()}, rows_idx
+            )
             if weights is not None:
                 rows = rows * weights[:, None]
             rows = jnp.where(valid[:, None], rows, 0.0)
@@ -378,12 +373,14 @@ class ShardedQuantEmbeddingCollection:
             for fi in c.feature_ids:
                 feat_class[fi] = c.key
         out: Dict[str, JaggedTensor] = {}
+        w = kjt_mat.weights_or_none()  # preserved like the unsharded module
         for fi, name in enumerate(ec._feature_names):
             start = offsets_pk[fi]
             stream = streams[feat_class[fi]]
             out[name] = JaggedTensor(
                 values=_roll_rows(stream, start),
                 lengths=lengths[fi],
+                weights=_roll_rows(w, start) if w is not None else None,
             )
         return out
 

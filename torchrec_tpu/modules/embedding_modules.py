@@ -234,7 +234,14 @@ class _EmbeddingCollectionBase:
             parts = []
             for tname, rows in zip(g.table_names, g.table_rows):
                 t = next(t for t in self._tables if t.name == tname)
-                sub = jax.random.fold_in(key, hash(tname) % (2**31))
+                # stable fold: python's str hash is salted per process, so
+                # hash(tname) would give each host/run DIFFERENT weights
+                # from the same seed (multi-host replicated init diverges)
+                import zlib
+
+                sub = jax.random.fold_in(
+                    key, zlib.crc32(tname.encode()) % (2**31)
+                )
                 parts.append(t.get_weight_init_fn()(sub, (rows, g.dim), dtype))
             if g.scratch_rows:
                 parts.append(jnp.zeros((g.scratch_rows, g.dim), dtype))
@@ -923,9 +930,13 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                     )
                 # segments are non-decreasing when the stream is
                 # feature-major in module order and this group covers every
-                # feature (common case)
+                # feature (common case) — but NOT after the use_cm remap
+                # above, which parks small-table slots at the OOB segment
+                # MID-stream (hints must stay honest: XLA's sorted-scatter
+                # lowering can corrupt on violated hints)
                 sorted_ok = (
-                    kjt._sel == tuple(range(len(kjt._keys)))
+                    not use_cm
+                    and kjt._sel == tuple(range(len(kjt._keys)))
                     and len(self._group_features[gi]) == f
                 )
                 pooled = pooled_lookup(

@@ -52,7 +52,10 @@ def quantize_table(
         lo = jnp.min(w, axis=1, keepdims=True)
         hi = jnp.max(w, axis=1, keepdims=True)
         scale = jnp.maximum((hi - lo) / 255.0, 1e-12)
-        zero = lo + 127.0 * scale
+        # zero at q == 0 must sit 128 steps above lo so BOTH ends are
+        # exact: q(lo) = -128, q(hi) = 127 (zero = lo + 127*scale would
+        # saturate every row's max one full step low)
+        zero = lo + 128.0 * scale
         q = jnp.clip(jnp.round((w - zero) / scale), -128, 127).astype(jnp.int8)
         return {"q": q, "scale": scale[:, 0], "zero": zero[:, 0]}
     if data_type == DataType.INT4:
@@ -179,6 +182,13 @@ class QuantEmbeddingBagCollection:
                     denom = jnp.maximum(lengths[fi].astype(out.dtype), 1.0)
                     out = out / denom[:, None]
                 per_feature[fi] = out
+        if kjt.variable_stride_per_key():
+            # VBE: expand each key's deduplicated pooled rows to the global
+            # batch via its inverse indices — same as the fp EBC forward
+            inv = kjt.inverse_indices()
+            per_feature = [
+                jnp.take(per_feature[fi], inv[fi], axis=0) for fi in range(f)
+            ]
         vals = jnp.concatenate(per_feature, axis=1)
         return KeyedTensor(
             keys=ebc.feature_names(),

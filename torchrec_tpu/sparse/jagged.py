@@ -451,10 +451,21 @@ class KeyedJaggedTensor:
         return out
 
     def permute(self, indices: Sequence[int]) -> "KeyedJaggedTensor":
-        """Reorder (and optionally duplicate/drop) keys (reference :2828).
+        """Reorder (and drop) keys (reference :2828). Zero-copy metadata
+        change.
 
-        Zero-copy metadata change.
+        Key DUPLICATION is rejected: the zero-copy design maps each
+        physical slot to exactly ONE pooling segment, so a duplicated key
+        would silently contribute to only its last copy. (The reference
+        materializes a new KJT on permute and so supports duplicates;
+        duplicate a key here by materializing two select_keys views.)
         """
+        if len(set(indices)) != len(indices):
+            raise ValueError(
+                f"duplicate indices in permute({list(indices)}): zero-copy "
+                "views cannot duplicate a key — take separate "
+                "select_keys([...]) views instead"
+            )
         return KeyedJaggedTensor(
             self._keys,
             self._values,

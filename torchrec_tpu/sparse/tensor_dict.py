@@ -24,8 +24,9 @@ from torchrec_tpu.sparse.jagged import JaggedTensor, KeyedJaggedTensor
 __all__ = ["maybe_dict_to_kjt"]
 
 
-def _one_key(v: Any, pad_value: int) -> Tuple[np.ndarray, np.ndarray]:
-    """-> (flat int values, [B] lengths) for one feature."""
+def _one_key(v: Any, pad_value: int):
+    """-> (flat int values, [B] lengths, per-id weights | None) for one
+    feature."""
     try:  # torch dense / nested tensors (host-side)
         import torch
 
@@ -35,31 +36,39 @@ def _one_key(v: Any, pad_value: int) -> Tuple[np.ndarray, np.ndarray]:
                 return (
                     np.concatenate(rows) if rows else np.zeros(0, np.int64),
                     np.array([len(r) for r in rows], np.int32),
+                    None,
                 )
             v = v.detach().cpu().numpy()
     except ImportError:  # pragma: no cover - torch is in the image
         pass
     if isinstance(v, JaggedTensor):
-        return np.asarray(v.values()), np.asarray(v.lengths(), np.int32)
+        w = v.weights_or_none()
+        return (
+            np.asarray(v.values()),
+            np.asarray(v.lengths(), np.int32),
+            None if w is None else np.asarray(w, np.float32),
+        )
     if isinstance(v, tuple) and len(v) == 2:
         values, lengths = v
         return (
             np.asarray(values).reshape(-1),
             np.asarray(lengths, np.int32).reshape(-1),
+            None,
         )
     if isinstance(v, (list,)):  # list of per-example id lists
         rows = [np.asarray(r).reshape(-1) for r in v]
         return (
             np.concatenate(rows) if rows else np.zeros(0, np.int64),
             np.array([len(r) for r in rows], np.int32),
+            None,
         )
     arr = np.asarray(v)
     if arr.ndim == 1:  # [B] single id per example
-        return arr, np.ones(arr.shape[0], np.int32)
+        return arr, np.ones(arr.shape[0], np.int32), None
     if arr.ndim == 2:  # dense [B, L] with pad sentinel
         mask = arr != pad_value
         lengths = mask.sum(axis=1).astype(np.int32)
-        return arr[mask].reshape(-1), lengths
+        return arr[mask].reshape(-1), lengths, None
     raise TypeError(f"cannot interpret feature value of shape {arr.shape}")
 
 
@@ -83,10 +92,10 @@ def maybe_dict_to_kjt(
             f"expected KJT or feature mapping, got {type(features).__name__}"
         )
     keys = list(keys if keys is not None else features.keys())
-    vals, lens = [], []
+    vals, lens, wts = [], [], []
     batch = None
     for k in keys:
-        v, l = _one_key(features[k], pad_value)
+        v, l, w = _one_key(features[k], pad_value)
         if batch is None:
             batch = l.shape[0]
         elif l.shape[0] != batch:
@@ -95,14 +104,30 @@ def maybe_dict_to_kjt(
             )
         vals.append(v.astype(np.int32))
         lens.append(l)
+        wts.append(w)
     values = np.concatenate(vals) if vals else np.zeros(0, np.int32)
     lengths = np.concatenate(lens) if lens else np.zeros(0, np.int32)
+    weights = None
+    if any(w is not None for w in wts):
+        # weighted features keep their weights; unweighted ones get 1.0
+        weights = np.concatenate(
+            [
+                w if w is not None else np.ones(len(v), np.float32)
+                for v, w in zip(vals, wts)
+            ]
+        ) if vals else np.zeros(0, np.float32)
     if capacity is not None:
         if values.shape[0] > capacity:
             raise ValueError(
                 f"{values.shape[0]} values exceed capacity {capacity}"
             )
-        values = np.pad(values, (0, capacity - values.shape[0]))
+        pad = capacity - values.shape[0]
+        values = np.pad(values, (0, pad))
+        if weights is not None:
+            weights = np.pad(weights, (0, pad))
     return KeyedJaggedTensor.from_lengths(
-        keys, jnp.asarray(values), jnp.asarray(lengths)
+        keys,
+        jnp.asarray(values),
+        jnp.asarray(lengths),
+        weights=None if weights is None else jnp.asarray(weights, jnp.float32),
     )
