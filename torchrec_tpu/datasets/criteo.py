@@ -172,14 +172,18 @@ class InMemoryBinaryCriteoIterDataPipe:
         b = self.batch_size
         for i in range(len(self)):
             idx = order[i * b : (i + 1) * b]
-            if len(idx) < b:  # pad the ragged tail batch (drop_last=False)
-                idx = np.concatenate([idx, np.zeros(b - len(idx), np.int64)])
+            # drop_last=False yields a genuinely SMALLER tail batch (the
+            # reference's last_batch_sizes, criteo.py:831) — padding it
+            # with copies of row 0 would flow fake examples into loss and
+            # metrics with no mask. The shape change costs one extra jit
+            # compile per epoch; use drop_last=True for static shapes.
+            bi = len(idx)
             dense = self._dense[idx]
             cats = self._sparse[idx]  # [B, 26]
             labels = self._labels[idx].astype(np.float32)
             # criteo cat features: exactly one id per example per feature
             values = cats.T.reshape(-1).astype(np.int32)  # feature-major
-            lengths = np.ones((CAT_FEATURE_COUNT, b), np.int32)
+            lengths = np.ones((CAT_FEATURE_COUNT, bi), np.int32)
             kjt = KeyedJaggedTensor(
                 keys=DEFAULT_CAT_NAMES,
                 values=jnp.asarray(values),

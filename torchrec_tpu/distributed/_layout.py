@@ -119,6 +119,16 @@ def build_width_classes(
                 if d < 0 or d >= w:
                     raise ValueError(f"shard rank {d} outside world {w}")
                 for fi in feat_of_table[name]:
+                    # the (device, feature, block) placement cell holds ONE
+                    # contiguous id range; a second row shard of the same
+                    # column block on the same rank would silently clobber
+                    # the first (its ids would look up as zeros)
+                    if id_hi[d, fi, bi] > id_lo[d, fi, bi]:
+                        raise ValueError(
+                            f"table {name!r}: two row shards of column "
+                            f"block {bi} placed on rank {d}; merge them "
+                            "into one contiguous shard per rank"
+                        )
                     id_lo[d, fi, bi] = s.row_start
                     id_hi[d, fi, bi] = s.row_start + s.row_count
                     blob_off[d, fi, bi] = dev_rows[d]
@@ -237,8 +247,10 @@ class ShardedCollectionBase:
     ) -> Dict[str, Dict[str, jnp.ndarray]]:
         states: Dict[str, Dict[str, jnp.ndarray]] = {}
         for c in self._classes:
+            # prototype must carry the BLOB's storage dtype: optimizers key
+            # behavior on it (stochastic rounding exists only for bf16)
             proto = optimizer.init(
-                jnp.zeros((c.local_rows, c.width), jnp.float32)
+                jnp.zeros((c.local_rows, c.width), c.data_type.as_jnp())
             )
             w = self._env.world_size
             states[c.key] = {

@@ -90,8 +90,13 @@ class ShardedEmbeddingTowerCollection:
         # owner rank per tower = rank of its (colocated) tables
         self._owner: List[int] = []
         for tower in self.towers:
+            # EVERY shard of every table must sit on one rank — checking
+            # only shards[0] would let a row-wise table through and the
+            # unreduced partial pooled sums would silently be wrong
             ranks = {
-                plan[t.name].shards[0].rank for t in tower.embedding._tables
+                s.rank
+                for t in tower.embedding._tables
+                for s in plan[t.name].shards
             }
             if len(ranks) != 1:
                 raise ValueError(

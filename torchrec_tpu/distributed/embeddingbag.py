@@ -918,19 +918,9 @@ def _kjt_batch_shard(
     lengths sliced so only the local examples contribute)."""
     b = kjt.stride()
     b_local = b // w
-    lengths = kjt.lengths()
-    f = lengths.shape[0]
-    # mask lengths outside the local batch window to zero, keep the buffer:
-    # offsets stay consistent because segment ids are derived from the full
-    # physical lengths; instead we slice lengths and rebuild offsets via a
-    # a masked-lengths copy (values outside local rows become padding).
-    batch_ids = jnp.arange(b, dtype=jnp.int32)
-    in_window = (batch_ids >= d * b_local) & (batch_ids < (d + 1) * b_local)
-    masked = jnp.where(in_window[None, :], lengths, 0)
-    # local segment = f * b_local + (b - d*b_local): emulate by building a
-    # KJT with full stride but zeroed other-batch lengths, then pooling
-    # produces zeros there; finally slice the window rows.
-    return _WindowedKJT(kjt, masked, d * b_local, b_local)
+    # the window view keeps the base buffers; lengths/segment_ids remap
+    # window rows to [0, b_local) and everything else to OOB padding
+    return _WindowedKJT(kjt, d * b_local, b_local)
 
 
 class _WindowedKJT(KeyedJaggedTensor):
@@ -941,7 +931,7 @@ class _WindowedKJT(KeyedJaggedTensor):
     examples. Supports key selection views like the base class.
     """
 
-    def __init__(self, base: KeyedJaggedTensor, masked_lengths, start, b_local):
+    def __init__(self, base: KeyedJaggedTensor, start, b_local):
         # physical lengths stay the base's (value layout unchanged);
         # require physical == logical order so the buffer matches lengths.
         base = base.materialize()
@@ -1018,6 +1008,8 @@ class _WindowedKJT(KeyedJaggedTensor):
         return self._view([key_to_phys[k] for k in keys])
 
     def permute(self, indices):
+        if len(set(indices)) != len(indices):  # same contract as the base
+            raise ValueError("duplicate indices in permute on a KJT view")
         return self._view([self._sel[i] for i in indices])
 
     def split(self, segments):

@@ -340,9 +340,12 @@ class DistributedModelParallel:
         axis = self.env.shard_axis
         sparse_specs = self.sharded_ebc._param_specs()
         if example_state is None:
-            # build a throwaway state skeleton to derive opt-state structure
-            example_state = self.init_train_state(
-                jax.random.key(0), emb_optimizer, dense_tx
+            # abstract state skeleton (shapes/dtypes only) — eval_shape
+            # never allocates, where a real init would materialize every
+            # table + optimizer buffer just to read pytree structure
+            example_state = jax.eval_shape(
+                lambda k: self.init_train_state(k, emb_optimizer, dense_tx),
+                jax.random.key(0),
             )
         emb_state_specs = {
             k: jax.tree_util.tree_map(
@@ -421,6 +424,14 @@ class DMPCollection(DistributedModelParallel):
             raise ValueError(
                 "DMPCollection needs a 2D env "
                 "(ShardingEnv.from_devices(replica_size=R))"
+            )
+        if kwargs.get("input_dist", "replicated") != "replicated":
+            # the 2D train step only implements the replicated input dist;
+            # silently accepting "bucketized" would either crash on a
+            # prepared StackedSparse batch or quietly train replicated
+            raise NotImplementedError(
+                "DMPCollection supports input_dist='replicated' only (the "
+                "1D DistributedModelParallel has the bucketized a2a path)"
             )
         self.sync_interval = sync_interval
         super().__init__(model, env, plan, **kwargs)

@@ -171,8 +171,17 @@ class MaglevPipeline:
         return grads, loss
 
     def forward(self, params: List[Any], x: Any) -> Any:
-        """Inference pass through all stages (no loss stage input)."""
-        for i in range(len(self.stages) - 1):
+        """Inference pass through all stages. A loss-bearing final stage
+        (``has_loss``, apply = (params, x, labels) -> loss) cannot run
+        without labels, so it is skipped and its INPUT (the logits feeding
+        the loss) is returned; a plain final stage is applied like any
+        other — previously it was unconditionally skipped, returning the
+        penultimate activation for pure-inference pipelines."""
+        last = len(self.stages) - 1
+        for i in range(len(self.stages)):
+            if i == last and self.stages[i].has_loss:
+                break
             x = self._fwd[i](params[i], x)
-            x = jax.device_put(x, self.devices[i + 1])
+            if i + 1 < len(self.stages):
+                x = jax.device_put(x, self.devices[i + 1])
         return x

@@ -102,7 +102,13 @@ def reshard(
             )
             if opt_states is not None:
                 for k, v in opt_states[oc.key].items():
-                    # per-row state: leading dims [W, local_rows, ...]
+                    # only PER-ROW state ([W, local_rows, ...]) moves with
+                    # its rows; scalar entries (e.g. the stochastic-rounding
+                    # counter "sr_step", shape [W]) pass through unchanged —
+                    # CLAUDE.md invariant: slicing them row-wise corrupts
+                    if v.ndim < 2 or v.shape[1] != oc.local_rows:
+                        state_protos.setdefault(("scalar", k), v)
+                        continue
                     tail = v.shape[2:]
                     src = jnp.take(
                         v.reshape((-1,) + tail), jnp.asarray(flat_old), axis=0
@@ -119,15 +125,21 @@ def reshard(
             out.astype(nc.data_type.as_jnp()), dst_sharding
         )
         if opt_states is not None:
-            new_states[nc.key] = {
-                k: jax.device_put(
+            new_states[nc.key] = {}
+            for k, v in state_protos.items():
+                if isinstance(k, tuple) and k[0] == "scalar":
+                    # not row-addressed: carry the counter value over (it
+                    # advances identically on every device) at the NEW world
+                    new_states[nc.key][k[1]] = jnp.broadcast_to(
+                        v.reshape(-1)[:1], (w,) + v.shape[2:]
+                    ) if v.ndim >= 1 else v
+                    continue
+                new_states[nc.key][k] = jax.device_put(
                     v.reshape((w, nc.local_rows) + v.shape[1:]),
                     new_sharded._sharding(
                         new_sharded.env.shard_axis, *([None] * v.ndim)
                     ),
                 )
-                for k, v in state_protos.items()
-            }
 
     # DP tables pass through
     for key, v in params.items():

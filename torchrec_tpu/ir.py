@@ -95,12 +95,20 @@ def export_fn(
 
     args = list(example_args)
     shapes = []
+    # ONE symbol in ONE scope shared by every dynamic axis: per-arg
+    # symbolic_shape() calls would create unrelated scopes (export rejects
+    # mixed scopes) and, worse, unrelated "B"s that drop the equal-batch
+    # constraint across arguments
+    sym = (
+        jexport.symbolic_shape("B")[0]
+        if dynamic_batch_axes
+        else None
+    )
     for i, a in enumerate(args):
         a = jnp.asarray(a)
         if dynamic_batch_axes and i in dynamic_batch_axes:
             ax = dynamic_batch_axes[i]
             dims = list(a.shape)
-            sym = jexport.symbolic_shape("B")[0]
             dims[ax] = sym
             shapes.append(jax.ShapeDtypeStruct(tuple(dims), a.dtype))
         else:

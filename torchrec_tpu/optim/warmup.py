@@ -60,8 +60,11 @@ def _stage_multiplier(stage: WarmupStage, it):
 def make_warmup_schedule(
     base_lr: float, stages: Sequence[WarmupStage]
 ) -> Callable[[jnp.ndarray], jnp.ndarray]:
-    """Piecewise schedule: stage boundaries at cumulative max_iters; the
-    final stage extends forever (reference warmup.py stage chaining)."""
+    """Piecewise schedule: stage boundaries at cumulative max_iters. PAST
+    the last boundary the multiplier is 1.0 (lr = base_lr) — the reference
+    appends a synthetic NONE stage the same way (warmup.py stage chaining);
+    to make a decay stage "extend forever", give it max_iters large enough
+    to cover training."""
     bounds: List[int] = []
     acc = 0
     for s in stages:
@@ -70,9 +73,7 @@ def make_warmup_schedule(
 
     def schedule(step):
         t = jnp.asarray(step, jnp.float32)
-        lr = jnp.asarray(base_lr, jnp.float32)  # after all stages
         start = 0.0
-        mult = jnp.ones_like(t)
         chosen = jnp.zeros_like(t)
         done = jnp.zeros_like(t, dtype=bool)
         for s, b in zip(stages, bounds):
