@@ -340,12 +340,14 @@ class DistributedModelParallel:
         axis = self.env.shard_axis
         sparse_specs = self.sharded_ebc._param_specs()
         if example_state is None:
-            # abstract state skeleton (shapes/dtypes only) — eval_shape
-            # never allocates, where a real init would materialize every
-            # table + optimizer buffer just to read pytree structure
-            example_state = jax.eval_shape(
-                lambda k: self.init_train_state(k, emb_optimizer, dense_tx),
-                jax.random.key(0),
+            # build a throwaway state skeleton to derive opt-state
+            # structure. NOTE: this materializes the full state (tables +
+            # optimizer buffers) — shard_params is host-side (np.asarray),
+            # so jax.eval_shape cannot trace init_train_state abstractly.
+            # Pass example_state (the state you just initialized) to skip
+            # this allocation on big models.
+            example_state = self.init_train_state(
+                jax.random.key(0), emb_optimizer, dense_tx
             )
         emb_state_specs = {
             k: jax.tree_util.tree_map(
