@@ -71,16 +71,20 @@ def quantize_inference_model(
     sparse_params: Dict[str, jnp.ndarray],
     dense_params: Dict[str, Any],
     data_type: DataType = DataType.INT8,
+    pruning: Optional[Dict[str, Any]] = None,
 ) -> QuantPredictor:
     """Trained DLRM -> quantized predictor (reference inference/modules.py:372:
-    quant EBC conversion; dense stays fp32/bf16)."""
+    quant EBC conversion; dense stays fp32/bf16). ``pruning``:
+    {table: keep-mask | kept-row indices} drops rows at quantization
+    (reference set_pruning_data:353 + pruned-TBE remapping); build masks
+    with quant.prune_rows_by_norm."""
     qebc = QuantEmbeddingBagCollection(
         model.embedding_bag_collection, data_type
     )
     return QuantPredictor(
         model=model,
         quant_ebc=qebc,
-        qparams=qebc.quantize_from(sparse_params),
+        qparams=qebc.quantize_from(sparse_params, pruning=pruning),
         dense_params=dense_params,
     )
 

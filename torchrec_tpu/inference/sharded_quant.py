@@ -167,6 +167,13 @@ class ShardedQuantEmbeddingBagCollection:
     def shard_qparams(self, qparams: QuantParams) -> Dict[str, Dict[str, jnp.ndarray]]:
         """Single-blob quant params -> per-class ``[W, rows_pad, ...]``
         stacks, placed with the leading axis sharded over the serve mesh."""
+        if any("remap" in qt for qt in qparams.values()):
+            raise NotImplementedError(
+                "pruned quant tables (remap) are unsharded-serving only: "
+                "the sharded layout packs COMPACT rows but routes by "
+                "ORIGINAL id ranges; prune-then-serve single-host, or "
+                "shard without pruning"
+            )
         ebc = self._ebc
         by_table: Dict[str, Dict[str, np.ndarray]] = {}
         for g in ebc.groups:
@@ -317,6 +324,11 @@ class ShardedQuantEmbeddingCollection:
         self.placement = self._layout.placement
 
     def shard_qparams(self, qparams):
+        if any("remap" in qt for qt in qparams.values()):
+            raise NotImplementedError(
+                "pruned quant tables (remap) are unsharded-serving only "
+                "(see ShardedQuantEmbeddingBagCollection.shard_qparams)"
+            )
         return self._layout.shard_qparams(qparams)
 
     def _forward_local(self, sharded_qparams, kjt: KeyedJaggedTensor):

@@ -5,6 +5,7 @@ from torchrec_tpu.quant.embedding_modules import (
     QuantManagedCollisionEmbeddingBagCollection,
     QuantManagedCollisionEmbeddingCollection,
     dequantize_table,
+    prune_rows_by_norm,
     gather_dequant,
     quantize_table,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "QuantManagedCollisionEmbeddingBagCollection",
     "QuantManagedCollisionEmbeddingCollection",
     "dequantize_table",
+    "prune_rows_by_norm",
     "gather_dequant",
     "quantize_table",
 ]

@@ -31,6 +31,7 @@ from torchrec_tpu.sparse import JaggedTensor, KeyedJaggedTensor, KeyedTensor
 from torchrec_tpu.types import DataType, PoolingType
 
 __all__ = [
+    "prune_rows_by_norm",
     "QuantEmbeddingBagCollection",
     "QuantEmbeddingCollection",
     "QuantManagedCollisionEmbeddingCollection",
@@ -41,6 +42,73 @@ __all__ = [
 ]
 
 QuantParams = Dict[str, Dict[str, jnp.ndarray]]
+
+
+def prune_rows_by_norm(
+    collection, params: Dict[str, jnp.ndarray], rows_post: Dict[str, int]
+) -> Dict[str, np.ndarray]:
+    """Keep masks for magnitude pruning: per named table, keep the
+    ``rows_post[name]`` rows with the largest L2 norm (the reference's
+    set_pruning_data consumers compute rows-post-pruning the same way,
+    inference/modules.py:353). Returns {table: bool mask} for
+    ``quantize_from(..., pruning=...)``; unnamed tables keep all rows."""
+    import numpy as np
+
+    masks: Dict[str, np.ndarray] = {}
+    base = collection  # EBC or EC
+    for g in base.groups:
+        blob = np.asarray(params[g.key][: g.total_rows], np.float32)
+        for name, off, rows in zip(g.table_names, g.row_offsets, g.table_rows):
+            if name not in rows_post:
+                continue
+            k = int(rows_post[name])
+            if not 0 <= k <= rows:
+                raise ValueError(f"{name}: rows_post {k} not in [0, {rows}]")
+            norms = np.linalg.norm(blob[off : off + rows], axis=1)
+            keep = np.zeros(rows, bool)
+            keep[np.argsort(-norms, kind="stable")[:k]] = True
+            masks[name] = keep
+    return masks
+
+
+def _quantize_groups(groups, params, data_type, pruning=None) -> QuantParams:
+    """Per-group quantization with optional row pruning. ``pruning``:
+    {table_name: bool keep-mask [rows] | int kept-row indices} — pruned
+    rows are dropped from the stored blob and a group-level remap
+    (original row -> compact row, -1 = pruned) rides in the qparams."""
+    import numpy as np
+
+    out: QuantParams = {}
+    for g in groups:
+        blob = params[g.key][: g.total_rows]
+        if pruning and any(t in pruning for t in g.table_names):
+            keep = np.ones(g.total_rows, bool)
+            for name, off, rows in zip(
+                g.table_names, g.row_offsets, g.table_rows
+            ):
+                if name not in pruning:
+                    continue
+                sel = np.asarray(pruning[name])
+                mask = np.zeros(rows, bool)
+                if sel.dtype == bool:
+                    if sel.shape != (rows,):
+                        raise ValueError(
+                            f"{name}: keep mask shape {sel.shape} != ({rows},)"
+                        )
+                    mask = sel
+                else:
+                    mask[sel.astype(np.int64)] = True
+                keep[off : off + rows] = mask
+            remap = np.full(g.total_rows, -1, np.int32)
+            remap[keep] = np.arange(int(keep.sum()), dtype=np.int32)
+            qt = quantize_table(
+                jnp.asarray(np.asarray(blob)[keep]), data_type
+            )
+            qt["remap"] = jnp.asarray(remap)
+            out[g.key] = qt
+        else:
+            out[g.key] = quantize_table(blob, data_type)
+    return out
 
 
 def quantize_table(
@@ -84,7 +152,18 @@ def gather_dequant(
 ) -> jnp.ndarray:
     """Gather rows from a quantized table and dequantize to fp32 — the
     fused dequant-in-lookup step of the reference's IntNBit TBE kernels
-    (torchrec/distributed/quant_embedding_kernel.py)."""
+    (torchrec/distributed/quant_embedding_kernel.py).
+
+    When the table was PRUNED at quantization ("remap" present), ids are
+    first remapped into the compact row space; pruned ids return zero rows
+    (the reference's pruned-TBE index remapping semantics,
+    quant_embedding_kernel.py pruning_indices_remapping)."""
+    if "remap" in qt:
+        remap = qt["remap"]  # [original_rows] int32 -> compact row | -1
+        r = jnp.take(remap, jnp.clip(ids, 0, remap.shape[0] - 1))
+        inner = {k: v for k, v in qt.items() if k != "remap"}
+        rows = gather_dequant(inner, jnp.maximum(r, 0))
+        return jnp.where((r >= 0)[:, None], rows, 0.0)
     if "q4" in qt:  # int4: gather PACKED rows, unpack in registers
         from torchrec_tpu.sparse.tensor_types import unpack_int4
 
@@ -143,15 +222,17 @@ class QuantEmbeddingBagCollection:
     def embedding_bag_configs(self) -> List[EmbeddingBagConfig]:
         return self._ebc.embedding_bag_configs()
 
-    def quantize_from(self, params: Dict[str, jnp.ndarray]) -> QuantParams:
+    def quantize_from(
+        self, params: Dict[str, jnp.ndarray], pruning=None
+    ) -> QuantParams:
         """Trained fp params -> quantized params (logical rows only — the
-        write-kernel scratch tail carries no weights)."""
-        return {
-            g.key: quantize_table(
-                params[g.key][: g.total_rows], self._data_type
-            )
-            for g in self._ebc.groups
-        }
+        write-kernel scratch tail carries no weights). ``pruning``:
+        {table: keep-mask | kept-row indices} drops rows from the stored
+        blob (reference set_pruning_data + pruned-TBE remapping); pruned
+        ids look up as zero rows."""
+        return _quantize_groups(
+            self._ebc.groups, params, self._data_type, pruning
+        )
 
     def apply(self, qparams: QuantParams, kjt: KeyedJaggedTensor) -> KeyedTensor:
         ebc = self._ebc
@@ -228,15 +309,15 @@ class QuantEmbeddingCollection:
     def embedding_configs(self):
         return self._ec.embedding_configs()
 
-    def quantize_from(self, params: Dict[str, jnp.ndarray]) -> QuantParams:
+    def quantize_from(
+        self, params: Dict[str, jnp.ndarray], pruning=None
+    ) -> QuantParams:
         """Trained fp params -> quantized params (keeps scratch tails out:
-        quantization covers logical rows only)."""
-        return {
-            g.key: quantize_table(
-                params[g.key][: g.total_rows], self._data_type
-            )
-            for g in self._ec.groups
-        }
+        quantization covers logical rows only). ``pruning`` as in
+        QuantEmbeddingBagCollection.quantize_from."""
+        return _quantize_groups(
+            self._ec.groups, params, self._data_type, pruning
+        )
 
     def apply(
         self, qparams: QuantParams, kjt: KeyedJaggedTensor
