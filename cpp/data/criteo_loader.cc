@@ -190,11 +190,7 @@ class CriteoLoader {
           dense_[i].cols != kDense || sparse_[i].cols != kSparse ||
           // mismatched day files would read past the shorter mmaps
           sparse_[i].rows != dense_[i].rows ||
-          labels_[i].rows != dense_[i].rows ||
-          // i8 sparse ids without a modulus cannot safely narrow to the
-          // int32 batch buffer (raw 64-bit hashes would wrap negative) —
-          // require hashes (pass the table sizes) for wide id files
-          (sparse_[i].itemsize == 8 && !hashes)) {
+          labels_[i].rows != dense_[i].rows) {
         ok_ = false;
         return;
       }
@@ -317,6 +313,12 @@ class CriteoLoader {
           if (!hashes_.empty()) {
             id %= hashes_[c];
             if (id < 0) id += hashes_[c];
+          } else if (id < 0 || id > INT32_MAX) {
+            // raw 64-bit hash values without a modulus: a plain int32
+            // cast would wrap NEGATIVE (out-of-range table indices
+            // downstream) — bound deterministically instead
+            id = static_cast<int64_t>(
+                static_cast<uint64_t>(id) % 2147483647ULL);
           }
           buf.sparse[c * b_ + e] = static_cast<int32_t>(id);  // feature-major
         }

@@ -158,6 +158,31 @@ TEST(IdTransformer, ExportRestoreRoundTrip) {
   api.idt_destroy(t2);
 }
 
+TEST(IdTransformer, RestoreIsAtomicOnBadRows) {
+  // a restore with ANY inconsistent row must leave the transformer fully
+  // untouched — a partial restore leaves restored slots on the free list
+  // and the next transform silently double-books them
+  void* t = api.idt_create(4);
+  int64_t gids[3] = {5, 9, 77}, slots_bad[3] = {0, 1, 99};  // 99 OOB
+  EXPECT_EQ(api.idt_restore(t, gids, slots_bad, 3), 2);  // refused at row 2
+  EXPECT_EQ(api.idt_size(t), 0);  // nothing landed
+  int64_t slots_dup[3] = {0, 1, 1};  // duplicate slot in the batch
+  EXPECT_EQ(api.idt_restore(t, gids, slots_dup, 3), 2);
+  EXPECT_EQ(api.idt_size(t), 0);
+  // the transformer still hands out 4 DISTINCT slots afterwards
+  int64_t g[4] = {100, 200, 300, 400}, c[4], fresh;
+  api.idt_transform(t, g, c, 4, &fresh);
+  for (int i = 0; i < 4; ++i)
+    for (int j = i + 1; j < 4; ++j) EXPECT_TRUE(c[i] != c[j]);
+  // and a VALID restore still works
+  void* t2 = api.idt_create(4);
+  int64_t slots_ok[3] = {0, 1, 2};
+  EXPECT_EQ(api.idt_restore(t2, gids, slots_ok, 3), 3);
+  EXPECT_EQ(api.idt_size(t2), 3);
+  api.idt_destroy(t);
+  api.idt_destroy(t2);
+}
+
 TEST(IdTransformer, TargetedRemoveFreesSlots) {
   // policy-driven eviction: the virtual-table eviction tracker removes
   // specific slots (count/timestamp/L2 policies), not the LFU/LRU head
@@ -278,6 +303,17 @@ TEST(Plugin, DirstoreBackendThroughRegistry) {
   float srows[8];
   EXPECT_EQ(api.ps_scan(ps2, sg, srows, 4), 2);
   api.ps_destroy(ps2);
+}
+
+TEST(Plugin, DuplicateProviderNameIsRejected) {
+  if (plugin_path.empty()) {
+    std::puts("  (skipped: no plugin .so passed as argv[2])");
+    return;
+  }
+  // the dirstore plugin is registered by the test above; re-registering
+  // the same provider name must be REFUSED (rc 4), not overwritten —
+  // live ParameterServers hold pointers into the registry
+  EXPECT_EQ(api.register_plugin(plugin_path.c_str()), 4);
 }
 
 TEST(Plugin, BadPluginPathIsRejected) {

@@ -136,6 +136,40 @@ TEST(Admission, RejectsOverInFlightAndCounts) {
   api.destroy(q);
 }
 
+TEST(Admission, TimeoutAbandonsTicketAndReleasesCapacity) {
+  // a client that gives up must not wedge the queue at max_in_flight:
+  // WaitResult timeout erases the ticket and frees its admission credit;
+  // a late PutResults row for it is dropped.
+  void* q = api.create(4, 50000, /*in_flight=*/2, 1, 1, 1);
+  float d[1] = {1.f};
+  int64_t ids[1] = {7};
+  int32_t len[1] = {1};
+  int64_t t1 = api.submit(q, d, ids, len);
+  int64_t t2 = api.submit(q, d, ids, len);
+  EXPECT_TRUE(t1 > 0 && t2 > 0);
+  EXPECT_EQ(api.submit(q, d, ids, len), 0);  // full
+  float r = 0;
+  EXPECT_EQ(api.wait(q, t1, &r, /*timeout_us=*/2000), 0);  // gives up
+  EXPECT_EQ(api.in_flight(q), 1);  // slot released
+  EXPECT_EQ(api.wait(q, t1, &r, 1000), -1);  // ticket is gone
+  int64_t t3 = api.submit(q, d, ids, len);  // admitted again
+  EXPECT_TRUE(t3 > 0);
+  // late result for the abandoned ticket is dropped; live ones complete
+  float dense[4];
+  int64_t bids[16];
+  int32_t blens[4];
+  int64_t tickets[4];
+  int64_t n = api.get_batch(q, dense, bids, blens, tickets, 16);
+  EXPECT_EQ(n, 3);  // t1 (stale), t2, t3 were all queued for batching
+  float out[4] = {1.f, 2.f, 3.f, 4.f};
+  api.put(q, tickets, out, n);
+  EXPECT_EQ(api.wait(q, t2, &r, 1000000), 1);
+  EXPECT_EQ(api.wait(q, t3, &r, 1000000), 1);
+  EXPECT_EQ(api.in_flight(q), 0);
+  api.stop(q);
+  api.destroy(q);
+}
+
 TEST(Stats, LatencyHistogramCountsCompletions) {
   void* q = api.create(4, 50000, 8, 1, 1, 1);
   float d[1] = {5.f};
