@@ -135,6 +135,11 @@ def run(scale: int = 1, cache_rows: int = 2_000_000, epochs: int = 3):
 
 
 def main(argv):
+    if "--cpu" in argv:  # the axon plugin ignores JAX_PLATFORMS env
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        argv = [a for a in argv if a != "--cpu"]
     scale = int(argv[0]) if len(argv) > 0 else 1
     cache_rows = int(argv[1]) if len(argv) > 1 else 2_000_000
     epochs = int(argv[2]) if len(argv) > 2 else 3
