@@ -195,3 +195,79 @@ def test_sequence_bucketized_ragged_matches_unsharded(monkeypatch):
             np.asarray(exp[k].values())[:nvalid],
             rtol=1e-4, atol=1e-4,
         )
+
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+
+@pytest.mark.slow
+@settings(max_examples=10, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    n=st.sampled_from([4, 9, 16]),
+    recv_cap=st.sampled_from([4, 8, 16, 40]),
+    mode=st.sampled_from(["padded", "ragged"]),
+)
+def test_exchange_reverse_property_sweep(seed, n, recv_cap, mode):
+    """Both exchange modes, random owner streams, arbitrary capacity
+    pressure: delivered slots echo exactly, dropped/invalid slots echo
+    zero, per-device drop counters account for every undelivered slot.
+    (Ragged runs on the all_gather emulation of the collective.)"""
+    if mode == "padded" and recv_cap % WORLD:
+        recv_cap = -(-recv_cap // WORLD) * WORLD
+    orig = jax.lax.ragged_all_to_all
+    jax.lax.ragged_all_to_all = _emulated_ragged_all_to_all
+    try:
+        P = jax.sharding.PartitionSpec
+        rng = np.random.default_rng(seed)
+        owners = np.sort(
+            rng.integers(0, WORLD + 1, size=(WORLD, n)), axis=1
+        ).astype(np.int32)
+        payload = rng.integers(1, 1 << 20, size=(WORLD, n)).astype(np.int32)
+
+        def f(owner, pay):
+            owner = owner.reshape(n)
+            pay = pay.reshape(n)
+            (r,), valid, dropped, route = exchange(
+                (owner, pay), recv_cap, "x", WORLD, mode=mode
+            )
+            back = reverse_exchange(route, r, "x", WORLD)
+            return valid[None], dropped.reshape(1), back[None]
+
+        valid, dropped, back = jax.jit(
+            jax.shard_map(
+                f, mesh=_mesh(), in_specs=(P("x"), P("x")),
+                out_specs=(P("x"), P("x"), P("x")),
+            )
+        )(jnp.asarray(owners), jnp.asarray(payload))
+        valid, dropped, back = (
+            np.asarray(a) for a in (valid, dropped, back)
+        )
+
+        counts = np.zeros((WORLD, WORLD), np.int64)
+        for s in range(WORLD):
+            for d_ in range(WORLD):
+                counts[s, d_] = int((owners[s] == d_).sum())
+        if mode == "ragged":
+            send_ok = _clamp_oracle(counts, recv_cap)
+        else:
+            send_ok = np.minimum(counts, recv_cap // WORLD)
+        np.testing.assert_array_equal(
+            dropped.reshape(WORLD), (counts - send_ok).sum(axis=1)
+        )
+        for s in range(WORLD):
+            sent = np.zeros(WORLD, np.int64)
+            for j in range(n):
+                d_ = owners[s, j]
+                if d_ < WORLD and sent[d_] < send_ok[s, d_]:
+                    assert back[s, j] == payload[s, j], (mode, s, j)
+                    sent[d_] += 1
+                else:
+                    assert back[s, j] == 0, (mode, s, j)
+        # receiver-side: number of valid slots == what sources delivered
+        np.testing.assert_array_equal(
+            valid.reshape(WORLD, -1).sum(axis=1), send_ok.sum(axis=0)
+        )
+    finally:
+        jax.lax.ragged_all_to_all = orig
