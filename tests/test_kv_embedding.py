@@ -8,6 +8,8 @@ survive eviction to the host tier and come back with optimizer state.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
 
 from torchrec_tpu import KeyedJaggedTensor
 from torchrec_tpu.modules import EmbeddingBagConfig
@@ -161,3 +163,44 @@ def test_fresh_rows_hash_host_device_bit_equal():
     assert (np.abs(host) <= 0.25).all()
     # distinct gids -> distinct rows
     assert np.abs(host[0] - host[1]).max() > 0
+
+
+@pytest.mark.slow
+@settings(max_examples=8, deadline=None)
+@given(
+    seed=st.integers(0, 10_000),
+    cache=st.sampled_from([4, 8, 16]),
+    steps=st.integers(2, 6),
+)
+def test_batched_matches_eager_property(seed, cache, steps):
+    """Random workloads (random batch sizes, id ranges spanning fresh
+    admits, PS re-admits, and capacity evictions): the ONE-jitted-program
+    batched transform is numerically identical to the eager path, and the
+    PS tiers agree after a flush."""
+    rng = np.random.default_rng(seed)
+    ea, pa, opt, sa = make(cache=cache)
+    eb, pb, _, sb = make(cache=cache)
+    for _ in range(steps):
+        n = int(rng.integers(1, cache + 1))
+        # mix hot ids (re-admits) with a long tail (fresh + evictions),
+        # dedup within the batch to respect transformer capacity
+        ids = np.unique(
+            rng.choice(
+                np.concatenate([np.arange(5), rng.integers(100, 10_000, n)]),
+                size=n, replace=False,
+            )
+        )
+        pa, sa, va = step_b(ea, pa, opt, sa, ids, batched=False)
+        pb, sb, vb = step_b(eb, pb, opt, sb, ids, batched=True)
+        np.testing.assert_array_equal(va, vb)
+    g = ea._ebc.groups[0]
+    np.testing.assert_allclose(
+        np.asarray(pa[g.key]), np.asarray(pb[g.key]), rtol=1e-6, atol=1e-7
+    )
+    eb.flush_spills()
+    # spot-check PS agreement on ids the eager tier spilled
+    seen_a = ea._ps["t"].scan()[0]
+    for gid in np.asarray(seen_a, np.int64)[:8]:
+        fa, _ = ea._ps["t"].pull(np.array([gid], np.int64))
+        fb, _ = eb._ps["t"].pull(np.array([gid], np.int64))
+        np.testing.assert_allclose(fa, fb, rtol=1e-6, atol=1e-7)
