@@ -620,9 +620,10 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
     _REUSE_FWD_ROWS = True
     # ONE-launch fused small-path matmul kernels (vs per-table XLA loops);
     # A/B gate, auto-falls-back when the pooled block exceeds VMEM.
-    # Default OFF: pending a real-TPU in-context A/B (CPU-mesh equivalence
-    # is proven in tests/test_small_fused.py; flip only on a measured win).
-    _SMALL_MM_FUSED = False
+    # Real-TPU in-context A/B (v5e, all three headline scales): ON wins
+    # 1.314->1.281 / 1.398->1.383 / 1.559->1.551 ms/step; CPU-mesh
+    # equivalence in tests/test_small_fused.py.
+    _SMALL_MM_FUSED = True
     _CM_PACKED_SORT = True  # single-u32 packed sort when (key, seg) fit  # tests: run v3 with interpret kernels off-TPU
 
     def _cm_impl(self, gi: int, weights) -> str:
