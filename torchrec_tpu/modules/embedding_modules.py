@@ -166,10 +166,15 @@ class _EmbeddingCollectionBase:
             # scratch tail for the branch-free write kernel: only groups
             # with a large region take the sort/dedup + Pallas-scatter
             # backward, and only a bounded window (scratch_window =
-            # max_unique_gradient_rows) produces sentinels
+            # max_unique_gradient_rows) produces sentinels. Rounding to the
+            # kernel chunk leaves exactly the kernel's chunk-padding rows
+            # free past the sentinel range (pad == round_up(u, c) - u), so
+            # parking targets and pad targets never collide.
             scratch = 0
             if scratch_window is not None and small_rows < off:
-                scratch = -(-scratch_window // 1024) * 1024
+                from torchrec_tpu.ops.tbe_pallas import _CHUNK as _wc
+
+                scratch = -(-scratch_window // _wc) * _wc
             g = TableGroup(
                 key=f"group_d{dim}_{dt.value.lower()}",
                 dim=dim,
