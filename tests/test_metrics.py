@@ -325,3 +325,164 @@ class TestSnapshotAndNoOp:
         state = mm.update(state, jnp.ones((4,)), jnp.ones((4,)))
         assert not mm.should_compute(100)
         assert mm.compute(state) == {}
+
+
+# ------------------------------------------------------- window states (r3)
+class TestWindowStates:
+    """Every sum-state metric reports window_* next to lifetime_* (reference
+    rec_metric.py:119 WindowBuffer keeps lifetime AND window for every
+    metric). Oracle: with batches_per_bucket=1 and K buckets, window_* must
+    equal the metric recomputed from ONLY the last K batches."""
+
+    def _stream(self, metric, name, oracle, n_batches=12, bsz=16, k=4,
+                seed=3):
+        rng = np.random.default_rng(seed)
+        batches = []
+        state = metric.init_state()
+        for _ in range(n_batches):
+            p = rng.uniform(0.01, 0.99, bsz).astype(np.float32)
+            l = (rng.uniform(size=bsz) < 0.4).astype(np.float32)
+            w = rng.uniform(0.5, 2.0, bsz).astype(np.float32)
+            batches.append((p, l, w))
+            state = metric.update(
+                state, jnp.asarray(p), jnp.asarray(l), jnp.asarray(w)
+            )
+        out = metric.compute(state)
+        tail = batches[-k:]
+        pw = np.concatenate([b[0] for b in tail])
+        lw = np.concatenate([b[1] for b in tail])
+        ww = np.concatenate([b[2] for b in tail])
+        full = np.concatenate([b[0] for b in batches]), np.concatenate(
+            [b[1] for b in batches]
+        ), np.concatenate([b[2] for b in batches])
+        np.testing.assert_allclose(
+            out[f"{metric.metric_name}-default|window_{name}"],
+            oracle(pw, lw, ww), rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            out[f"{metric.metric_name}-default|lifetime_{name}"],
+            oracle(*full), rtol=1e-4,
+        )
+
+    def _win_metric(self, cls, k=4, **kw):
+        return cls(window_buckets=k, batches_per_bucket=1, **kw)
+
+    def test_window_ne(self):
+        def ne(p, l, w):
+            eps = 1e-7
+            pc = np.clip(p, eps, 1 - eps)
+            ce = -(l * np.log(pc) + (1 - l) * np.log(1 - pc))
+            ctr = np.clip((w * l).sum() / w.sum(), eps, 1 - eps)
+            base = -(ctr * np.log(ctr) + (1 - ctr) * np.log(1 - ctr))
+            return (w * ce).sum() / w.sum() / base
+
+        self._stream(self._win_metric(NEMetric), "ne", ne)
+
+    def test_window_calibration(self):
+        self._stream(
+            self._win_metric(CalibrationMetric), "calibration",
+            lambda p, l, w: (w * p).sum() / (w * l).sum(),
+        )
+
+    def test_window_ctr(self):
+        self._stream(
+            self._win_metric(CTRMetric), "ctr",
+            lambda p, l, w: (w * l).sum() / w.sum(),
+        )
+
+    def test_window_mse_mae(self):
+        self._stream(
+            self._win_metric(MSEMetric), "mse",
+            lambda p, l, w: (w * (p - l) ** 2).sum() / w.sum(),
+        )
+        self._stream(
+            self._win_metric(MAEMetric), "mae",
+            lambda p, l, w: (w * np.abs(p - l)).sum() / w.sum(),
+        )
+
+    def test_window_threshold_family(self):
+        def acc(p, l, w):
+            pred = (p >= 0.5).astype(np.float32)
+            return (w * (pred == l)).sum() / w.sum()
+
+        def prec(p, l, w):
+            pred = (p >= 0.5).astype(np.float32)
+            return (w * pred * l).sum() / (w * pred).sum()
+
+        def rec(p, l, w):
+            pred = (p >= 0.5).astype(np.float32)
+            return (w * pred * l).sum() / (w * l).sum()
+
+        self._stream(self._win_metric(AccuracyMetric), "accuracy", acc)
+        self._stream(self._win_metric(PrecisionMetric), "precision", prec)
+        self._stream(self._win_metric(RecallMetric), "recall", rec)
+
+    def test_window_weighted_avg(self):
+        from torchrec_tpu.metrics import WeightedAvgMetric
+
+        self._stream(
+            self._win_metric(WeightedAvgMetric), "weighted_avg",
+            lambda p, l, w: (w * p).sum() / w.sum(),
+        )
+
+    def test_bucketed_window_bounds(self):
+        """With batches_per_bucket=B>1 the window spans (K-1)*B+1..K*B most
+        recent batches: feed a step change and check the window tracks the
+        new regime once the old buckets rotate out."""
+        m = NEMetric(window_buckets=2, batches_per_bucket=2)
+        state = m.init_state()
+        rng = np.random.default_rng(0)
+
+        def push(bias, n=1):
+            nonlocal state
+            for _ in range(n):
+                p = np.full(32, bias, np.float32)
+                l = (rng.uniform(size=32) < 0.5).astype(np.float32)
+                state = m.update(state, jnp.asarray(p), jnp.asarray(l))
+
+        push(0.9, n=4)  # terrible predictions
+        bad = float(m.compute(state)["ne-default|window_ne"])
+        push(0.5, n=4)  # now the window holds only p=0.5 batches
+        mid = float(m.compute(state)["ne-default|window_ne"])
+        assert mid < bad  # old regime rotated out
+        lifetime = float(m.compute(state)["ne-default|lifetime_ne"])
+        assert lifetime > mid  # lifetime still remembers the bad half
+
+    def test_window_sync_psum(self):
+        """window_* after a cross-rank psum equals the metric over ALL
+        ranks' last-K batches (sum-state windows stay psum-able)."""
+        devs = jax.devices()[:4]
+        mesh = jax.sharding.Mesh(np.array(devs), ("d",))
+        m = self._win_metric(NEMetric, k=2)
+
+        rng = np.random.default_rng(1)
+        p = rng.uniform(0.01, 0.99, (4, 6, 16)).astype(np.float32)  # [rank, batch, B]
+        l = (rng.uniform(size=(4, 6, 16)) < 0.4).astype(np.float32)
+
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        @jax.jit
+        def run(p, l):
+            def body(p, l):
+                state = m.init_state()
+                for i in range(6):
+                    state = m.update(state, p[0, i], l[0, i])
+                synced = m.sync(state, "d")
+                return m.compute(synced)["ne-default|window_ne"].reshape(1)
+
+            return shard_map(
+                body, mesh=mesh, in_specs=(P("d"), P("d")),
+                out_specs=P("d"),
+            )(p, l)
+
+        got = np.asarray(run(p, l))[0]
+        # oracle over the last 2 batches of EVERY rank
+        pw = p[:, -2:, :].ravel()
+        lw = l[:, -2:, :].ravel()
+        eps = 1e-7
+        pc = np.clip(pw, eps, 1 - eps)
+        ce = -(lw * np.log(pc) + (1 - lw) * np.log(1 - pc))
+        ctr = np.clip(lw.mean(), eps, 1 - eps)
+        base = -(ctr * np.log(ctr) + (1 - ctr) * np.log(1 - ctr))
+        np.testing.assert_allclose(got, ce.mean() / base, rtol=1e-4)

@@ -51,19 +51,78 @@ def _bce(p, l):
 
 class _SumStateMetric(RecMetric):
     """Base for metrics whose state is a dict of weighted sums (additive
-    across batches AND ranks — psum-able)."""
+    across batches AND ranks — psum-able).
+
+    Every sum-state metric reports BOTH ``lifetime_*`` (all history) and
+    ``window_*`` (recent history) values, mirroring the reference's
+    WindowBuffer (torchrec/metrics/rec_metric.py:119) which keeps lifetime
+    and window states for every metric. The window is a ring of
+    ``window_buckets`` per-field partial sums; each bucket accumulates
+    ``batches_per_bucket`` update calls and starting a new bucket evicts
+    the oldest, so the window spans between ``(K-1)*B+1`` and ``K*B`` most
+    recent update calls — jit-compatible fixed-shape state, unlike the
+    reference's Python deque. Subclasses implement ``_accumulate``
+    (per-batch partial sums) and ``_values`` (the final formula over sums,
+    un-prefixed names); the base derives both variants from one formula.
+    """
 
     fields = ()
+    window_buckets = 32
+    batches_per_bucket = 8
+
+    def __init__(self, tasks=None, window_buckets=None, batches_per_bucket=None):
+        super().__init__(tasks or [RecTaskInfo()])
+        if window_buckets is not None:
+            self.window_buckets = int(window_buckets)
+        if batches_per_bucket is not None:
+            self.batches_per_bucket = int(batches_per_bucket)
+
+    def _zeros(self) -> Dict[str, jnp.ndarray]:
+        """Per-field zero templates; override for non-scalar field state."""
+        return {k: jnp.zeros((), jnp.float32) for k in self.fields}
 
     def _init(self):
-        return {k: jnp.zeros((), jnp.float32) for k in self.fields}
+        z = self._zeros()
+        st = dict(z)
+        st["win"] = {
+            k: jnp.zeros((self.window_buckets,) + v.shape, v.dtype)
+            for k, v in z.items()
+        }
+        st["win_step"] = jnp.zeros((), jnp.int32)
+        return st
 
     def _accumulate(self, p, l, w) -> Dict[str, jnp.ndarray]:
         raise NotImplementedError
 
+    def _push(self, state, acc):
+        """Fold one batch's partial sums into lifetime + window state."""
+        new = {k: state[k] + acc[k] for k in acc}
+        step = state["win_step"]
+        bucket = (step // self.batches_per_bucket) % self.window_buckets
+        fresh = (step % self.batches_per_bucket) == 0
+        win = {}
+        for k, a in acc.items():
+            cur = state["win"][k][bucket]
+            cur = jnp.where(fresh, jnp.zeros_like(cur), cur)
+            win[k] = state["win"][k].at[bucket].set(cur + a)
+        new["win"] = win
+        new["win_step"] = step + 1
+        return new
+
     def _update(self, state, p, l, w):
-        acc = self._accumulate(p, l, w)
-        return {k: state[k] + acc[k] for k in self.fields}
+        return self._push(state, self._accumulate(p, l, w))
+
+    def _values(self, s) -> Dict[str, jnp.ndarray]:
+        """Final metric values from a dict of (lifetime OR window) sums."""
+        raise NotImplementedError
+
+    def _compute(self, s):
+        names = self._zeros().keys()
+        life = self._values({k: s[k] for k in names})
+        win = self._values({k: jnp.sum(s["win"][k], axis=0) for k in names})
+        out = {f"lifetime_{n}": v for n, v in life.items()}
+        out.update({f"window_{n}": v for n, v in win.items()})
+        return out
 
 
 class NEMetric(_SumStateMetric):
@@ -80,14 +139,14 @@ class NEMetric(_SumStateMetric):
             "pos_sum": jnp.sum(w * l),
         }
 
-    def _compute(self, s):
+    def _values(self, s):
         ctr = s["pos_sum"] / jnp.maximum(s["weight_sum"], _EPS)
         ctr = jnp.clip(ctr, _EPS, 1.0 - _EPS)
         baseline = -(ctr * jnp.log(ctr) + (1 - ctr) * jnp.log(1 - ctr))
         ne = (s["ce_sum"] / jnp.maximum(s["weight_sum"], _EPS)) / jnp.maximum(
             baseline, _EPS
         )
-        return {"lifetime_ne": ne}
+        return {"ne": ne}
 
 
 class LogLossMetric(_SumStateMetric):
@@ -99,10 +158,8 @@ class LogLossMetric(_SumStateMetric):
     def _accumulate(self, p, l, w):
         return {"ce_sum": jnp.sum(w * _bce(p, l)), "weight_sum": jnp.sum(w)}
 
-    def _compute(self, s):
-        return {
-            "lifetime_logloss": s["ce_sum"] / jnp.maximum(s["weight_sum"], _EPS)
-        }
+    def _values(self, s):
+        return {"logloss": s["ce_sum"] / jnp.maximum(s["weight_sum"], _EPS)}
 
 
 class CalibrationMetric(_SumStateMetric):
@@ -114,11 +171,8 @@ class CalibrationMetric(_SumStateMetric):
     def _accumulate(self, p, l, w):
         return {"pred_sum": jnp.sum(w * p), "label_sum": jnp.sum(w * l)}
 
-    def _compute(self, s):
-        return {
-            "lifetime_calibration": s["pred_sum"]
-            / jnp.maximum(s["label_sum"], _EPS)
-        }
+    def _values(self, s):
+        return {"calibration": s["pred_sum"] / jnp.maximum(s["label_sum"], _EPS)}
 
 
 class CTRMetric(_SumStateMetric):
@@ -130,10 +184,8 @@ class CTRMetric(_SumStateMetric):
     def _accumulate(self, p, l, w):
         return {"label_sum": jnp.sum(w * l), "weight_sum": jnp.sum(w)}
 
-    def _compute(self, s):
-        return {
-            "lifetime_ctr": s["label_sum"] / jnp.maximum(s["weight_sum"], _EPS)
-        }
+    def _values(self, s):
+        return {"ctr": s["label_sum"] / jnp.maximum(s["weight_sum"], _EPS)}
 
 
 class MSEMetric(_SumStateMetric):
@@ -145,9 +197,9 @@ class MSEMetric(_SumStateMetric):
     def _accumulate(self, p, l, w):
         return {"se_sum": jnp.sum(w * (p - l) ** 2), "weight_sum": jnp.sum(w)}
 
-    def _compute(self, s):
+    def _values(self, s):
         mse = s["se_sum"] / jnp.maximum(s["weight_sum"], _EPS)
-        return {"lifetime_mse": mse, "lifetime_rmse": jnp.sqrt(mse)}
+        return {"mse": mse, "rmse": jnp.sqrt(mse)}
 
 
 class NMSEMetric(_SumStateMetric):
@@ -164,12 +216,12 @@ class NMSEMetric(_SumStateMetric):
             "label_sq_sum": jnp.sum(w * l * l),
         }
 
-    def _compute(self, s):
+    def _values(self, s):
         wsum = jnp.maximum(s["weight_sum"], _EPS)
         mse = s["se_sum"] / wsum
         mean = s["label_sum"] / wsum
         var = jnp.maximum(s["label_sq_sum"] / wsum - mean * mean, _EPS)
-        return {"lifetime_nmse": mse / var}
+        return {"nmse": mse / var}
 
 
 class MAEMetric(_SumStateMetric):
@@ -181,16 +233,16 @@ class MAEMetric(_SumStateMetric):
     def _accumulate(self, p, l, w):
         return {"ae_sum": jnp.sum(w * jnp.abs(p - l)), "weight_sum": jnp.sum(w)}
 
-    def _compute(self, s):
-        return {"lifetime_mae": s["ae_sum"] / jnp.maximum(s["weight_sum"], _EPS)}
+    def _values(self, s):
+        return {"mae": s["ae_sum"] / jnp.maximum(s["weight_sum"], _EPS)}
 
 
 class _ThresholdMetric(_SumStateMetric):
     threshold: float = 0.5
     fields = ("tp", "fp", "fn", "tn")
 
-    def __init__(self, tasks=None, threshold: float = 0.5):
-        super().__init__(tasks or [RecTaskInfo()])
+    def __init__(self, tasks=None, threshold: float = 0.5, **window_kw):
+        super().__init__(tasks, **window_kw)
         self.threshold = threshold
 
     def _accumulate(self, p, l, w):
@@ -208,11 +260,9 @@ class AccuracyMetric(_ThresholdMetric):
 
     metric_name = "accuracy"
 
-    def _compute(self, s):
+    def _values(self, s):
         total = s["tp"] + s["fp"] + s["fn"] + s["tn"]
-        return {
-            "lifetime_accuracy": (s["tp"] + s["tn"]) / jnp.maximum(total, _EPS)
-        }
+        return {"accuracy": (s["tp"] + s["tn"]) / jnp.maximum(total, _EPS)}
 
 
 class PrecisionMetric(_ThresholdMetric):
@@ -220,10 +270,8 @@ class PrecisionMetric(_ThresholdMetric):
 
     metric_name = "precision"
 
-    def _compute(self, s):
-        return {
-            "lifetime_precision": s["tp"] / jnp.maximum(s["tp"] + s["fp"], _EPS)
-        }
+    def _values(self, s):
+        return {"precision": s["tp"] / jnp.maximum(s["tp"] + s["fp"], _EPS)}
 
 
 class RecallMetric(_ThresholdMetric):
@@ -231,10 +279,8 @@ class RecallMetric(_ThresholdMetric):
 
     metric_name = "recall"
 
-    def _compute(self, s):
-        return {
-            "lifetime_recall": s["tp"] / jnp.maximum(s["tp"] + s["fn"], _EPS)
-        }
+    def _values(self, s):
+        return {"recall": s["tp"] / jnp.maximum(s["tp"] + s["fn"], _EPS)}
 
 
 class WeightedAvgMetric(_SumStateMetric):
@@ -246,11 +292,8 @@ class WeightedAvgMetric(_SumStateMetric):
     def _accumulate(self, p, l, w):
         return {"pred_sum": jnp.sum(w * p), "weight_sum": jnp.sum(w)}
 
-    def _compute(self, s):
-        return {
-            "lifetime_weighted_avg": s["pred_sum"]
-            / jnp.maximum(s["weight_sum"], _EPS)
-        }
+    def _values(self, s):
+        return {"weighted_avg": s["pred_sum"] / jnp.maximum(s["weight_sum"], _EPS)}
 
 
 class AUCMetric(RecMetric):
@@ -329,24 +372,19 @@ class AUPRCMetric(AUCMetric):
         return {"window_auprc": jnp.where(pos > 0, auprc, 0.0)}
 
 
-class NDCGMetric(RecMetric):
+class NDCGMetric(_SumStateMetric):
     """Session-free NDCG@k over fixed-size candidate slates:
     update takes [B, K] scores + [B, K] relevance (reference metrics/ndcg.py
     is session-keyed; the slate form is its TPU-friendly equivalent)."""
 
     metric_name = "ndcg"
+    fields = ("ndcg_sum", "count")
 
-    def __init__(self, tasks=None, k: int = 10):
-        super().__init__(tasks or [RecTaskInfo()])
+    def __init__(self, tasks=None, k: int = 10, **window_kw):
+        super().__init__(tasks, **window_kw)
         self.k = k
 
-    def _init(self):
-        return {
-            "ndcg_sum": jnp.zeros((), jnp.float32),
-            "count": jnp.zeros((), jnp.float32),
-        }
-
-    def _update(self, state, p, l, w):
+    def _accumulate(self, p, l, w):
         # p/l: [B, K] slates
         k = min(self.k, p.shape[1])
         order = jnp.argsort(-p, axis=1)[:, :k]
@@ -357,15 +395,11 @@ class NDCGMetric(RecMetric):
         idcg = jnp.sum(ideal * discounts[None, :], axis=1)
         ndcg = jnp.where(idcg > 0, dcg / jnp.maximum(idcg, _EPS), 0.0)
         has = (idcg > 0).astype(jnp.float32)
-        return {
-            "ndcg_sum": state["ndcg_sum"] + jnp.sum(ndcg),
-            "count": state["count"] + jnp.sum(has),
-        }
+        return {"ndcg_sum": jnp.sum(ndcg), "count": jnp.sum(has)}
 
-    def _compute(self, s):
+    def _values(self, s):
         return {
-            f"lifetime_ndcg@{self.k}": s["ndcg_sum"]
-            / jnp.maximum(s["count"], _EPS)
+            f"ndcg@{self.k}": s["ndcg_sum"] / jnp.maximum(s["count"], _EPS)
         }
 
     def update(self, state, predictions, labels, weights=None):

@@ -71,8 +71,8 @@ class NEPositiveMetric(NEMetric):
     def _accumulate(self, p, l, w):
         return super()._accumulate(p, l, w * (l > 0))
 
-    def _compute(self, s):
-        return {"lifetime_ne_positive": super()._compute(s)["lifetime_ne"]}
+    def _values(self, s):
+        return {"ne_positive": super()._values(s)["ne"]}
 
 
 class UnweightedNEMetric(NEMetric):
@@ -83,8 +83,8 @@ class UnweightedNEMetric(NEMetric):
     def _accumulate(self, p, l, w):
         return super()._accumulate(p, l, jnp.ones_like(w))
 
-    def _compute(self, s):
-        return {"lifetime_unweighted_ne": super()._compute(s)["lifetime_ne"]}
+    def _values(self, s):
+        return {"unweighted_ne": super()._values(s)["ne"]}
 
 
 def _recalibrate(p, alpha: float):
@@ -98,15 +98,16 @@ class RecalibratedNEMetric(NEMetric):
 
     metric_name = "recalibrated_ne"
 
-    def __init__(self, tasks=None, recalibration_coefficient: float = 1.0):
-        super().__init__(tasks or [RecTaskInfo()])
+    def __init__(self, tasks=None, recalibration_coefficient: float = 1.0,
+                 **window_kw):
+        super().__init__(tasks, **window_kw)
         self.alpha = recalibration_coefficient
 
     def _accumulate(self, p, l, w):
         return super()._accumulate(_recalibrate(p, self.alpha), l, w)
 
-    def _compute(self, s):
-        return {"lifetime_recalibrated_ne": super()._compute(s)["lifetime_ne"]}
+    def _values(self, s):
+        return {"recalibrated_ne": super()._values(s)["ne"]}
 
 
 class RecalibratedCalibrationMetric(CalibrationMetric):
@@ -114,19 +115,16 @@ class RecalibratedCalibrationMetric(CalibrationMetric):
 
     metric_name = "recalibrated_calibration"
 
-    def __init__(self, tasks=None, recalibration_coefficient: float = 1.0):
-        super().__init__(tasks or [RecTaskInfo()])
+    def __init__(self, tasks=None, recalibration_coefficient: float = 1.0,
+                 **window_kw):
+        super().__init__(tasks, **window_kw)
         self.alpha = recalibration_coefficient
 
     def _accumulate(self, p, l, w):
         return super()._accumulate(_recalibrate(p, self.alpha), l, w)
 
-    def _compute(self, s):
-        return {
-            "lifetime_recalibrated_calibration": super()._compute(s)[
-                "lifetime_calibration"
-            ]
-        }
+    def _values(self, s):
+        return {"recalibrated_calibration": super()._values(s)["calibration"]}
 
 
 class ServingNEMetric(NEMetric):
@@ -135,8 +133,8 @@ class ServingNEMetric(NEMetric):
 
     metric_name = "serving_ne"
 
-    def _compute(self, s):
-        return {"lifetime_serving_ne": super()._compute(s)["lifetime_ne"]}
+    def _values(self, s):
+        return {"serving_ne": super()._values(s)["ne"]}
 
 
 class ServingCalibrationMetric(CalibrationMetric):
@@ -144,12 +142,8 @@ class ServingCalibrationMetric(CalibrationMetric):
 
     metric_name = "serving_calibration"
 
-    def _compute(self, s):
-        return {
-            "lifetime_serving_calibration": super()._compute(s)[
-                "lifetime_calibration"
-            ]
-        }
+    def _values(self, s):
+        return {"serving_calibration": super()._values(s)["calibration"]}
 
 
 class ServingAELossMetric(_SumStateMetric):
@@ -161,11 +155,8 @@ class ServingAELossMetric(_SumStateMetric):
     def _accumulate(self, p, l, w):
         return {"ae_sum": jnp.sum(w * jnp.abs(p - l)), "weight_sum": jnp.sum(w)}
 
-    def _compute(self, s):
-        return {
-            "lifetime_serving_ae_loss": s["ae_sum"]
-            / jnp.maximum(s["weight_sum"], _EPS)
-        }
+    def _values(self, s):
+        return {"serving_ae_loss": s["ae_sum"] / jnp.maximum(s["weight_sum"], _EPS)}
 
 
 class CaliFreeNEMetric(AUCMetric):
@@ -192,19 +183,20 @@ class CaliFreeNEMetric(AUCMetric):
         return {"window_cali_free_ne": ce / jnp.maximum(baseline, _EPS)}
 
 
-class SegmentedNEMetric(RecMetric):
+class SegmentedNEMetric(_SumStateMetric):
     """Per-segment NE (reference segmented_ne: grouping key per example).
     ``update`` takes an extra ``segments`` [B] int array."""
 
     metric_name = "segmented_ne"
+    fields = ("ce_sum", "weight_sum", "pos_sum")
 
-    def __init__(self, tasks=None, num_segments: int = 2):
-        super().__init__(tasks or [RecTaskInfo()])
+    def __init__(self, tasks=None, num_segments: int = 2, **window_kw):
+        super().__init__(tasks, **window_kw)
         self.num_segments = num_segments
 
-    def _init(self):
+    def _zeros(self):
         z = jnp.zeros((self.num_segments,), jnp.float32)
-        return {"ce_sum": z, "weight_sum": z, "pos_sum": z}
+        return {k: z for k in self.fields}
 
     def update(self, state, predictions, labels, weights=None, segments=None):
         if segments is None:
@@ -215,15 +207,16 @@ class SegmentedNEMetric(RecMetric):
             l = labels[t.name] if isinstance(labels, dict) else labels
             w = jnp.ones_like(p) if weights is None else weights
             seg = jnp.clip(segments, 0, self.num_segments - 1)
-            s = state[t.name]
-            new[t.name] = {
-                "ce_sum": s["ce_sum"].at[seg].add(w * _bce(p, l)),
-                "weight_sum": s["weight_sum"].at[seg].add(w),
-                "pos_sum": s["pos_sum"].at[seg].add(w * l),
+            z = jnp.zeros((self.num_segments,), jnp.float32)
+            acc = {
+                "ce_sum": z.at[seg].add(w * _bce(p, l)),
+                "weight_sum": z.at[seg].add(w),
+                "pos_sum": z.at[seg].add(w * l),
             }
+            new[t.name] = self._push(state[t.name], acc)
         return new
 
-    def _compute(self, s):
+    def _values(self, s):
         ctr = jnp.clip(
             s["pos_sum"] / jnp.maximum(s["weight_sum"], _EPS), _EPS, 1 - _EPS
         )
@@ -232,7 +225,7 @@ class SegmentedNEMetric(RecMetric):
             baseline, _EPS
         )
         return {
-            f"lifetime_segmented_ne_{i}": ne[i] for i in range(self.num_segments)
+            f"segmented_ne_{i}": ne[i] for i in range(self.num_segments)
         }
 
 
@@ -348,20 +341,21 @@ class GAUCMetric(RecMetric):
 
 
 # ------------------------------------------------------ multiclass / label
-class MulticlassRecallMetric(RecMetric):
+class MulticlassRecallMetric(_SumStateMetric):
     """Per-class recall averaged over classes (reference
     multiclass_recall.py). ``predictions`` are [B, C] scores, labels [B]
     ints."""
 
     metric_name = "multiclass_recall"
+    fields = ("tp", "support")
 
-    def __init__(self, tasks=None, number_of_classes: int = 2):
-        super().__init__(tasks or [RecTaskInfo()])
+    def __init__(self, tasks=None, number_of_classes: int = 2, **window_kw):
+        super().__init__(tasks, **window_kw)
         self.n_classes = number_of_classes
 
-    def _init(self):
+    def _zeros(self):
         z = jnp.zeros((self.n_classes,), jnp.float32)
-        return {"tp": z, "support": z}
+        return {k: z for k in self.fields}
 
     def update(self, state, predictions, labels, weights=None):
         new = {}
@@ -371,19 +365,17 @@ class MulticlassRecallMetric(RecMetric):
             w = jnp.ones(p.shape[0]) if weights is None else weights
             pred_cls = jnp.argmax(p, axis=1)
             lab = jnp.clip(l.astype(jnp.int32), 0, self.n_classes - 1)
-            s = state[t.name]
             hit = (pred_cls == lab).astype(jnp.float32) * w
-            new[t.name] = {
-                "tp": s["tp"].at[lab].add(hit),
-                "support": s["support"].at[lab].add(w),
-            }
+            z = jnp.zeros((self.n_classes,), jnp.float32)
+            acc = {"tp": z.at[lab].add(hit), "support": z.at[lab].add(w)}
+            new[t.name] = self._push(state[t.name], acc)
         return new
 
-    def _compute(self, s):
+    def _values(self, s):
         has = s["support"] > 0
         recall = jnp.where(has, s["tp"] / jnp.maximum(s["support"], _EPS), 0.0)
         return {
-            "lifetime_multiclass_recall": jnp.sum(recall)
+            "multiclass_recall": jnp.sum(recall)
             / jnp.maximum(jnp.sum(has), _EPS)
         }
 
@@ -401,22 +393,16 @@ class MultiLabelPrecisionMetric(_SumStateMetric):
             p = predictions[t.name] if isinstance(predictions, dict) else predictions
             l = labels[t.name] if isinstance(labels, dict) else labels
             hard = (p > 0.5).astype(jnp.float32)
-            s = state[t.name]
-            new[t.name] = {
-                "tp": s["tp"] + jnp.sum(hard * l),
-                "pp": s["pp"] + jnp.sum(hard),
-            }
+            acc = {"tp": jnp.sum(hard * l), "pp": jnp.sum(hard)}
+            new[t.name] = self._push(state[t.name], acc)
         return new
 
-    def _compute(self, s):
-        return {
-            "lifetime_multi_label_precision": s["tp"]
-            / jnp.maximum(s["pp"], _EPS)
-        }
+    def _values(self, s):
+        return {"multi_label_precision": s["tp"] / jnp.maximum(s["pp"], _EPS)}
 
 
 # ----------------------------------------------------------- session level
-class _SessionPRBase(RecMetric):
+class _SessionPRBase(_SumStateMetric):
     """Session-level P/R (reference recall_session_level.py): an example is
     positive if label >= threshold; a SESSION counts as hit if any of its
     examples is a predicted-and-true positive. ``update`` takes
@@ -424,13 +410,7 @@ class _SessionPRBase(RecMetric):
 
     threshold: float = 0.5
     max_sessions_per_batch: int = 512
-
-    def _init(self):
-        return {
-            "hit": jnp.zeros((), jnp.float32),
-            "pred_sessions": jnp.zeros((), jnp.float32),
-            "true_sessions": jnp.zeros((), jnp.float32),
-        }
+    fields = ("hit", "pred_sessions", "true_sessions")
 
     def update(self, state, predictions, labels, weights=None, sessions=None):
         if sessions is None:
@@ -447,12 +427,12 @@ class _SessionPRBase(RecMetric):
             s_pred = jnp.zeros((m,)).at[sid].add(pred_pos) > 0
             s_true = jnp.zeros((m,)).at[sid].add(true_pos) > 0
             s_hit = jnp.zeros((m,)).at[sid].add(pred_pos * true_pos) > 0
-            s0 = state[t.name]
-            new[t.name] = {
-                "hit": s0["hit"] + jnp.sum(s_hit & present),
-                "pred_sessions": s0["pred_sessions"] + jnp.sum(s_pred & present),
-                "true_sessions": s0["true_sessions"] + jnp.sum(s_true & present),
+            acc = {
+                "hit": jnp.sum(s_hit & present).astype(jnp.float32),
+                "pred_sessions": jnp.sum(s_pred & present).astype(jnp.float32),
+                "true_sessions": jnp.sum(s_true & present).astype(jnp.float32),
             }
+            new[t.name] = self._push(state[t.name], acc)
         return new
 
 
@@ -461,9 +441,9 @@ class RecallSessionLevelMetric(_SessionPRBase):
 
     metric_name = "recall_session_level"
 
-    def _compute(self, s):
+    def _values(self, s):
         return {
-            "lifetime_recall_session_level": s["hit"]
+            "recall_session_level": s["hit"]
             / jnp.maximum(s["true_sessions"], _EPS)
         }
 
@@ -473,9 +453,9 @@ class PrecisionSessionLevelMetric(_SessionPRBase):
 
     metric_name = "precision_session_level"
 
-    def _compute(self, s):
+    def _values(self, s):
         return {
-            "lifetime_precision_session_level": s["hit"]
+            "precision_session_level": s["hit"]
             / jnp.maximum(s["pred_sessions"], _EPS)
         }
 
@@ -518,8 +498,8 @@ class ScalarMetric(_SumStateMetric):
     def _accumulate(self, p, l, w):
         return {"value_sum": jnp.sum(w * p), "count": jnp.sum(w)}
 
-    def _compute(self, s):
-        return {"lifetime_scalar": s["value_sum"] / jnp.maximum(s["count"], _EPS)}
+    def _values(self, s):
+        return {"scalar": s["value_sum"] / jnp.maximum(s["count"], _EPS)}
 
 
 class AverageMetric(ScalarMetric):
@@ -527,8 +507,8 @@ class AverageMetric(ScalarMetric):
 
     metric_name = "average"
 
-    def _compute(self, s):
-        return {"lifetime_average": s["value_sum"] / jnp.maximum(s["count"], _EPS)}
+    def _values(self, s):
+        return {"average": s["value_sum"] / jnp.maximum(s["count"], _EPS)}
 
 
 class OutputMetric(RecMetric):
@@ -556,13 +536,13 @@ class TensorWeightedAvgMetric(_SumStateMetric):
     tensor_weighted_avg). ``predictions`` carry the tensor."""
 
     metric_name = "tensor_weighted_avg"
-    fields = ()
+    fields = ("sum", "weight")
 
-    def __init__(self, tasks=None, dim: int = 1):
-        super().__init__(tasks or [RecTaskInfo()])
+    def __init__(self, tasks=None, dim: int = 1, **window_kw):
+        super().__init__(tasks, **window_kw)
         self.dim = dim
 
-    def _init(self):
+    def _zeros(self):
         return {
             "sum": jnp.zeros((self.dim,), jnp.float32),
             "weight": jnp.zeros((), jnp.float32),
@@ -573,16 +553,16 @@ class TensorWeightedAvgMetric(_SumStateMetric):
         for t in self._tasks:
             x = predictions[t.name] if isinstance(predictions, dict) else predictions
             w = jnp.ones(x.shape[0]) if weights is None else weights
-            s = state[t.name]
-            new[t.name] = {
-                "sum": s["sum"] + jnp.sum(x * w[:, None], axis=0),
-                "weight": s["weight"] + jnp.sum(w),
+            acc = {
+                "sum": jnp.sum(x * w[:, None], axis=0),
+                "weight": jnp.sum(w),
             }
+            new[t.name] = self._push(state[t.name], acc)
         return new
 
-    def _compute(self, s):
+    def _values(self, s):
         avg = s["sum"] / jnp.maximum(s["weight"], _EPS)
-        return {"lifetime_tensor_weighted_avg": jnp.mean(avg)}
+        return {"tensor_weighted_avg": jnp.mean(avg)}
 
 
 class NumPositiveSamplesMetric(_SumStateMetric):
@@ -594,8 +574,8 @@ class NumPositiveSamplesMetric(_SumStateMetric):
     def _accumulate(self, p, l, w):
         return {"count": jnp.sum((l > 0).astype(jnp.float32))}
 
-    def _compute(self, s):
-        return {"lifetime_num_positive_samples": s["count"]}
+    def _values(self, s):
+        return {"num_positive_samples": s["count"]}
 
 
 class SumWeightsMetric(_SumStateMetric):
@@ -607,8 +587,8 @@ class SumWeightsMetric(_SumStateMetric):
     def _accumulate(self, p, l, w):
         return {"weight_sum": jnp.sum(w)}
 
-    def _compute(self, s):
-        return {"lifetime_sum_weights": s["weight_sum"]}
+    def _values(self, s):
+        return {"sum_weights": s["weight_sum"]}
 
 
 class NumMissingLabelsMetric(_SumStateMetric):
@@ -620,8 +600,8 @@ class NumMissingLabelsMetric(_SumStateMetric):
     def _accumulate(self, p, l, w):
         return {"count": jnp.sum(jnp.isnan(l).astype(jnp.float32))}
 
-    def _compute(self, s):
-        return {"lifetime_num_missing_labels": s["count"]}
+    def _values(self, s):
+        return {"num_missing_labels": s["count"]}
 
 
 class WeightedSumPredictionsMetric(_SumStateMetric):
@@ -633,8 +613,8 @@ class WeightedSumPredictionsMetric(_SumStateMetric):
     def _accumulate(self, p, l, w):
         return {"pred_sum": jnp.sum(w * p)}
 
-    def _compute(self, s):
-        return {"lifetime_weighted_sum_predictions": s["pred_sum"]}
+    def _values(self, s):
+        return {"weighted_sum_predictions": s["pred_sum"]}
 
 
 class TowerQPSMetric:

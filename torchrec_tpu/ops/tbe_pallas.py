@@ -505,11 +505,12 @@ def row_scatter_write(
 
     ``in_bounds=True`` selects the branch-free kernel (2.8x faster issue
     rate). CONTRACT: every entry of ``rows`` must be a distinct valid row
-    strictly below ``table.shape[0] - ((-len(rows)) % 1024)`` — the final
+    strictly below ``table.shape[0] - ((-len(rows)) % _CHUNK)`` — the final
     chunk-padding rows of the table are used as distinct parking targets for
     internal padding. The module layer satisfies this by allocating group
-    blobs with a scratch tail of ``round_up(max_unique, 1024)`` rows and
-    parking dedup sentinels there (TableGroup.scratch_rows).
+    blobs with a scratch tail of ``round_up(max_unique, _CHUNK)`` rows and
+    parking dedup sentinels there (TableGroup.scratch_rows, which imports
+    the same ``_CHUNK`` constant so the two sides cannot drift).
     """
     num_rows, d = table.shape
     if d % 128:
@@ -517,6 +518,10 @@ def row_scatter_write(
     u = rows.shape[0]
     # _chunk: interpret-mode test knob ONLY (see row_scatter_add)
     chunk = _chunk or _CHUNK
+    if in_bounds and chunk > _CHUNK:
+        # The module layer sizes scratch tails with _CHUNK; a larger test
+        # chunk would park pad targets outside the reserved sentinel range.
+        raise ValueError(f"_chunk={chunk} > _CHUNK={_CHUNK} with in_bounds")
     pad = (-u) % chunk
     if pad:
         pad_rows = (
