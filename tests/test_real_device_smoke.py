@@ -146,3 +146,45 @@ def test_train_step_end_to_end_compiled(tpu):
     assert not np.allclose(old_b[touched], new_b[touched])
     untouched = np.setdiff1d(np.arange(100_000), touched)[:100]
     np.testing.assert_allclose(old_b[untouched], new_b[untouched])
+
+
+def test_ragged_exchange_degenerate_compiled(tpu):
+    """ragged-a2a de-risk (VERDICT r2 weak #2): the CPU suite only EMULATES
+    mode="ragged"; this runs the actual jax.lax.ragged_all_to_all lowering
+    on hardware, on a 1-device mesh (degenerate world but the real op),
+    including a capacity clamp and the reverse (sequence output) leg."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from torchrec_tpu.distributed.input_dist import exchange, reverse_exchange
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("d",))
+    n, cap = 96, 64  # cap < n: exercises the clamp + drop counting
+    rng = np.random.default_rng(7)
+    ids = np.sort(rng.integers(0, 1000, n)).astype(np.int32)
+    owner = np.zeros(n, np.int32)
+
+    @jax.jit
+    def run(owner, ids):
+        def body(owner, ids):
+            (got,), valid, dropped, route = exchange(
+                (owner, ids), recv_cap=cap, axis_name="d", world=1,
+                mode="ragged",
+            )
+            back = reverse_exchange(route, got * 2, axis_name="d", world=1)
+            return got, valid, dropped.reshape(1), back
+
+        return shard_map(
+            body, mesh=mesh, in_specs=(P(), P()),
+            out_specs=(P("d"), P("d"), P("d"), P("d")),
+        )(owner, ids)
+
+    got, valid, dropped, back = map(np.asarray, run(owner, ids))
+    assert dropped[0] == n - cap
+    assert valid[:cap].all()
+    np.testing.assert_array_equal(got[:cap], ids[:cap])
+    # reverse leg: delivered slots come back doubled, dropped slots zero
+    np.testing.assert_array_equal(back[:cap], ids[:cap] * 2)
+    np.testing.assert_array_equal(back[cap:], np.zeros(n - cap, np.int32))
