@@ -26,6 +26,7 @@ import numpy as np
 from torchrec_tpu.distributed.types import (
     EmbeddingModuleShardingPlan,
     ShardingEnv,
+    device_put_global,
 )
 from torchrec_tpu.ops.fused_optim import EmbeddingOptimizer
 from torchrec_tpu.types import DataType, ShardingType
@@ -203,14 +204,14 @@ class ShardedCollectionBase:
                     blob[d, brow : brow + (row_hi - row_lo)] = per_table[name][
                         row_lo:row_hi, col_start : col_start + c.width
                     ]
-            params[c.key] = jax.device_put(
+            params[c.key] = device_put_global(
                 blob.astype(c.data_type.as_jnp()),
                 self._sharding(self._env.shard_axis, None, None),
             )
         if self._dp is not None:
             for g in self._dp.groups:
                 parts = [per_table[n] for n in g.table_names]
-                params[f"dp_{g.key}"] = jax.device_put(
+                params[f"dp_{g.key}"] = device_put_global(
                     np.concatenate(parts, axis=0).astype(g.data_type.as_jnp()),
                     self._sharding(),
                 )
@@ -254,7 +255,7 @@ class ShardedCollectionBase:
             )
             w = self._env.world_size
             states[c.key] = {
-                k: jax.device_put(
+                k: device_put_global(
                     jnp.broadcast_to(v[None], (w,) + v.shape),
                     self._sharding(self._env.shard_axis, *([None] * v.ndim)),
                 )
@@ -263,7 +264,7 @@ class ShardedCollectionBase:
         if self._dp is not None:
             for g in self._dp.groups:
                 states[f"dp_{g.key}"] = jax.tree_util.tree_map(
-                    lambda v: jax.device_put(v, self._sharding()),
+                    lambda v: device_put_global(v, self._sharding()),
                     optimizer.init(params[f"dp_{g.key}"]),
                 )
         return states

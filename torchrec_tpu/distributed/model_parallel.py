@@ -34,6 +34,7 @@ from torchrec_tpu.distributed.sharding_plan import (
 from torchrec_tpu.distributed.types import (
     EmbeddingModuleShardingPlan,
     ShardingEnv,
+    device_put_global,
 )
 from torchrec_tpu.models.dlrm import DLRM, bce_with_logits
 from torchrec_tpu.ops.fused_optim import EmbeddingOptimizer
@@ -73,6 +74,29 @@ def default_plan(
             load[rank] += t.num_embeddings * t.embedding_dim
             per_param[t.name] = table_wise(rank)
     return construct_module_sharding_plan(tables, per_param, env)
+
+
+def _assert_plan_consistent(plan) -> None:
+    """Multi-process plan agreement check (reference collective_plan
+    broadcasts rank 0's plan, planners.py:766 +
+    collective_utils.py:47; ours is host-deterministic, so rank 0's hash
+    is broadcast and every process verifies its own matches)."""
+    import hashlib
+
+    from jax.experimental import multihost_utils
+
+    canon = repr(sorted((k, repr(v)) for k, v in plan.items()))
+    # int32 words: jax x64 is disabled, an int64 scalar would silently wrap
+    h = np.frombuffer(
+        hashlib.sha256(canon.encode()).digest()[:16], dtype=np.int32
+    )
+    h0 = np.asarray(multihost_utils.broadcast_one_to_all(h))
+    if not np.array_equal(h0, h):
+        raise RuntimeError(
+            "sharding plan differs across processes (planner inputs must "
+            "be identical on every process; process 0 hash "
+            f"{h0.tolist()}, local {h.tolist()})"
+        )
 
 
 class DistributedModelParallel:
@@ -136,28 +160,87 @@ class DistributedModelParallel:
                 )
             plan = planner.plan(tables)
         self.plan = plan
+        if jax.process_count() > 1:
+            _assert_plan_consistent(plan)
         self.sharded_ebc = ShardedEmbeddingBagCollection(
             self._ebc_module, self.plan, self.env,
             a2a_capacity_factor=a2a_capacity_factor,
         )
 
-    def prepare_batch(self, batch: Batch) -> Batch:
-        """Host-side input prep for the bucketized path: split the global
-        KJT into per-device streams (the input pipeline would produce these
-        directly in production)."""
+    def prepare_batch(self, batch: Batch, process_local: bool = False) -> Batch:
+        """Host-side input prep for the bucketized path: split the KJT into
+        per-device streams (the input pipeline would produce these directly
+        in production).
+
+        ``process_local=True`` (multi-process runtime): ``batch`` covers
+        only THIS process's slice of the global batch — its examples are
+        split across the process's local devices and assembled into global
+        arrays via :meth:`make_global_batch`. This is the per-process input
+        contract of the reference's env-derived process groups
+        (torchrec/distributed/comm.py:164): each rank feeds its own batch.
+        Every process's local batch must have the same example count and
+        padded KJT capacity.
+        """
         if self.input_dist != "bucketized":
-            return batch
+            return self.make_global_batch(batch) if process_local else batch
         from torchrec_tpu.distributed.input_dist import stack_sparse
 
-        return Batch(
+        world = (
+            jax.local_device_count() if process_local else self.env.world_size
+        )
+        kjt = batch.sparse_features.select_keys(
+            self._ebc_module._feature_names
+        )
+        cap_local = None
+        if process_local:
+            # cap must be identical on every process (the default derives
+            # it from THIS batch's data, which would give the processes
+            # different global shapes — a collective size mismatch); use
+            # the static padded capacity instead
+            cap_local = -(-int(kjt.values().shape[0]) // world)
+            cap_local = -(-cap_local // 8) * 8
+        out = Batch(
             dense_features=batch.dense_features,
-            sparse_features=stack_sparse(
-                batch.sparse_features.select_keys(
-                    self._ebc_module._feature_names
-                ),
-                self.env.world_size,
-            ),
+            sparse_features=stack_sparse(kjt, world, cap_local),
             labels=batch.labels,
+        )
+        return self.make_global_batch(out) if process_local else out
+
+    def make_global_batch(self, batch: Batch) -> Batch:
+        """Assemble per-PROCESS batch shards into global arrays for the
+        jitted SPMD step (multi-process runtime; reference analog: each
+        rank's dataloader feeding its own process, multi_process.py:126).
+
+        Sharded leaves (dense/labels, bucketized sparse streams) carry only
+        this process's rows; a replicated KJT must be passed identically on
+        every process. No-op placement on a single-process env.
+        """
+        mesh = self.env.mesh
+        if jax.process_count() == 1:
+            return batch
+        axis = self.env.shard_axis
+
+        def leaf(x, spec):
+            sh = jax.sharding.NamedSharding(mesh, spec)
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+
+        sf = batch.sparse_features
+        if self.input_dist == "bucketized":
+            from torchrec_tpu.distributed.input_dist import StackedSparse
+
+            sparse = StackedSparse(
+                values=leaf(sf.values, P(axis)),
+                lengths=leaf(sf.lengths, P(axis)),
+                weights=(
+                    None if sf.weights is None else leaf(sf.weights, P(axis))
+                ),
+            )
+        else:
+            sparse = jax.tree_util.tree_map(lambda v: leaf(v, P()), sf)
+        return Batch(
+            dense_features=leaf(batch.dense_features, P(axis)),
+            sparse_features=sparse,
+            labels=leaf(batch.labels, P(axis)),
         )
 
     # ---------------------------------------------------------------- state
@@ -185,15 +268,20 @@ class DistributedModelParallel:
         unsharded_sparse = params.pop("sparse")
         sparse_params = self.sharded_ebc.shard_params(unsharded_sparse)
         replicated = jax.sharding.NamedSharding(self.env.mesh, P())
-        dense_params = jax.device_put(params, replicated)
+        dense_params = jax.tree_util.tree_map(
+            lambda v: device_put_global(v, replicated), params
+        )
         state = TrainState(
             sparse_params=sparse_params,
             dense_params=dense_params,
             emb_opt_state=self.sharded_ebc.init_optimizer(
                 sparse_params, emb_optimizer
             ),
-            dense_opt_state=jax.device_put(dense_tx.init(params), replicated),
-            step=jax.device_put(jnp.zeros((), jnp.int32), replicated),
+            dense_opt_state=jax.tree_util.tree_map(
+                lambda v: device_put_global(v, replicated),
+                dense_tx.init(params),
+            ),
+            step=device_put_global(jnp.zeros((), jnp.int32), replicated),
         )
         return state
 

@@ -36,7 +36,26 @@ __all__ = [
     "ShardingBucketMetadata",
     "bucket_metadata_from_rows",
     "bucket_metadata_from_shards",
+    "device_put_global",
 ]
+
+
+def device_put_global(x, sharding: jax.sharding.NamedSharding):
+    """``jax.device_put`` that also works on multi-process meshes.
+
+    On a single-process mesh this IS ``jax.device_put``. When ``sharding``
+    spans devices of other processes (``ShardingEnv.from_global``), the
+    host value must be available on EVERY process (our shard layout is
+    computed host-side everywhere, like the reference building tables on
+    each rank before scattering, model_parallel.py:444) and each process
+    contributes only its addressable shards.
+    """
+    if sharding.is_fully_addressable:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
 
 
 @dataclasses.dataclass
@@ -131,6 +150,54 @@ class ShardingEnv:
             return ShardingEnv(mesh, "shard", "replica", local_size)
         mesh = jax.sharding.Mesh(np.array(devices), ("shard",))
         return ShardingEnv(mesh, "shard", None, local_size)
+
+    @staticmethod
+    def from_global(
+        coordinator_address: Optional[str] = None,
+        num_processes: Optional[int] = None,
+        process_id: Optional[int] = None,
+        replica_size: int = 1,
+        hierarchical: Optional[bool] = None,
+        local_size: Optional[int] = None,
+    ) -> "ShardingEnv":
+        """Multi-process (multi-host) env over the global device set —
+        the runtime entry the reference derives from env-configured process
+        groups (torchrec/distributed/comm.py:164 intra_and_cross_node_pg;
+        exercised by test_utils/multi_process.py:126).
+
+        Call after ``jax.distributed.initialize`` — or pass
+        ``coordinator_address``/``num_processes``/``process_id`` and this
+        initializes the runtime first. The (host, chip) factorization is
+        derived from the real process topology: one "host" per process,
+        ``local_size`` = ``jax.local_device_count()``. ``hierarchical``
+        defaults to True when there is more than one process, giving
+        TWRW/GRID their two-level collectives over the actual
+        intra-host/cross-host boundary.
+
+        Each process then feeds only its LOCAL batch shard — see
+        ``DistributedModelParallel.make_global_batch``.
+        """
+        if coordinator_address is not None:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+        # process-major device order so the (host, chip) reshape puts each
+        # process's devices in one host row
+        devices = sorted(
+            jax.devices(), key=lambda d: (d.process_index, d.id)
+        )
+        if local_size is None:
+            local_size = jax.local_device_count()
+        if hierarchical is None:
+            hierarchical = jax.process_count() > 1
+        return ShardingEnv.from_devices(
+            devices,
+            replica_size=replica_size,
+            local_size=local_size,
+            hierarchical=hierarchical,
+        )
 
     # ---- two-level collective helpers (flat fallback when 1D) ----------
     def psum_scatter_batch(self, x, scatter_dimension: int = 0):
