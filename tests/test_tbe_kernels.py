@@ -155,3 +155,154 @@ def test_ebc_scratch_tail_blob_and_update():
             np.asarray(got[t.name]), np.asarray(want[t.name]), rtol=1e-5
         )
     assert np.all(np.asarray(new_p[g.key][g.total_rows :]) == 0)
+
+
+# ---------------------------------------------------------------------------
+# Fused segscan backward tail (row_scatter_write_segscan)
+# ---------------------------------------------------------------------------
+
+
+def _segscan_case(U, n_runs, rng, R=3000, D=128, invalid_tail=7):
+    """Random sorted run structure: returns (ids [U] with an invalid tail,
+    run list [(id, start, end)], grads [U, D])."""
+    from torchrec_tpu.ops.tbe_pallas import _CHUNK  # noqa: F401
+
+    n_real = U - invalid_tail
+    # random run lengths summing to n_real
+    cuts = np.sort(rng.choice(np.arange(1, n_real), size=n_runs - 1,
+                              replace=False))
+    bounds = np.concatenate([[0], cuts, [n_real]])
+    run_ids = np.sort(
+        rng.choice(np.arange(100, R), size=n_runs, replace=False)
+    )
+    ids = np.empty(U, np.int32)
+    for k in range(n_runs):
+        ids[bounds[k]: bounds[k + 1]] = run_ids[k]
+    ids[n_real:] = R  # invalid (>= total) tail
+    grads = rng.normal(size=(U, D)).astype(np.float32)
+    grads[n_real:] = 0.0
+    runs = [
+        (int(run_ids[k]), int(bounds[k]), int(bounds[k + 1]))
+        for k in range(n_runs)
+    ]
+    return ids, runs, grads
+
+
+@pytest.mark.parametrize(
+    "U,n_runs,chunk,wd",
+    [
+        pytest.param(150, 11, 64, 0.0, id="U150c64"),
+        pytest.param(150, 3, 64, 0.01, id="U150c64wd-longruns"),
+        pytest.param(130, 17, 64, 0.0, id="U130c64rem"),
+        pytest.param(2100, 37, 0, 0.0, marks=pytest.mark.slow,
+                     id="U2100prod"),
+    ],
+)
+def test_row_scatter_write_segscan_oracle(U, n_runs, chunk, wd):
+    """Fused run-sum + SGD + write vs a per-run numpy oracle. Covers runs
+    crossing chunk boundaries (carry), a partial tail chunk (rem), the
+    invalid-slot zero-grad tail, sentinel parking, and weight decay."""
+    from torchrec_tpu.ops.tbe_pallas import row_scatter_write_segscan
+
+    rng = np.random.default_rng(U + n_runs)
+    R, D, lr = 3000, 128, 0.3
+    S = -(-U // (chunk or 1024)) * (chunk or 1024)
+    table = rng.normal(size=(R + S, D)).astype(np.float32)
+    ids, runs, grads = _segscan_case(U, n_runs, rng, R=R, D=D)
+
+    heads = np.zeros((U, 1), np.float32)
+    heads[0] = 1.0
+    heads[1:, 0] = (ids[1:] != ids[:-1]).astype(np.float32)
+    is_end = np.concatenate([ids[1:] != ids[:-1], [True]])
+    rows_end = np.where(is_end & (ids < R), ids, R + np.arange(U))
+    old = table[np.minimum(ids, R - 1)]
+
+    out = np.asarray(
+        row_scatter_write_segscan(
+            jnp.asarray(table), jnp.asarray(rows_end.astype(np.int32)),
+            jnp.asarray(heads), jnp.asarray(grads), jnp.asarray(old),
+            jnp.asarray([lr, wd], np.float32),
+            interpret=True, _chunk=chunk,
+        )
+    )
+    want = table[:R].copy()
+    for rid, lo, hi in runs:
+        want[rid] = (1 - lr * wd) * want[rid] - lr * grads[lo:hi].sum(0)
+    np.testing.assert_allclose(out[:R], want, rtol=2e-6, atol=2e-6)
+
+
+def test_ebc_segscan_gate_equivalence():
+    """Forced-v3 EBC apply_gradients: fused segscan path vs the dedup +
+    write path (gate off) — identical updates up to summation order."""
+    from torchrec_tpu.modules import (
+        EmbeddingBagCollection,
+        EmbeddingBagConfig,
+    )
+    from torchrec_tpu.ops import SGD
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+
+    old_impl = EmbeddingBagCollection._CM_IMPL
+    old_force = EmbeddingBagCollection._CM_FORCE_V3
+    old_gate = EmbeddingBagCollection._FUSED_BWD_SEGSCAN
+    try:
+        EmbeddingBagCollection._CM_IMPL = "v3"
+        EmbeddingBagCollection._CM_FORCE_V3 = True
+        rng = np.random.default_rng(7)
+        # dim must be lane-aligned (128): the segscan gate requires it
+        tables = [
+            EmbeddingBagConfig(
+                name=f"t{i}", num_embeddings=r, embedding_dim=128,
+                feature_names=[f"f{i}"],
+            )
+            for i, r in enumerate([60, 250_000, 90_000])
+        ]
+        ebc = EmbeddingBagCollection(tables, max_unique_gradient_rows=500)
+        params = ebc.init(jax.random.key(0))
+        opt = SGD(learning_rate=0.2, weight_decay=0.01)
+        states = ebc.init_optimizer(params, opt)
+        B = 8
+        lengths = rng.integers(1, 6, size=(3 * B,)).astype(np.int32)
+        vals = np.concatenate([
+            rng.integers(0, tables[i].num_embeddings,
+                         size=int(lengths[i * B:(i + 1) * B].sum()))
+            for i in range(3)
+        ]).astype(np.int32)
+        kjt = KeyedJaggedTensor.from_lengths(
+            [f"f{i}" for i in range(3)], jnp.asarray(vals),
+            jnp.asarray(lengths),
+        )
+        cot = jnp.asarray(rng.normal(size=(B, 3 * 128)).astype(np.float32))
+        res = {}
+        took_fused = {}
+        import torchrec_tpu.ops.tbe_pallas as _tp
+
+        orig_fused = _tp.row_scatter_write_segscan
+        for gate in (False, True):
+            EmbeddingBagCollection._FUSED_BWD_SEGSCAN = gate
+            calls = {"n": 0}
+
+            def spy(*a, **k):
+                calls["n"] += 1
+                return orig_fused(*a, **k)
+
+            _tp.row_scatter_write_segscan = spy
+            try:
+                p2, s2 = ebc.apply_gradients(params, states, opt, kjt, cot)
+            finally:
+                _tp.row_scatter_write_segscan = orig_fused
+            took_fused[gate] = calls["n"]
+            # compare the LOGICAL region only: run-END vs run-START
+            # layouts park their (contractually garbage) sentinel writes
+            # at different scratch-tail rows
+            totals = {g.key: g.total_rows for g in ebc._groups}
+            p2 = {k: v[: totals[k]] for k, v in p2.items()}
+            res[gate] = jax.tree.map(np.asarray, (p2, s2))
+        assert took_fused[True] > 0 and took_fused[False] == 0
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=1e-5),
+            res[False], res[True],
+        )
+    finally:
+        EmbeddingBagCollection._CM_IMPL = old_impl
+        EmbeddingBagCollection._CM_FORCE_V3 = old_force
+        EmbeddingBagCollection._FUSED_BWD_SEGSCAN = old_gate

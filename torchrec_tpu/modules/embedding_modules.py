@@ -630,6 +630,10 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
     # equivalence in tests/test_small_fused.py.
     _SMALL_MM_FUSED = True
     _CM_PACKED_SORT = True  # single-u32 packed sort when (key, seg) fit  # tests: run v3 with interpret kernels off-TPU
+    # fused backward tail (run segsum + optimizer + write in ONE Pallas
+    # pass, tbe_pallas.row_scatter_write_segscan) when the optimizer
+    # supports it (SGD, fp32 tables); A/B gate
+    _FUSED_BWD_SEGSCAN = True
 
     def _cm_impl(self, gi: int, weights) -> str:
         impl = self._CM_IMPL
@@ -1128,7 +1132,63 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 sk, ss, sw, n_small = self._sorted_stream_v3(
                     gi, ids_g, seg_g, in_group, weights, b
                 )
-            if small < total and ids_g.shape[0] > 0:
+            # v3's position-layout ids need the branch-free scratch-tail
+            # write kernel; the fused segscan path needs it too
+            in_bounds = (
+                g.scratch_rows > 0 and tbl.shape[0] == g.padded_rows
+            )
+            use_scan = (
+                v3
+                and in_bounds
+                and self._FUSED_BWD_SEGSCAN
+                and ids_g.shape[0] > 0
+                and min(self._max_unique, ids_g.shape[0]) > 0
+                and optimizer.supports_segscan_update(tbl)
+            )
+            if small < total and ids_g.shape[0] > 0 and use_scan:
+                # fused backward tail: the run segment-sum, optimizer math,
+                # and scattered write happen INSIDE one Pallas pass
+                # (row_scatter_write_segscan) — saves the ~156 us XLA
+                # position-layout segment-sum at the headline shapes. Run
+                # sums land at run-END positions (forward chunk order), so
+                # targets carry the run's id at its LAST slot and distinct
+                # scratch-tail sentinels elsewhere.
+                u = min(self._max_unique, ids_g.shape[0])
+                sids_u = jax.lax.dynamic_slice(sk, (n_small,), (u,))
+                sseg_u = jax.lax.dynamic_slice(ss, (n_small,), (u,))
+                s = pooled_grad.shape[0]
+                in_range = (sids_u >= small) & (sids_u < total)
+                ids_m = jnp.where(in_range, sids_u, total)
+                seg_m = jnp.where(
+                    in_range, jnp.minimum(sseg_u, s), s
+                )
+                padded = jnp.concatenate(
+                    [
+                        pooled_grad,
+                        jnp.zeros((1, pooled_grad.shape[1]),
+                                  pooled_grad.dtype),
+                    ]
+                )
+                g_sorted = jnp.take(padded, seg_m, axis=0)
+                diff = ids_m[1:] != ids_m[:-1]
+                heads = jnp.concatenate(
+                    [jnp.ones((1,), jnp.float32), diff.astype(jnp.float32)]
+                )[:, None]
+                is_end = jnp.concatenate([diff, jnp.ones((1,), jnp.bool_)])
+                pos = jnp.arange(u, dtype=jnp.int32)
+                rows_end = jnp.where(is_end & in_range, ids_m, total + pos)
+                # IDENTICAL expression to the forward's compact window
+                # gather -> XLA CSEs it across the step (supports gate
+                # guarantees fp32, so table_f32 is tbl itself)
+                old_rows = jnp.take(
+                    tbl, jnp.minimum(sids_u, total - 1), axis=0,
+                    indices_are_sorted=True,
+                )
+                tbl, st = optimizer.segscan_update(
+                    tbl, st, rows_end, heads, g_sorted, old_rows, lr=lr,
+                    interpret=self._CM_FORCE_V3,
+                )
+            elif small < total and ids_g.shape[0] > 0:
                 # large rows: sort/dedup + sparse scatter (zero-capacity
                 # batches have no slots -> nothing to update)
                 old_rows = None
@@ -1168,10 +1228,6 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 # tail, every sentinel (always < total + u <= padded_rows -
                 # chunk pad) is a real address — the write kernel runs
                 # branch-free with one aggregated wait per chunk
-                in_bounds = (
-                    g.scratch_rows > 0
-                    and tbl.shape[0] == g.padded_rows
-                )
                 tbl, st = optimizer.update(
                     tbl, st, uids, ugrads, lr=lr, ids_sorted=not v3,
                     ids_in_bounds=in_bounds, old_rows=old_rows,

@@ -181,6 +181,21 @@ class EmbeddingOptimizer:
     def _lr(self, lr):
         return self.learning_rate if lr is None else lr
 
+    def supports_segscan_update(self, table: jnp.ndarray) -> bool:
+        """True when :meth:`segscan_update` implements this optimizer for
+        ``table`` (fused run-sum + update + write, ops/tbe_pallas.py::
+        row_scatter_write_segscan). Default: unsupported."""
+        return False
+
+    def segscan_update(
+        self, table, state, rows_end, heads, grads, old_rows,
+        lr=None, interpret=False,
+    ):
+        """Fused sorted-stream update (see tbe_pallas.row_scatter_write_
+        segscan for the argument contract). Only valid when
+        :meth:`supports_segscan_update` returns True."""
+        raise NotImplementedError
+
     def dense_update(
         self,
         table: jnp.ndarray,
@@ -233,6 +248,35 @@ class SGD(EmbeddingOptimizer):
             ).astype(table.dtype)
             return jnp.where(touched[:, None], new, table), state
         return (table - (lr * g).astype(table.dtype)), state
+
+    def supports_segscan_update(self, table: jnp.ndarray) -> bool:
+        # fp32 lane-aligned tables only: the fused kernel computes and
+        # stores fp32 (no stochastic-rounding leg)
+        return (
+            not self.stochastic_rounding
+            and table.ndim == 2
+            and table.dtype == jnp.float32
+            and table.shape[1] % 128 == 0
+        )
+
+    def segscan_update(
+        self, table, state, rows_end, heads, grads, old_rows,
+        lr=None, interpret=False,
+    ):
+        from torchrec_tpu.ops.tbe_pallas import row_scatter_write_segscan
+
+        lr = self._lr(lr)
+        scal = jnp.stack(
+            [
+                jnp.asarray(lr, jnp.float32),
+                jnp.asarray(self.weight_decay, jnp.float32),
+            ]
+        )
+        new_table = row_scatter_write_segscan(
+            table, rows_end, heads, grads, old_rows, scal,
+            interpret=interpret,
+        )
+        return new_table, state
 
 
 @dataclasses.dataclass(frozen=True)

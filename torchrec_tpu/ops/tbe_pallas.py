@@ -592,6 +592,184 @@ def row_scatter_write(
 
 
 # --------------------------------------------------------------------------
+# Fused backward tail: segmented run-sum + optimizer + write in ONE pass.
+#
+# The position-layout dedup (lookup.dedup_rows_from_sorted) spends ~156 us
+# at the headline shapes in XLA's sorted segment-sum — a full extra
+# 20.5k-row pass between the (cheap, ~8 us) gradient expand gather and the
+# write kernel. Here the run accumulation rides INSIDE the write kernel as
+# a vectorized Hillis-Steele segmented prefix scan over the streamed
+# [CHUNK, D] gradient block (log2(CHUNK) wide VPU steps, no per-slot VMEM
+# reads — the failure mode of the round-1 fused_sorted_sgd_apply), with a
+# [1, D] carry for runs crossing chunk boundaries. Run sums land at run-END
+# positions (forward grid order), so targets use run-END layout: the real
+# id at each run's last slot, distinct scratch-tail sentinels elsewhere —
+# the same branch-free parking contract as row_scatter_write(in_bounds).
+# --------------------------------------------------------------------------
+
+
+def _row_scatter_write_segscan_kernel(
+    scal_ref,   # SMEM [2] f32: (lr, weight_decay)
+    rows_ref,   # SMEM [CHUNK] run-END targets — ALL in-bounds and distinct
+    heads_ref,  # VMEM [CHUNK, 1] f32: 1.0 at run starts (global layout)
+    grads_ref,  # VMEM [CHUNK, D] f32 per-slot gradient rows (slot order)
+    old_ref,    # VMEM [CHUNK, D] f32 table rows at slot positions
+    table_in,   # ANY (aliased)
+    table_out,  # ANY
+    vals_ref,   # VMEM scratch [CHUNK, D]: computed replacement rows
+    carry_ref,  # VMEM scratch [1, D]: boundary-crossing run prefix sum
+    sem,        # DMA [1]
+    *,
+    chunk: int,
+    rem: int = 0,
+    n_chunks: int = 1,
+):
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    # segmented inclusive prefix scan: v[i] = sum of grads over this run's
+    # slots <= i. b[i] ("open") = 1 iff no run head at any position <= i,
+    # i.e. position i still absorbs the carry from the previous chunk.
+    v = grads_ref[...]
+    b = 1.0 - heads_ref[...]
+    d = 1
+    while d < chunk:
+        # v pads with zeros (out-of-chunk grads arrive via the carry);
+        # b pads with ONES (positions before the chunk hold no in-chunk
+        # head, so b[i<d] must keep reporting "still open to the carry")
+        v = v + b * jnp.concatenate(
+            [jnp.zeros((d, v.shape[1]), v.dtype), v[:-d]], axis=0
+        )
+        b = b * jnp.concatenate(
+            [jnp.ones((d, 1), b.dtype), b[:-d]], axis=0
+        )
+        d *= 2
+    v = v + b * carry_ref[...]
+    carry_ref[...] = v[chunk - 1 : chunk, :]
+    lr = scal_ref[0]
+    wd = scal_ref[1]
+    # SGD with decoupled-into-gradient weight decay (fused_optim.SGD):
+    # new = old - lr * (run_sum + wd * old) = (1 - lr*wd) * old - lr * sum
+    vals_ref[...] = old_ref[...] * (1.0 - lr * wd) - lr * v
+
+    def issue(i):
+        pltpu.make_async_copy(
+            vals_ref.at[pl.ds(i, 1), :],
+            table_out.at[pl.ds(rows_ref[i], 1), :],
+            sem.at[0],
+        ).start()
+
+    def run(n):
+        for i in range(n):
+            issue(i)
+        pltpu.make_async_copy(
+            vals_ref.at[pl.ds(0, n), :], vals_ref.at[pl.ds(0, n), :],
+            sem.at[0],
+        ).wait()
+
+    if rem == 0:
+        run(chunk)
+    else:
+        last = pl.program_id(0) == n_chunks - 1
+
+        @pl.when(jnp.logical_not(last))
+        def _():
+            run(chunk)
+
+        @pl.when(last)
+        def _():
+            run(rem)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "_chunk"),
+    donate_argnums=(0,),
+)
+def row_scatter_write_segscan(
+    table: jnp.ndarray,
+    rows_end: jnp.ndarray,
+    heads: jnp.ndarray,
+    grads: jnp.ndarray,
+    old_rows: jnp.ndarray,
+    scal: jnp.ndarray,
+    *,
+    interpret: bool = False,
+    _chunk: int = 0,
+) -> jnp.ndarray:
+    """Fused SGD backward tail over an id-sorted slot window, in place:
+
+    for each run of equal ids: ``table[id] = (1 - lr*wd) * table[id]
+    - lr * sum(grads over the run)`` — the run segment-sum, the optimizer
+    math, and the scattered row write in ONE streamed pass (saves the
+    ~156 us position-layout segment-sum the XLA path pays at the headline
+    shapes).
+
+    Args (u = slot-window length, D = row width, multiple of 128):
+      rows_end: [u] int32 — the run's id at its LAST slot position;
+        every other position a DISTINCT in-bounds scratch-tail sentinel
+        (same contract as ``row_scatter_write(in_bounds=True)``: all
+        entries < ``table.shape[0]``, module scratch tail sized by _CHUNK).
+      heads:    [u, 1] f32 — 1.0 where a new run starts, else 0.0
+        (position 0 is always a head).
+      grads:    [u, D] f32 — per-slot gradient rows (zero rows for
+        invalid/padding slots).
+      old_rows: [u, D] f32 — current table rows at slot positions (the
+        forward's window gather; values at sentinel positions arbitrary).
+      scal:     [2] f32 — (lr, weight_decay).
+    """
+    num_rows, d = table.shape
+    if d % 128:
+        raise ValueError(f"row width {d} must be a multiple of 128")
+    u = rows_end.shape[0]
+    chunk = _chunk or _CHUNK
+    if chunk > _CHUNK:
+        raise ValueError(f"_chunk={chunk} > _CHUNK={_CHUNK} with in_bounds")
+    rem = u % chunk
+    n_chunks = (u + chunk - 1) // chunk
+    kernel = functools.partial(
+        _row_scatter_write_segscan_kernel,
+        chunk=chunk, rem=rem, n_chunks=n_chunks,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((2,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (chunk, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (chunk, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((chunk, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        input_output_aliases={5: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        scal.astype(jnp.float32),
+        rows_end.astype(jnp.int32),
+        heads.astype(jnp.float32),
+        grads.astype(jnp.float32),
+        old_rows.astype(jnp.float32),
+        table,
+    )
+
+
+# --------------------------------------------------------------------------
 # Sorted count-matmul: build the small-table count matrix C[small_rows, KB]
 # (C[r, c] = sum of w over slots with id r and column c) from an id-SORTED
 # slot stream with ZERO scatters. XLA's scatter build is issue-rate bound
