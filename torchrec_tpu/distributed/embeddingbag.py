@@ -87,7 +87,10 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
         input-distribution path (``apply_local_bucketized``): the receive
         buffer holds ``factor * cap_local * max_blocks`` slots, and the
         exchange primitive is ``"ragged"`` (TPU) or ``"padded"`` (portable);
-        ``None`` auto-selects per backend."""
+        ``None`` auto-selects per backend. VBE dedup batches are skewed
+        across the batch split (every key's examples start at position 0),
+        so bucketized VBE typically needs a larger factor than the uniform
+        -batch default — watch the returned ``dropped`` count."""
         self._ebc = ebc
         self._plan = plan
         self._env = env
@@ -223,18 +226,47 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
                 scale = scale.at[i].set(inv[fi])
         return scale
 
+    def _vbe_ctx(self, kjt: KeyedJaggedTensor, w: int, d):
+        """(inverse_indices [F, B_out], local window [F, B_out_local],
+        B_out, B_out_local) for a VBE KJT, or None. The sharded VBE design
+        (reference dist_data.py:1444 VariableBatchPooledEmbeddingsAllToAll):
+        pooling runs at the DEDUPLICATED per-key batch, the (small) dedup
+        pooled partials are psum'd over the shard world, and each device
+        expands only ITS output-batch window via the inverse indices."""
+        if not kjt.variable_stride_per_key():
+            return None
+        return self._vbe_ctx_from_inv(kjt.inverse_indices(), w, d)
+
+    def _vbe_ctx_from_inv(self, inv, w: int, d):
+        """See :meth:`_vbe_ctx`; ``inv`` is the global [F, B_out] inverse
+        indices (replicated) — used by the bucketized path, whose per-device
+        inputs are raw batch-sharded arrays rather than a VBE KJT."""
+        b_out = inv.shape[1]
+        if b_out % w:
+            raise ValueError(
+                f"VBE output batch {b_out} not divisible by world {w}"
+            )
+        b_out_local = b_out // w
+        inv_local = jax.lax.dynamic_slice(
+            inv, (0, d * b_out_local), (inv.shape[0], b_out_local)
+        )
+        return inv, inv_local, b_out, b_out_local
+
     def apply_local(
         self, params: Params, kjt: KeyedJaggedTensor
     ) -> jnp.ndarray:
         """Sharded forward (inside shard_map): global/replicated KJT in,
-        batch-sharded ``[B_local, total_dim]`` pooled values out."""
+        batch-sharded ``[B_local, total_dim]`` pooled values out (for VBE,
+        ``[B_out_local, total_dim]`` over the inverse-indices output
+        batch)."""
         axis = self._env.shard_axis
         w = self._env.world_size
         d = jax.lax.axis_index(axis)
         kjt, b, f, seg, slot_feature, slot_batch = self._slot_arrays(kjt)
-        if b % w:
+        vbe = self._vbe_ctx(kjt, w, d)
+        if vbe is None and b % w:
             raise ValueError(f"global batch {b} not divisible by world {w}")
-        b_local = b // w
+        b_local = vbe[3] if vbe is not None else b // w
         values = kjt.values()
         weights = kjt.weights() if self._ebc.is_weighted() else None
         lengths = kjt.lengths()
@@ -250,47 +282,101 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
             pooled = pooled.reshape(c.num_vf, b, c.width)
             if scale is not None:
                 pooled = pooled * scale[:, :, None]
-            # output dist: reduce-scatter over the batch dim; qcomms casts
-            # the wire payload to the configured forward precision
-            pooled = jnp.transpose(pooled, (1, 0, 2))  # [B, num_vf, width]
-            if self._qcomms is not None:
-                from torchrec_tpu.distributed.qcomms import decode, encode
-
-                pooled = decode(
-                    self._env.psum_scatter_batch(
-                        encode(pooled, self._qcomms.forward_precision)
-                    ),
-                    self._qcomms.forward_precision,
-                )
-            else:
-                # two-level (host -> chip) when the env is hierarchical:
-                # TWRW/GRID pooled partials reduce intra-host first
-                # (reference twrw_sharding.py:460)
-                pooled = self._env.psum_scatter_batch(pooled)
-                # [B_local, num_vf, width]
-            for i, fi in enumerate(c.vf_feature):
-                col = int(self._feature_col_off[fi]) + c.vf_col_start[i]
-                out = jax.lax.dynamic_update_slice(
-                    out, pooled[:, i, :], (0, col)
-                )
+            out = self._class_output_dist(c, pooled, out, vbe)
         if self._dp_ebc is not None:
             dp_params = {
                 g.key: params[f"dp_{g.key}"] for g in self._dp_ebc.groups
             }
-            # DP tables: lookup the local batch shard only
-            kjt_local = _kjt_batch_shard(kjt, d, w)
-            kt = self._dp_ebc.apply(dp_params, kjt_local)
-            dp_dims = dict(zip(kt.keys(), kt.length_per_key()))
-            off = 0
-            for key in kt.keys():
-                fi = self._ebc._feature_names.index(key)
-                col = int(self._feature_col_off[fi])
-                out = jax.lax.dynamic_update_slice(
-                    out,
-                    kt.values()[:, off : off + dp_dims[key]].astype(jnp.float32),
-                    (0, col),
+            if vbe is not None:
+                # DP + VBE: pool at the (small) dedup batch on every device,
+                # then expand only the local output-batch window
+                kt = self._dp_ebc.apply(dp_params, _strip_vbe(kjt))
+                out = self._dp_vbe_expand(kt, out, vbe[1])
+            else:
+                # DP tables: lookup the local batch shard only
+                kjt_local = _kjt_batch_shard(kjt, d, w)
+                kt = self._dp_ebc.apply(dp_params, kjt_local)
+                out = self._dp_write_cols(kt, out)
+        return out
+
+    def _class_output_dist(self, c, pooled, out, vbe):
+        """Output dist for one width class. ``pooled``: [num_vf, B, width]
+        mean-scaled partial sums. Non-VBE: reduce-scatter over the batch
+        dim. VBE: psum the dedup pooled, expand the local output window via
+        inverse indices (see :meth:`_vbe_ctx`). qcomms casts the wire
+        payload either way."""
+        q = self._qcomms
+        if q is not None:
+            from torchrec_tpu.distributed.qcomms import decode, encode
+        if vbe is not None:
+            _, inv_local, _, _ = vbe
+            if q is not None:
+                pooled = decode(
+                    self._env.psum_shard(
+                        encode(pooled, q.forward_precision)
+                    ),
+                    q.forward_precision,
                 )
-                off += dp_dims[key]
+            else:
+                pooled = self._env.psum_shard(pooled)
+            for i, fi in enumerate(c.vf_feature):
+                col = int(self._feature_col_off[fi]) + c.vf_col_start[i]
+                rows = jnp.take(pooled[i], inv_local[fi], axis=0)
+                out = jax.lax.dynamic_update_slice(out, rows, (0, col))
+            return out
+        # output dist: reduce-scatter over the batch dim
+        pooled = jnp.transpose(pooled, (1, 0, 2))  # [B, num_vf, width]
+        if q is not None:
+            pooled = decode(
+                self._env.psum_scatter_batch(
+                    encode(pooled, q.forward_precision)
+                ),
+                q.forward_precision,
+            )
+        else:
+            # two-level (host -> chip) when the env is hierarchical:
+            # TWRW/GRID pooled partials reduce intra-host first
+            # (reference twrw_sharding.py:460)
+            pooled = self._env.psum_scatter_batch(pooled)
+            # [B_local, num_vf, width]
+        for i, fi in enumerate(c.vf_feature):
+            col = int(self._feature_col_off[fi]) + c.vf_col_start[i]
+            out = jax.lax.dynamic_update_slice(
+                out, pooled[:, i, :], (0, col)
+            )
+        return out
+
+    def _dp_write_cols(self, kt: KeyedTensor, out: jnp.ndarray):
+        dp_dims = dict(zip(kt.keys(), kt.length_per_key()))
+        off = 0
+        for key in kt.keys():
+            fi = self._ebc._feature_names.index(key)
+            col = int(self._feature_col_off[fi])
+            out = jax.lax.dynamic_update_slice(
+                out,
+                kt.values()[:, off : off + dp_dims[key]].astype(jnp.float32),
+                (0, col),
+            )
+            off += dp_dims[key]
+        return out
+
+    def _dp_vbe_expand(
+        self, kt: KeyedTensor, out: jnp.ndarray, inv_local: jnp.ndarray
+    ):
+        """Write DP columns expanded from dedup rows to the local output
+        window (``inv_local``: [F, B_out_local])."""
+        dp_dims = dict(zip(kt.keys(), kt.length_per_key()))
+        off = 0
+        for key in kt.keys():
+            fi = self._ebc._feature_names.index(key)
+            col = int(self._feature_col_off[fi])
+            rows = jnp.take(
+                kt.values()[:, off : off + dp_dims[key]].astype(jnp.float32),
+                inv_local[fi],
+                axis=0,
+            )
+            out = jax.lax.dynamic_update_slice(out, rows, (0, col))
+            off += dp_dims[key]
         return out
 
     def pooled_local_partial(
@@ -339,6 +425,7 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
         w = self._env.world_size
         d = jax.lax.axis_index(axis)
         kjt, b, f, seg, slot_feature, slot_batch = self._slot_arrays(kjt)
+        vbe = self._vbe_ctx(kjt, w, d)
         values = kjt.values()
         weights = kjt.weights() if self._ebc.is_weighted() else None
         lengths = kjt.lengths()
@@ -365,21 +452,9 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
         grads: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
         for c in self._classes:
             oob = c.num_vf * b
-            # [num_vf, B, width] pooled-grad for this class
-            pg = jnp.stack(
-                [
-                    jax.lax.dynamic_slice(
-                        full_grad,
-                        (0, int(self._feature_col_off[fi]) + c.vf_col_start[i]),
-                        (b, c.width),
-                    )
-                    for i, fi in enumerate(c.vf_feature)
-                ],
-                axis=0,
-            )
-            scale = self._mean_scale(c, lengths, b)
-            if scale is not None:
-                pg = pg * scale[:, :, None]
+            # [num_vf, B, width] mean-scaled pooled-grad for this class
+            # (VBE: collapsed onto dedup positions via inverse indices)
+            pg = self._class_pooled_grad(c, full_grad, b, vbe, lengths)
             pg_flat = pg.reshape(oob, c.width)
 
             id_lo = jnp.asarray(c.id_lo)[d]
@@ -421,6 +496,27 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
             grads[c.key] = (uids, ugrads)
         return grads
 
+    def _class_pooled_grad(self, c, full_grad, b, vbe, lengths):
+        """[num_vf, b, width] mean-scaled dedup-level pooled cotangent for
+        one width class from the gathered [B(_out), total_dim] gradient.
+        VBE: transpose of the inverse-indices expansion = segment_sum of
+        output-batch cotangents onto each key's dedup positions."""
+        cols = []
+        for i, fi in enumerate(c.vf_feature):
+            g = jax.lax.dynamic_slice(
+                full_grad,
+                (0, int(self._feature_col_off[fi]) + c.vf_col_start[i]),
+                (full_grad.shape[0], c.width),
+            )
+            if vbe is not None:
+                g = jax.ops.segment_sum(g, vbe[0][fi], num_segments=b)
+            cols.append(g)
+        pg = jnp.stack(cols, axis=0)
+        scale = self._mean_scale(c, lengths, b)
+        if scale is not None:
+            pg = pg * scale[:, :, None]
+        return pg
+
     def apply_gradients_local(
         self,
         params: Params,
@@ -456,18 +552,28 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
             w = self._env.world_size
             d = jax.lax.axis_index(axis)
             kjt_sel, b, f, _, _, _ = self._slot_arrays(kjt)
-            kjt_local = _kjt_batch_shard(kjt_sel, d, w)
+            vbe = self._vbe_ctx(kjt_sel, w, d)
+            if vbe is not None:
+                # DP + VBE: dense_grads over the full dedup batch with the
+                # LOCAL window's cotangents collapsed onto dedup positions;
+                # the accumulator psum below sums the per-device partials
+                kjt_local = _strip_vbe(kjt_sel)
+            else:
+                kjt_local = _kjt_batch_shard(kjt_sel, d, w)
             # grads of the DP columns, local batch
             dp_grads_cols = []
             dp_keys = self._dp_ebc.feature_names()
             for key in dp_keys:
                 fi = self._ebc._feature_names.index(key)
                 col = int(self._feature_col_off[fi])
-                dp_grads_cols.append(
-                    jax.lax.dynamic_slice(
-                        out_grad, (0, col), (out_grad.shape[0], self._dims[fi])
-                    )
+                g = jax.lax.dynamic_slice(
+                    out_grad, (0, col), (out_grad.shape[0], self._dims[fi])
                 )
+                if vbe is not None:
+                    g = jax.ops.segment_sum(
+                        g, vbe[1][fi], num_segments=b
+                    )
+                dp_grads_cols.append(g)
             kt_grad = jnp.concatenate(dp_grads_cols, axis=1)
             dp_params = {
                 g.key: params[f"dp_{g.key}"] for g in self._dp_ebc.groups
@@ -550,21 +656,31 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
         values: jnp.ndarray,  # [cap_local] this device's batch slot stream
         lengths: jnp.ndarray,  # [F, B_local]
         weights: Optional[jnp.ndarray] = None,
+        inverse_indices: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Bucketized sharded forward (inside shard_map): LOCAL batch KJT
         arrays in, batch-sharded ``[B_local, total_dim]`` out, plus the
-        a2a-capacity overflow count (psum'd scalar — surface as a metric)."""
+        a2a-capacity overflow count (psum'd scalar — surface as a metric).
+        ``inverse_indices`` (VBE, replicated [F, B_out]): the local arrays
+        then hold this device's window of the GLOBAL dedup batch, and the
+        output is ``[B_out / world, total_dim]`` (see :meth:`_vbe_ctx`)."""
         axis = self._env.shard_axis
         w = self._env.world_size
         d = jax.lax.axis_index(axis)
         kjt_local = self._local_kjt(values, lengths, weights)
         kjt, b_local, streams = self._bucketized_streams(kjt_local, d)
         b_global = b_local * w
+        vbe = (
+            None
+            if inverse_indices is None
+            else self._vbe_ctx_from_inv(inverse_indices, w, d)
+        )
         lengths_g = self._env.all_gather_batch(
             kjt.lengths(), axis=1
         )  # [F, B_global]
 
-        out = jnp.zeros((b_local, self._total_dim), jnp.float32)
+        b_out_local = vbe[3] if vbe is not None else b_local
+        out = jnp.zeros((b_out_local, self._total_dim), jnp.float32)
         dropped = jnp.zeros((), jnp.int32)
         for c in self._classes:
             rows_l, pool_seg, w_recv, rvalid, drp = streams[c.key]
@@ -589,45 +705,24 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
             scale = self._mean_scale(c, lengths_g, b_global)
             if scale is not None:
                 pooled = pooled * scale[:, :, None]
-            pooled = jnp.transpose(pooled, (1, 0, 2))  # [B_g, num_vf, width]
-            if self._qcomms is not None:
-                from torchrec_tpu.distributed.qcomms import decode, encode
-
-                pooled = decode(
-                    self._env.psum_scatter_batch(
-                        encode(pooled, self._qcomms.forward_precision)
-                    ),
-                    self._qcomms.forward_precision,
-                )
-            else:
-                # two-level (host -> chip) when the env is hierarchical:
-                # TWRW/GRID pooled partials reduce intra-host first
-                # (reference twrw_sharding.py:460)
-                pooled = self._env.psum_scatter_batch(pooled)
-                # [B_local, num_vf, width]
-            for i, fi in enumerate(c.vf_feature):
-                col = int(self._feature_col_off[fi]) + c.vf_col_start[i]
-                out = jax.lax.dynamic_update_slice(
-                    out, pooled[:, i, :], (0, col)
-                )
+            out = self._class_output_dist(c, pooled, out, vbe)
         if self._dp_ebc is not None:
             dp_params = {
                 g.key: params[f"dp_{g.key}"] for g in self._dp_ebc.groups
             }
             kt = self._dp_ebc.apply(dp_params, kjt_local)
-            dp_dims = dict(zip(kt.keys(), kt.length_per_key()))
-            off = 0
-            for key in kt.keys():
-                fi = self._ebc._feature_names.index(key)
-                col = int(self._feature_col_off[fi])
-                out = jax.lax.dynamic_update_slice(
-                    out,
-                    kt.values()[:, off : off + dp_dims[key]].astype(
-                        jnp.float32
-                    ),
-                    (0, col),
+            if vbe is not None:
+                # DP + VBE: gather the dedup rows globally (small), then
+                # expand the local output window
+                vals_g = self._env.all_gather_batch(kt.values())
+                kt = KeyedTensor(
+                    keys=kt.keys(),
+                    length_per_key=kt.length_per_key(),
+                    values=vals_g,
                 )
-                off += dp_dims[key]
+                out = self._dp_vbe_expand(kt, out, vbe[1])
+            else:
+                out = self._dp_write_cols(kt, out)
         return out, jax.lax.psum(dropped, axis)
 
     def apply_gradients_local_bucketized(
@@ -640,6 +735,7 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
         weights: Optional[jnp.ndarray],
         out_grad: jnp.ndarray,  # [B_local, total_dim]
         lr=None,
+        inverse_indices: Optional[jnp.ndarray] = None,
     ):
         """Bucketized fused backward + update (inside shard_map): dedup and
         the sparse update run on the O(ids/world) received stream."""
@@ -649,6 +745,11 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
         kjt_local = self._local_kjt(values, lengths, weights)
         kjt, b_local, streams = self._bucketized_streams(kjt_local, d)
         b_global = b_local * w
+        vbe = (
+            None
+            if inverse_indices is None
+            else self._vbe_ctx_from_inv(inverse_indices, w, d)
+        )
         lengths_g = self._env.all_gather_batch(kjt.lengths(), axis=1)
         if self._qcomms is not None:
             from torchrec_tpu.distributed.qcomms import decode, encode
@@ -672,24 +773,11 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
         new_states = dict(opt_states)
         for c in self._classes:
             rows_l, pool_seg, w_recv, rvalid, _drp = streams[c.key]
-            pg = jnp.stack(
-                [
-                    jax.lax.dynamic_slice(
-                        full_grad,
-                        (
-                            0,
-                            int(self._feature_col_off[fi])
-                            + c.vf_col_start[i],
-                        ),
-                        (b_global, c.width),
-                    )
-                    for i, fi in enumerate(c.vf_feature)
-                ],
-                axis=0,
-            )  # [num_vf, B_global, width]
-            scale = self._mean_scale(c, lengths_g, b_global)
-            if scale is not None:
-                pg = pg * scale[:, :, None]
+            # [num_vf, B_global, width] mean-scaled pooled-grad (VBE:
+            # collapsed onto global dedup positions via inverse indices)
+            pg = self._class_pooled_grad(
+                c, full_grad, b_global, vbe, lengths_g
+            )
             pg_flat = pg.reshape(c.num_vf * b_global, c.width)
             uids, ugrads = dedup_rows_from_pooled(
                 rows_l,
@@ -721,13 +809,30 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
             for key in dp_keys:
                 fi = self._ebc._feature_names.index(key)
                 col = int(self._feature_col_off[fi])
-                dp_grads_cols.append(
-                    jax.lax.dynamic_slice(
+                if vbe is not None:
+                    # VBE: collapse the FULL output-batch cotangent onto
+                    # global dedup positions, then take this device's dedup
+                    # window (each dedup example is owned by exactly one
+                    # device, so the accumulator psum below double-counts
+                    # nothing)
+                    g = jax.lax.dynamic_slice(
+                        full_grad,
+                        (0, col),
+                        (full_grad.shape[0], self._dims[fi]),
+                    )
+                    g = jax.ops.segment_sum(
+                        g, vbe[0][fi], num_segments=b_global
+                    )
+                    g = jax.lax.dynamic_slice(
+                        g, (d * b_local, 0), (b_local, self._dims[fi])
+                    )
+                else:
+                    g = jax.lax.dynamic_slice(
                         out_grad,
                         (0, col),
                         (out_grad.shape[0], self._dims[fi]),
                     )
-                )
+                dp_grads_cols.append(g)
             kt_grad = jnp.concatenate(dp_grads_cols, axis=1)
             dp_params = {
                 g.key: params[f"dp_{g.key}"] for g in self._dp_ebc.groups
@@ -768,23 +873,30 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
         w = self._env.world_size
         P = jax.sharding.PartitionSpec
         param_specs = self._param_specs()
-        vals, lens, wts = shard_kjt_arrays(
-            kjt.select_keys(self._ebc._feature_names), w
+        sel = kjt.select_keys(self._ebc._feature_names)
+        inv = (
+            sel.inverse_indices() if sel.variable_stride_per_key() else None
         )
+        vals, lens, wts = shard_kjt_arrays(sel, w)
 
-        def body(p, v, l, wt):
+        def body(p, v, l, wt, iv):
             out, dropped = self.apply_local_bucketized(
                 p, v.reshape(v.shape[1:]), l.reshape(l.shape[1:]),
                 None if wt is None else wt.reshape(wt.shape[1:]),
+                inverse_indices=iv,
             )
             return out, dropped
 
-        in_specs = (param_specs, P(axis), P(axis), None if wts is None else P(axis))
+        in_specs = (
+            param_specs, P(axis), P(axis),
+            None if wts is None else P(axis),
+            None if inv is None else P(),
+        )
         fn = shard_map(
             body, mesh=mesh, in_specs=in_specs, out_specs=(P(axis), P()),
             check_vma=False,
         )
-        vals_out, dropped = jax.jit(fn)(params, vals, lens, wts)
+        vals_out, dropped = jax.jit(fn)(params, vals, lens, wts, inv)
         kt = KeyedTensor(
             keys=self.feature_names(),
             length_per_key=self._dims,
@@ -820,16 +932,18 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
             )
             for k in opt_states
         }
-        vals, lens, wts = shard_kjt_arrays(
-            kjt.select_keys(self._ebc._feature_names), w
+        sel = kjt.select_keys(self._ebc._feature_names)
+        inv = (
+            sel.inverse_indices() if sel.variable_stride_per_key() else None
         )
+        vals, lens, wts = shard_kjt_arrays(sel, w)
 
-        def body(p, s, v, l, wt, g):
+        def body(p, s, v, l, wt, g, iv):
             return self.apply_gradients_local_bucketized(
                 p, s, optimizer,
                 v.reshape(v.shape[1:]), l.reshape(l.shape[1:]),
                 None if wt is None else wt.reshape(wt.shape[1:]),
-                g, lr=lr,
+                g, lr=lr, inverse_indices=iv,
             )
 
         fn = shard_map(
@@ -838,11 +952,14 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
             in_specs=(
                 param_specs, state_specs, P(axis), P(axis),
                 None if wts is None else P(axis), P(axis),
+                None if inv is None else P(),
             ),
             out_specs=(param_specs, state_specs),
             check_vma=False,
         )
-        return jax.jit(fn)(params, opt_states, vals, lens, wts, out_grad)
+        return jax.jit(fn)(
+            params, opt_states, vals, lens, wts, out_grad, inv
+        )
 
     # -------------------------------------------------- standalone wrappers
     def apply(self, params: Params, kjt: KeyedJaggedTensor) -> KeyedTensor:
@@ -909,6 +1026,20 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
         )
         return jax.jit(fn)(params, opt_states, kjt, out_grad)
 
+
+
+def _strip_vbe(kjt: KeyedJaggedTensor) -> KeyedJaggedTensor:
+    """Plain KJT over the same buffers with the VBE fields dropped —
+    pooling then happens at the deduplicated per-key batch positions
+    (lengths columns beyond ``stride_per_key[k]`` are zero by the VBE
+    contract, so those rows pool to zero)."""
+    base = kjt.materialize()
+    return KeyedJaggedTensor(
+        keys=base.keys(),
+        values=base.values(),
+        lengths=base._lengths,
+        weights=base.weights_or_none(),
+    )
 
 
 def _kjt_batch_shard(
