@@ -95,31 +95,38 @@ class KeyedJaggedTensorPool:
 
     def lookup(self, state: State, ids: jnp.ndarray) -> KeyedJaggedTensor:
         """Fetch pool rows as a KJT batch of len(ids) examples."""
-        n = ids.shape[0]
-        f = len(self.keys)
         safe = jnp.clip(ids, 0, self.pool_size - 1)
         vals = jnp.take(state["values"], safe, axis=0)  # [N, F, max_len]
         lens = jnp.take(state["lengths"], safe, axis=0)  # [N, F]
-        # flatten feature-major: [F, N, max_len] -> padded value stream
-        vals_fm = jnp.transpose(vals, (1, 0, 2)).reshape(f * n, self.max_len)
-        lens_fm = jnp.transpose(lens, (1, 0)).reshape(-1)  # [F*N]
-        # compact: write each bag's ids at its offset
-        cap = f * n * self.max_len
-        offsets = jnp.concatenate(
-            [jnp.zeros((1,), jnp.int32), jnp.cumsum(lens_fm)[:-1]]
-        )
-        pos_in_bag = jnp.arange(self.max_len, dtype=jnp.int32)[None, :]
-        tgt = offsets[:, None] + pos_in_bag  # [F*N, max_len]
-        keep = pos_in_bag < lens_fm[:, None]
-        tgt = jnp.where(keep, tgt, cap)
-        stream = jnp.zeros((cap,), jnp.int32).at[tgt.reshape(-1)].set(
-            vals_fm.reshape(-1), mode="drop"
-        )
-        return KeyedJaggedTensor(
-            keys=list(self.keys),
-            values=stream,
-            lengths=lens_fm.reshape(f, n),
-        )
+        return padded_to_kjt(list(self.keys), vals, lens)
+
+
+def padded_to_kjt(
+    keys: List[str], vals: jnp.ndarray, lens: jnp.ndarray
+) -> KeyedJaggedTensor:
+    """Assemble a KJT batch from dense padded storage rows:
+    ``vals [N, F, max_len]`` / ``lens [N, F]`` -> N-example KJT."""
+    n, f, max_len = vals.shape
+    # flatten feature-major: [F, N, max_len] -> padded value stream
+    vals_fm = jnp.transpose(vals, (1, 0, 2)).reshape(f * n, max_len)
+    lens_fm = jnp.transpose(lens, (1, 0)).reshape(-1)  # [F*N]
+    # compact: write each bag's ids at its offset
+    cap = f * n * max_len
+    offsets = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(lens_fm)[:-1]]
+    )
+    pos_in_bag = jnp.arange(max_len, dtype=jnp.int32)[None, :]
+    tgt = offsets[:, None] + pos_in_bag  # [F*N, max_len]
+    keep = pos_in_bag < lens_fm[:, None]
+    tgt = jnp.where(keep, tgt, cap)
+    stream = jnp.zeros((cap,), jnp.int32).at[tgt.reshape(-1)].set(
+        vals_fm.reshape(-1), mode="drop"
+    )
+    return KeyedJaggedTensor(
+        keys=list(keys),
+        values=stream,
+        lengths=lens_fm.reshape(f, n),
+    )
 
 
 def _kjt_to_padded(kjt: KeyedJaggedTensor, max_len: int) -> jnp.ndarray:
