@@ -77,6 +77,20 @@ PLANS = {
         "t0": table_row_wise(0), "t1": grid_shard(),
         "t2": column_wise(ranks=[3, 4]), "t3": table_row_wise(1),
     },
+    # the remaining pure families, matching the replicated-path oracle
+    # sweep in tests/test_sharded_embeddingbag.py (7-family basis)
+    "column_wise": lambda: {
+        "t0": column_wise(ranks=[0, 1]), "t1": column_wise(ranks=[2]),
+        "t2": column_wise(ranks=[3, 4]), "t3": column_wise(ranks=[6]),
+    },
+    "data_parallel": lambda: {
+        "t0": data_parallel(), "t1": data_parallel(),
+        "t2": data_parallel(), "t3": data_parallel(),
+    },
+    "grid_shard": lambda: {
+        "t0": grid_shard(), "t1": table_wise(1),
+        "t2": grid_shard(), "t3": row_wise(),
+    },
 }
 
 

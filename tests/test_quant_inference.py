@@ -32,6 +32,18 @@ class TestQuantizeTable:
         err = np.abs(np.asarray(back) - np.asarray(w))
         assert (err <= row_range[:, None] / 255.0 + 1e-6).all()
 
+    def test_int2_roundtrip_error(self):
+        rng = np.random.default_rng(1)
+        w = jnp.asarray(rng.normal(size=(50, 16)).astype(np.float32))
+        qt = quantize_table(w, DataType.INT2)
+        assert qt["q2"].shape == (50, 4)  # 4 ids per byte
+        back = dequantize_table(qt)
+        # 2-bit rowwise: 4 levels spanning the row range -> nearest-level
+        # error <= scale/2 = row_range/6
+        row_range = np.asarray(w.max(1) - w.min(1))
+        err = np.abs(np.asarray(back) - np.asarray(w))
+        assert (err <= row_range[:, None] / 6.0 + 1e-6).all()
+
     def test_fp16_bf16_fp8(self):
         w = jnp.ones((4, 8)) * 0.5
         for dt in (DataType.FP16, DataType.BF16, DataType.FP8):
@@ -105,6 +117,7 @@ class TestShardedQuantTableWise:
         [
             DataType.INT8,
             pytest.param(DataType.INT4, marks=pytest.mark.slow),
+            pytest.param(DataType.INT2, marks=pytest.mark.slow),
             pytest.param(DataType.FP8, marks=pytest.mark.slow),
         ],
     )
@@ -237,7 +250,9 @@ class TestQuantEC:
     QuantEmbeddingCollection (quant/embedding_modules.py:739)."""
 
     @pytest.mark.parametrize(
-        "dt", [DataType.INT8, DataType.INT4, DataType.FP8, DataType.FP16]
+        "dt",
+        [DataType.INT8, DataType.INT4, DataType.INT2, DataType.FP8,
+         DataType.FP16],
     )
     def test_rows_close_to_fp32(self, dt):
         from torchrec_tpu.quant import QuantEmbeddingCollection
@@ -247,7 +262,11 @@ class TestQuantEC:
         qp = qec.quantize_from(params)
         out = jax.jit(qec.apply)(qp, kjt)
         ref = ec.apply(params, kjt)
-        tol = 0.35 if dt in (DataType.INT4, DataType.FP8) else 0.05
+        tol = (
+            1.2 if dt == DataType.INT2
+            else 0.35 if dt in (DataType.INT4, DataType.FP8)
+            else 0.05
+        )
         _assert_jt_dicts_close(out, ref, rtol=0.2, atol=tol)
 
     def test_per_id_rows_match_table(self):
@@ -283,6 +302,7 @@ class TestShardedQuantEC:
         [
             DataType.INT8,
             pytest.param(DataType.INT4, marks=pytest.mark.slow),
+            pytest.param(DataType.INT2, marks=pytest.mark.slow),
             pytest.param(DataType.FP8, marks=pytest.mark.slow),
         ],
     )

@@ -74,7 +74,7 @@ class _QuantClass:
 
     key: str
     dim: int
-    fmt: str  # "int8" | "int4" | "fp8" | "fp16" | "bf16"
+    fmt: str  # "int8" | "int4" | "int2" | "fp8" | "fp16" | "bf16"
     feature_ids: Tuple[int, ...]  # global feature ids, class order
     # [W, F] local blob row offset of each feature's table (-1 = not local)
     row_off: np.ndarray
@@ -105,7 +105,8 @@ class ShardedQuantEmbeddingBagCollection:
         self._w = w
         ebc = self._ebc
         fmt = {
-            "INT8": "int8", "INT4": "int4", "FP8": "fp8",
+            "INT8": "int8", "INT4": "int4", "INT2": "int2",
+            "FP8": "fp8",
             "FP16": "fp16", "BF16": "bf16",
         }[qebc.data_type.value]
         self._fmt = fmt
@@ -118,7 +119,7 @@ class ShardedQuantEmbeddingBagCollection:
         )
         if placement is None:
             elem = {
-                "int8": 1.0, "int4": 0.5, "fp8": 1.0,
+                "int8": 1.0, "int4": 0.5, "int2": 0.25, "fp8": 1.0,
                 "fp16": 2.0, "bf16": 2.0,
             }[fmt]
             placement = balance_tables(

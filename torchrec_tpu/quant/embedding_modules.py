@@ -2,7 +2,7 @@
 
 Capability parity with torchrec/quant/embedding_modules.py
 (QuantEmbeddingBagCollection:337, QuantEmbeddingCollection:739,
-QuantManagedCollisionEmbeddingCollection:1054 — int8/int4/fp8
+QuantManagedCollisionEmbeddingCollection:1054 — int8/int4/int2/fp8
 table-batched inference modules converted from trained modules).
 
 TPU-first: row-wise symmetric-range quantization — per-row fp32
@@ -138,6 +138,18 @@ def quantize_table(
             "scale": scale[:, 0],
             "zero": lo[:, 0],
         }
+    if data_type == DataType.INT2:
+        from torchrec_tpu.sparse.tensor_types import pack_int2
+
+        lo = jnp.min(w, axis=1, keepdims=True)
+        hi = jnp.max(w, axis=1, keepdims=True)
+        scale = jnp.maximum((hi - lo) / 3.0, 1e-12)
+        q = jnp.clip(jnp.round((w - lo) / scale), 0, 3)
+        return {
+            "q2": pack_int2(q),  # [R, D//4] uint8 — a quarter of int8
+            "scale": scale[:, 0],
+            "zero": lo[:, 0],
+        }
     if data_type == DataType.FP8:
         return {"q": w.astype(jnp.float8_e4m3fn)}
     if data_type == DataType.FP16:
@@ -172,6 +184,14 @@ def gather_dequant(
         s = jnp.take(qt["scale"], ids, mode="clip")
         z = jnp.take(qt["zero"], ids, mode="clip")
         return rows * s[:, None] + z[:, None]
+    if "q2" in qt:  # int2: gather PACKED rows, unpack in registers
+        from torchrec_tpu.sparse.tensor_types import unpack_int2
+
+        packed = jnp.take(qt["q2"], ids, axis=0, mode="clip")
+        rows = unpack_int2(packed).astype(jnp.float32)
+        s = jnp.take(qt["scale"], ids, mode="clip")
+        z = jnp.take(qt["zero"], ids, mode="clip")
+        return rows * s[:, None] + z[:, None]
     rows = jnp.take(qt["q"], ids, axis=0, mode="clip").astype(jnp.float32)
     if qt["q"].dtype == jnp.int8:
         s = jnp.take(qt["scale"], ids, mode="clip")
@@ -185,6 +205,11 @@ def dequantize_table(qt: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         from torchrec_tpu.sparse.tensor_types import unpack_int4
 
         vals = unpack_int4(qt["q4"]).astype(jnp.float32)
+        return vals * qt["scale"][:, None] + qt["zero"][:, None]
+    if "q2" in qt:
+        from torchrec_tpu.sparse.tensor_types import unpack_int2
+
+        vals = unpack_int2(qt["q2"]).astype(jnp.float32)
         return vals * qt["scale"][:, None] + qt["zero"][:, None]
     q = qt["q"]
     if q.dtype == jnp.int8:

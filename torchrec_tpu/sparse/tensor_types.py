@@ -37,6 +37,11 @@ def unpack_int4(packed: jnp.ndarray) -> jnp.ndarray:
 
 def pack_int2(values: jnp.ndarray) -> jnp.ndarray:
     """[..., D] uint2-range values (0..3) -> [..., D//4] uint8."""
+    if values.shape[-1] % 4:
+        # a ragged tail would silently BROADCAST (len-1 vs len-2 slices)
+        raise ValueError(
+            f"pack_int2 width {values.shape[-1]} not divisible by 4"
+        )
     v = values.astype(jnp.uint8)
     return (
         (v[..., 0::4] & 0x3)

@@ -28,7 +28,7 @@ class PoolingType(enum.Enum):
 class DataType(enum.Enum):
     """Storage dtype of embedding table weights.
 
-    Reference: torchrec/types.py (DataType enum) — FP32/FP16/BF16/INT8/INT4/FP8.
+    Reference: torchrec/types.py (DataType enum) — FP32/FP16/BF16/INT8/INT4/INT2/FP8.
     """
 
     FP32 = "FP32"
@@ -36,6 +36,7 @@ class DataType(enum.Enum):
     BF16 = "BF16"
     INT8 = "INT8"
     INT4 = "INT4"
+    INT2 = "INT2"
     FP8 = "FP8"
 
     def as_jnp(self):
@@ -45,6 +46,7 @@ class DataType(enum.Enum):
             DataType.BF16: jnp.bfloat16,
             DataType.INT8: jnp.int8,
             DataType.INT4: jnp.int8,  # packed at a higher layer
+            DataType.INT2: jnp.int8,  # packed at a higher layer
             DataType.FP8: jnp.float8_e4m3fn,
         }[self]
 
@@ -56,6 +58,7 @@ class DataType(enum.Enum):
             DataType.BF16: 2.0,
             DataType.INT8: 1.0,
             DataType.INT4: 0.5,
+            DataType.INT2: 0.25,
             DataType.FP8: 1.0,
         }[self]
 
