@@ -240,3 +240,112 @@ def test_prefetch_pipeline_runs_host_transform_ahead():
     losses = [float(np.asarray(pipe.progress(it)["loss"])) for _ in range(4)]
     assert len(losses) == 4 and all(np.isfinite(l) for l in losses)
     assert len(seen) == 4
+
+
+# ---------------------------------------------------------------------------
+# Semi-sync staleness boundary contract (reference train_pipeline/tests:
+# TrainPipelineSemiSync end-of-epoch semantics)
+# ---------------------------------------------------------------------------
+
+
+def _disjoint_batch(model, ranges, b=8, seed=0):
+    """Batch whose ids for feature k are drawn from ranges[k] (lo, hi) —
+    disjoint ranges across batches isolate semi-sync staleness effects."""
+    from torchrec_tpu.training import Batch
+
+    rng = np.random.default_rng(seed)
+    lengths = rng.integers(1, 3, size=(2, b)).astype(np.int32)
+    vals = np.concatenate([
+        rng.integers(ranges[k][0], ranges[k][1], size=int(lengths[k].sum()))
+        for k in range(2)
+    ]).astype(np.int32)
+    kjt = KeyedJaggedTensor(
+        keys=model.embedding_bag_collection.feature_names(),
+        values=jnp.asarray(vals), lengths=jnp.asarray(lengths),
+    )
+    return Batch(
+        dense_features=jnp.asarray(
+            rng.normal(size=(b, 4)).astype(np.float32)
+        ),
+        sparse_features=kjt,
+        labels=jnp.asarray(rng.integers(0, 2, size=b).astype(np.float32)),
+    )
+
+
+def test_semi_sync_epoch_flush_exact_on_disjoint_batches():
+    """End-of-epoch boundary: with FROZEN dense params and batches touching
+    DISJOINT id ranges, staleness is unobservable — semi-sync over an epoch
+    + flush must equal the sync trainer EXACTLY (same tables, same opt
+    state)."""
+    model = make_model()
+    opt = SGD(learning_rate=0.1)
+    tx = optax.sgd(0.0)  # frozen dense: isolates the sparse schedule
+    batches = [
+        _disjoint_batch(model, [(0, 20), (0, 10)], seed=1),
+        _disjoint_batch(model, [(20, 40), (10, 20)], seed=2),
+        _disjoint_batch(model, [(40, 60), (20, 30)], seed=3),
+    ]
+    s_sync = init_train_state(model, jax.random.key(0), opt, tx)
+    s_semi = init_train_state(model, jax.random.key(0), opt, tx)
+    sync_step = jax.jit(make_train_step(model, opt, tx))
+    semi_step, carry, flush = make_semi_sync_train_step(model, opt, tx)
+    for b in batches:
+        s_sync, _ = sync_step(s_sync, b)
+        (s_semi, carry), _ = semi_step((s_semi, carry), b)
+    s_semi = flush((s_semi, carry))
+    for k in s_sync.sparse_params:
+        np.testing.assert_allclose(
+            np.asarray(s_semi.sparse_params[k]),
+            np.asarray(s_sync.sparse_params[k]),
+            rtol=1e-6, atol=1e-7,
+        )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7
+        ),
+        s_semi.emb_opt_state, s_sync.emb_opt_state,
+    )
+
+
+def test_semi_sync_flush_empty_carry_is_noop():
+    """Flushing before any step (or after a fresh epoch start) must be an
+    exact no-op."""
+    model = make_model()
+    opt = SGD(learning_rate=0.1)
+    tx = optax.sgd(0.05)
+    semi_step, carry, flush = make_semi_sync_train_step(model, opt, tx)
+    state = init_train_state(model, jax.random.key(0), opt, tx)
+    out = flush((state, carry))
+    assert out is state
+
+
+def test_semi_sync_scan_epoch_matches_python_loop():
+    """The semi-sync carry is scan-compatible after priming one step: a
+    lax.scan over the remaining batches + flush equals the eager loop."""
+    model = make_model()
+    opt = SGD(learning_rate=0.1)
+    tx = optax.sgd(0.05)
+    batches = [make_batch(model, seed=30 + i) for i in range(4)]
+    semi_step, carry0, flush = make_semi_sync_train_step(model, opt, tx)
+
+    # eager loop
+    s_e = init_train_state(model, jax.random.key(1), opt, tx)
+    c_e = carry0
+    for b in batches:
+        (s_e, c_e), _ = semi_step((s_e, c_e), b)
+    s_e = flush((s_e, c_e))
+
+    # primed scan
+    s_s = init_train_state(model, jax.random.key(1), opt, tx)
+    (s_s, c_s), _ = semi_step((s_s, carry0), batches[0])
+    stacked = stack_batches(batches[1:])
+    (s_s, c_s), _ = jax.lax.scan(
+        jax.jit(semi_step), (s_s, c_s), stacked
+    )
+    s_s = flush((s_s, c_s))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        ),
+        s_e.sparse_params, s_s.sparse_params,
+    )

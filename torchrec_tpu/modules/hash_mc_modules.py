@@ -124,6 +124,13 @@ class HashZchManagedCollisionModule:
             slot_ids = slot_ids.at[jnp.where(won, pos, z)].set(
                 safe_ids, mode="drop"
             )
+            # refresh expiry IN the loop: a slot claimed at probe p must
+            # not look TTL-expired (stealable) to a later probe of the
+            # same forward — the post-loop refresh alone lost ~2.5% of a
+            # batch's distinct ids to within-forward steals
+            expiry = expiry.at[jnp.where(won, pos, z)].max(
+                it + self.ttl, mode="drop"
+            )
             out = jnp.where(won, pos, out)
             remaining = remaining & ~won
         # refresh TTL of every slot we resolved to
