@@ -17,9 +17,11 @@ from torchrec_tpu.datasets.movielens import (
     movielens_25m,
 )
 from torchrec_tpu.datasets.random import RandomRecDataset
+from torchrec_tpu.datasets.synthetic import ClickModelRecDataset
 
 __all__ = [
     "RandomRecDataset",
+    "ClickModelRecDataset",
     "CAT_FEATURE_COUNT",
     "INT_FEATURE_COUNT",
     "DEFAULT_CAT_NAMES",

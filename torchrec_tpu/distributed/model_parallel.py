@@ -424,6 +424,77 @@ class DistributedModelParallel:
         )
         return jax.jit(fn, donate_argnums=(0,))
 
+    def make_eval_step(
+        self,
+        loss_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = bce_with_logits,
+        example_state: Optional[TrainState] = None,
+    ):
+        """Forward-only SPMD evaluation step (EvalPipelineSparseDist
+        analog, reference train_pipelines.py:2259 — the sharded
+        counterpart of training.make_eval_step). ``eval_step(state,
+        batch) -> aux`` with replicated loss and batch-sharded
+        logits/labels; no parameter mutation, no donation."""
+        from jax import shard_map
+
+        if example_state is None:
+            raise ValueError(
+                "pass example_state (e.g. the trained TrainState): eval "
+                "has no optimizer args to build a state skeleton from"
+            )
+        model = self.model
+        sebc = self.sharded_ebc
+        env = self.env
+        axis = env.shard_axis
+        w = env.world_size
+        bucketized = self.input_dist == "bucketized"
+
+        def local_eval(state: TrainState, batch: Batch):
+            if bucketized:
+                sv, sl, sw = batch.sparse_features.local()
+                emb_values, _ = sebc.apply_local_bucketized(
+                    state.sparse_params, sv, sl, sw
+                )
+            else:
+                emb_values = sebc.apply_local(
+                    state.sparse_params, batch.sparse_features
+                )
+            logits = model.forward_dense(
+                state.dense_params, batch.dense_features, emb_values
+            )
+            loss = jax.lax.psum(
+                loss_fn(logits, batch.labels.astype(jnp.float32)) / w, axis
+            )
+            return {
+                "loss": loss,
+                "logits": logits,
+                "labels": batch.labels,
+            }
+
+        state_specs = self._state_specs(example_state, None, None)
+        if bucketized:
+            from torchrec_tpu.distributed.input_dist import StackedSparse
+
+            sparse_spec = StackedSparse(
+                values=P(axis),
+                lengths=P(axis),
+                weights=P(axis) if self._ebc_module.is_weighted() else None,
+            )
+        else:
+            sparse_spec = P()
+        batch_specs = Batch(
+            dense_features=P(axis), sparse_features=sparse_spec,
+            labels=P(axis),
+        )
+        aux_specs = {"loss": P(), "logits": P(axis), "labels": P(axis)}
+        fn = shard_map(
+            local_eval,
+            mesh=env.mesh,
+            in_specs=(state_specs, batch_specs),
+            out_specs=aux_specs,
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
     def _state_specs(self, example_state, emb_optimizer, dense_tx):
         axis = self.env.shard_axis
         sparse_specs = self.sharded_ebc._param_specs()
