@@ -673,7 +673,12 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 key.astype(jnp.uint32) << seg_bits
             ) | seg.astype(jnp.uint32)
             if weights is None:
-                (sp,) = jax.lax.sort((packed,), num_keys=1)
+                # is_stable=False: a stable 1-operand sort lowers with an
+                # extra iota payload (the stability tie-breaker) — for one
+                # operand stable == unstable results, so drop it
+                (sp,) = jax.lax.sort(
+                    (packed,), num_keys=1, is_stable=False
+                )
                 sw = None
             else:
                 sp, sw = jax.lax.sort((packed, weights), num_keys=1)
