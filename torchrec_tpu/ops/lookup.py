@@ -200,7 +200,9 @@ def sorted_window(
             key.astype(jnp.uint32) << seg_bits
         ) | seg_m.astype(jnp.uint32)
         if weights is None:
-            (sp,) = jax.lax.sort((packed,), num_keys=1)
+            # is_stable=False: a stable 1-operand sort lowers with an iota
+            # tie-breaker payload; one operand means stable == unstable
+            (sp,) = jax.lax.sort((packed,), num_keys=1, is_stable=False)
             w_sorted = None
         else:
             sp, sw = jax.lax.sort((packed, weights), num_keys=1)
