@@ -672,23 +672,31 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
             packed = (
                 key.astype(jnp.uint32) << seg_bits
             ) | seg.astype(jnp.uint32)
+            # is_stable=False everywhere: XLA lowers STABLE sorts with an
+            # extra iota tie-breaker payload through the whole sort
+            # network. Every consumer of this stream (count kernel, window
+            # segment-sum, dedup run structure, run-sum backward) is
+            # order-invariant within equal keys, and payload operands stay
+            # PAIRED with their key either way — only within-tie order
+            # (hence float summation order) changes.
             if weights is None:
-                # is_stable=False: a stable 1-operand sort lowers with an
-                # extra iota payload (the stability tie-breaker) — for one
-                # operand stable == unstable results, so drop it
                 (sp,) = jax.lax.sort(
                     (packed,), num_keys=1, is_stable=False
                 )
                 sw = None
             else:
-                sp, sw = jax.lax.sort((packed, weights), num_keys=1)
+                sp, sw = jax.lax.sort(
+                    (packed, weights), num_keys=1, is_stable=False
+                )
             sk = (sp >> seg_bits).astype(jnp.int32)
             ss = (sp & jnp.uint32((1 << seg_bits) - 1)).astype(jnp.int32)
         elif weights is None:
-            sk, ss = jax.lax.sort((key, seg), num_keys=1)
+            sk, ss = jax.lax.sort((key, seg), num_keys=1, is_stable=False)
             sw = None
         else:
-            sk, ss, sw = jax.lax.sort((key, seg, weights), num_keys=1)
+            sk, ss, sw = jax.lax.sort(
+                (key, seg, weights), num_keys=1, is_stable=False
+            )
         n_small = jnp.sum((key < g.small_rows).astype(jnp.int32))
         return sk, ss, sw, n_small
 

@@ -199,13 +199,16 @@ def sorted_window(
         packed = (
             key.astype(jnp.uint32) << seg_bits
         ) | seg_m.astype(jnp.uint32)
+        # is_stable=False everywhere: stable sorts lower with an extra
+        # iota tie-breaker payload; all consumers are order-invariant
+        # within equal keys (payloads stay paired with their key)
         if weights is None:
-            # is_stable=False: a stable 1-operand sort lowers with an iota
-            # tie-breaker payload; one operand means stable == unstable
             (sp,) = jax.lax.sort((packed,), num_keys=1, is_stable=False)
             w_sorted = None
         else:
-            sp, sw = jax.lax.sort((packed, weights), num_keys=1)
+            sp, sw = jax.lax.sort(
+                (packed, weights), num_keys=1, is_stable=False
+            )
             w_sorted = sw[:u]
         sp = sp[:u]
         return (
@@ -214,9 +217,11 @@ def sorted_window(
             w_sorted,
         )
     if weights is None:
-        sk, ss = jax.lax.sort((key, seg_m), num_keys=1)
+        sk, ss = jax.lax.sort((key, seg_m), num_keys=1, is_stable=False)
         return sk[:u], ss[:u], None
-    sk, ss, sw = jax.lax.sort((key, seg_m, weights), num_keys=1)
+    sk, ss, sw = jax.lax.sort(
+        (key, seg_m, weights), num_keys=1, is_stable=False
+    )
     return sk[:u], ss[:u], sw[:u]
 
 
