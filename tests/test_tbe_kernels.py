@@ -231,14 +231,15 @@ def test_row_scatter_write_segscan_oracle(U, n_runs, chunk, wd):
     np.testing.assert_allclose(out[:R], want, rtol=2e-6, atol=2e-6)
 
 
-def test_ebc_segscan_gate_equivalence():
+@pytest.mark.parametrize("opt_name", ["sgd", "rowwise_adagrad"])
+def test_ebc_segscan_gate_equivalence(opt_name):
     """Forced-v3 EBC apply_gradients: fused segscan path vs the dedup +
     write path (gate off) — identical updates up to summation order."""
     from torchrec_tpu.modules import (
         EmbeddingBagCollection,
         EmbeddingBagConfig,
     )
-    from torchrec_tpu.ops import SGD
+    from torchrec_tpu.ops import SGD, RowWiseAdagrad
     from torchrec_tpu.sparse import KeyedJaggedTensor
 
     old_impl = EmbeddingBagCollection._CM_IMPL
@@ -258,7 +259,11 @@ def test_ebc_segscan_gate_equivalence():
         ]
         ebc = EmbeddingBagCollection(tables, max_unique_gradient_rows=500)
         params = ebc.init(jax.random.key(0))
-        opt = SGD(learning_rate=0.2, weight_decay=0.01)
+        opt = (
+            SGD(learning_rate=0.2, weight_decay=0.01)
+            if opt_name == "sgd"
+            else RowWiseAdagrad(learning_rate=0.2, weight_decay=0.01)
+        )
         states = ebc.init_optimizer(params, opt)
         B = 8
         lengths = rng.integers(1, 6, size=(3 * B,)).astype(np.int32)
@@ -276,7 +281,11 @@ def test_ebc_segscan_gate_equivalence():
         took_fused = {}
         import torchrec_tpu.ops.tbe_pallas as _tp
 
-        orig_fused = _tp.row_scatter_write_segscan
+        kname = (
+            "row_scatter_write_segscan" if opt_name == "sgd"
+            else "row_scatter_write_segscan_rowwise"
+        )
+        orig_fused = getattr(_tp, kname)
         for gate in (False, True):
             EmbeddingBagCollection._FUSED_BWD_SEGSCAN = gate
             calls = {"n": 0}
@@ -285,11 +294,11 @@ def test_ebc_segscan_gate_equivalence():
                 calls["n"] += 1
                 return orig_fused(*a, **k)
 
-            _tp.row_scatter_write_segscan = spy
+            setattr(_tp, kname, spy)
             try:
                 p2, s2 = ebc.apply_gradients(params, states, opt, kjt, cot)
             finally:
-                _tp.row_scatter_write_segscan = orig_fused
+                setattr(_tp, kname, orig_fused)
             took_fused[gate] = calls["n"]
             # compare the LOGICAL region only: run-END vs run-START
             # layouts park their (contractually garbage) sentinel writes
@@ -306,3 +315,57 @@ def test_ebc_segscan_gate_equivalence():
         EmbeddingBagCollection._CM_IMPL = old_impl
         EmbeddingBagCollection._CM_FORCE_V3 = old_force
         EmbeddingBagCollection._FUSED_BWD_SEGSCAN = old_gate
+
+
+@pytest.mark.parametrize(
+    "U,n_runs,chunk,wd",
+    [
+        pytest.param(150, 11, 64, 0.0, id="rw-U150c64"),
+        pytest.param(130, 17, 64, 0.01, id="rw-U130c64rem-wd"),
+        pytest.param(2100, 37, 0, 0.0, marks=pytest.mark.slow,
+                     id="rw-U2100prod"),
+    ],
+)
+def test_row_scatter_write_segscan_rowwise_oracle(U, n_runs, chunk, wd):
+    """Fused EXACT_ROWWISE_ADAGRAD tail vs a per-run numpy oracle (same
+    run structure / carry / sentinel / tail coverage as the SGD case,
+    plus the accumulator output contract)."""
+    from torchrec_tpu.ops.tbe_pallas import row_scatter_write_segscan_rowwise
+
+    rng = np.random.default_rng(U + n_runs + 1)
+    R, D, lr, eps = 3000, 128, 0.3, 1e-8
+    S = -(-U // (chunk or 1024)) * (chunk or 1024)
+    table = rng.normal(size=(R + S, D)).astype(np.float32)
+    mom = np.abs(rng.normal(size=(R + S,))).astype(np.float32)
+    ids, runs, grads = _segscan_case(U, n_runs, rng, R=R, D=D)
+
+    heads = np.zeros((U, 1), np.float32)
+    heads[0] = 1.0
+    heads[1:, 0] = (ids[1:] != ids[:-1]).astype(np.float32)
+    is_end = np.concatenate([ids[1:] != ids[:-1], [True]])
+    rows_end = np.where(is_end & (ids < R), ids, R + np.arange(U)).astype(
+        np.int32
+    )
+    old = table[np.minimum(ids, R - 1)]
+    mom_rows = mom[np.minimum(rows_end, R + S - 1)]
+
+    new_t, mv = row_scatter_write_segscan_rowwise(
+        jnp.asarray(table), jnp.asarray(rows_end), jnp.asarray(heads),
+        jnp.asarray(grads), jnp.asarray(old), jnp.asarray(mom_rows),
+        jnp.asarray([lr, wd, eps], np.float32),
+        interpret=True, _chunk=chunk,
+    )
+    new_m = np.asarray(
+        jnp.asarray(mom).at[jnp.asarray(rows_end)].set(
+            mv[:, 0], mode="drop", unique_indices=True
+        )
+    )
+    new_t = np.asarray(new_t)
+    want_t = table[:R].copy()
+    want_m = mom[:R].copy()
+    for rid, lo, hi in runs:
+        g = grads[lo:hi].sum(0) + wd * table[rid]
+        want_m[rid] = mom[rid] + np.mean(g * g)
+        want_t[rid] = table[rid] - lr * g / (np.sqrt(want_m[rid]) + eps)
+    np.testing.assert_allclose(new_t[:R], want_t, rtol=2e-6, atol=2e-6)
+    np.testing.assert_allclose(new_m[:R], want_m, rtol=2e-6, atol=2e-6)

@@ -345,6 +345,45 @@ class RowWiseAdagrad(EmbeddingOptimizer):
         )
         return table + delta.astype(table.dtype), {"momentum": mom}
 
+    def supports_segscan_update(self, table: jnp.ndarray) -> bool:
+        # fp32 lane-aligned tables only (no stochastic-rounding leg)
+        return (
+            not self.stochastic_rounding
+            and table.ndim == 2
+            and table.dtype == jnp.float32
+            and table.shape[1] % 128 == 0
+        )
+
+    def segscan_update(
+        self, table, state, rows_end, heads, grads, old_rows,
+        lr=None, interpret=False,
+    ):
+        from torchrec_tpu.ops.tbe_pallas import (
+            row_scatter_write_segscan_rowwise,
+        )
+
+        lr = self._lr(lr)
+        mom = state["momentum"]
+        # accumulator at run-end rows (sentinel positions read garbage
+        # that lands back in the state's scratch tail — same parking
+        # contract as the table rows)
+        mom_rows = jnp.take(mom, jnp.minimum(rows_end, mom.shape[0] - 1))
+        scal = jnp.stack(
+            [
+                jnp.asarray(lr, jnp.float32),
+                jnp.asarray(self.weight_decay, jnp.float32),
+                jnp.asarray(self.eps, jnp.float32),
+            ]
+        )
+        new_table, m_new = row_scatter_write_segscan_rowwise(
+            table, rows_end, heads, grads, old_rows, mom_rows, scal,
+            interpret=interpret,
+        )
+        new_mom = mom.at[rows_end].set(
+            m_new[:, 0], mode="drop", unique_indices=True
+        )
+        return new_table, {**state, "momentum": new_mom}
+
 
 @dataclasses.dataclass(frozen=True)
 class Adam(EmbeddingOptimizer):

@@ -608,29 +608,15 @@ def row_scatter_write(
 # --------------------------------------------------------------------------
 
 
-def _row_scatter_write_segscan_kernel(
-    scal_ref,   # SMEM [2] f32: (lr, weight_decay)
-    rows_ref,   # SMEM [CHUNK] run-END targets — ALL in-bounds and distinct
-    heads_ref,  # VMEM [CHUNK, 1] f32: 1.0 at run starts (global layout)
-    grads_ref,  # VMEM [CHUNK, D] f32 per-slot gradient rows (slot order)
-    old_ref,    # VMEM [CHUNK, D] f32 table rows at slot positions
-    table_in,   # ANY (aliased)
-    table_out,  # ANY
-    vals_ref,   # VMEM scratch [CHUNK, D]: computed replacement rows
-    carry_ref,  # VMEM scratch [1, D]: boundary-crossing run prefix sum
-    sem,        # DMA [1]
-    *,
-    chunk: int,
-    rem: int = 0,
-    n_chunks: int = 1,
-):
+def _segscan_v(heads_ref, grads_ref, carry_ref, chunk: int):
+    """Shared segmented inclusive prefix scan: v[i] = sum of grads over
+    this run's slots <= i, with the cross-chunk carry updated in place.
+    b[i] ("open") = 1 iff no run head at any position <= i, i.e. position
+    i still absorbs the carry from the previous chunk."""
     @pl.when(pl.program_id(0) == 0)
     def _():
         carry_ref[...] = jnp.zeros_like(carry_ref)
 
-    # segmented inclusive prefix scan: v[i] = sum of grads over this run's
-    # slots <= i. b[i] ("open") = 1 iff no run head at any position <= i,
-    # i.e. position i still absorbs the carry from the previous chunk.
     v = grads_ref[...]
     b = 1.0 - heads_ref[...]
     d = 1
@@ -647,26 +633,19 @@ def _row_scatter_write_segscan_kernel(
         d *= 2
     v = v + b * carry_ref[...]
     carry_ref[...] = v[chunk - 1 : chunk, :]
-    lr = scal_ref[0]
-    wd = scal_ref[1]
-    # SGD with decoupled-into-gradient weight decay (fused_optim.SGD):
-    # new = old - lr * (run_sum + wd * old) = (1 - lr*wd) * old - lr * sum
-    vals_ref[...] = old_ref[...] * (1.0 - lr * wd) - lr * v
+    return v
 
-    def issue(i):
-        pltpu.make_async_copy(
-            vals_ref.at[pl.ds(i, 1), :],
-            table_out.at[pl.ds(rows_ref[i], 1), :],
-            sem.at[0],
-        ).start()
 
+def _segscan_write(issue, sem_waits, chunk: int, rem: int, n_chunks: int):
+    """Shared branch-free write tail: issue per-row DMAs, one aggregated
+    wait per (semaphore, row-size) via a same-size dummy self-copy."""
     def run(n):
         for i in range(n):
             issue(i)
-        pltpu.make_async_copy(
-            vals_ref.at[pl.ds(0, n), :], vals_ref.at[pl.ds(0, n), :],
-            sem.at[0],
-        ).wait()
+        for ref, sem in sem_waits:
+            pltpu.make_async_copy(
+                ref.at[pl.ds(0, n)], ref.at[pl.ds(0, n)], sem
+            ).wait()
 
     if rem == 0:
         run(chunk)
@@ -680,6 +659,39 @@ def _row_scatter_write_segscan_kernel(
         @pl.when(last)
         def _():
             run(rem)
+
+
+def _row_scatter_write_segscan_kernel(
+    scal_ref,   # SMEM [2] f32: (lr, weight_decay)
+    rows_ref,   # SMEM [CHUNK] run-END targets — ALL in-bounds and distinct
+    heads_ref,  # VMEM [CHUNK, 1] f32: 1.0 at run starts (global layout)
+    grads_ref,  # VMEM [CHUNK, D] f32 per-slot gradient rows (slot order)
+    old_ref,    # VMEM [CHUNK, D] f32 table rows at slot positions
+    table_in,   # ANY (aliased)
+    table_out,  # ANY
+    vals_ref,   # VMEM scratch [CHUNK, D]: computed replacement rows
+    carry_ref,  # VMEM scratch [1, D]: boundary-crossing run prefix sum
+    sem,        # DMA [1]
+    *,
+    chunk: int,
+    rem: int = 0,
+    n_chunks: int = 1,
+):
+    v = _segscan_v(heads_ref, grads_ref, carry_ref, chunk)
+    lr = scal_ref[0]
+    wd = scal_ref[1]
+    # SGD with decoupled-into-gradient weight decay (fused_optim.SGD):
+    # new = old - lr * (run_sum + wd * old) = (1 - lr*wd) * old - lr * sum
+    vals_ref[...] = old_ref[...] * (1.0 - lr * wd) - lr * v
+
+    def issue(i):
+        pltpu.make_async_copy(
+            vals_ref.at[pl.ds(i, 1), :],
+            table_out.at[pl.ds(rows_ref[i], 1), :],
+            sem.at[0],
+        ).start()
+
+    _segscan_write(issue, [(vals_ref, sem.at[0])], chunk, rem, n_chunks)
 
 
 @functools.partial(
@@ -767,6 +779,144 @@ def row_scatter_write_segscan(
         old_rows.astype(jnp.float32),
         table,
     )
+
+
+def _row_scatter_write_segscan_rowwise_kernel(
+    scal_ref,   # SMEM [3] f32: (lr, weight_decay, eps)
+    rows_ref,   # SMEM [CHUNK] run-END targets — ALL in-bounds and distinct
+    heads_ref,  # VMEM [CHUNK, 1] f32
+    grads_ref,  # VMEM [CHUNK, D] f32
+    old_ref,    # VMEM [CHUNK, D] f32 table rows at slot positions
+    mom_ref,    # VMEM [CHUNK, 1] f32 momentum at run-end rows (slot order)
+    table_in,   # ANY (aliased)
+    table_out,  # ANY
+    mvals_ref,  # VMEM OUTPUT block [CHUNK, 1]: updated accumulator values
+                # (scalars cannot be DMA-scattered — minor-dim tiling is
+                # 128 — so the caller scatters them with XLA's cheap
+                # scalar-target set)
+    vals_ref,   # VMEM scratch [CHUNK, D]
+    carry_ref,  # VMEM scratch [1, D]
+    sem,        # DMA [1]
+    *,
+    chunk: int,
+    rem: int = 0,
+    n_chunks: int = 1,
+):
+    v = _segscan_v(heads_ref, grads_ref, carry_ref, chunk)
+    lr = scal_ref[0]
+    wd = scal_ref[1]
+    eps = scal_ref[2]
+    # EXACT_ROWWISE_ADAGRAD (fused_optim.RowWiseAdagrad.update):
+    #   g = run_sum + wd * old; s += mean(g^2); new = old - lr*g/(sqrt(s)+eps)
+    g = v + wd * old_ref[...]
+    m_new = mom_ref[...] + jnp.mean(g * g, axis=1, keepdims=True)
+    mvals_ref[...] = m_new
+    vals_ref[...] = old_ref[...] - (lr * g) / (jnp.sqrt(m_new) + eps)
+
+    def issue(i):
+        pltpu.make_async_copy(
+            vals_ref.at[pl.ds(i, 1), :],
+            table_out.at[pl.ds(rows_ref[i], 1), :],
+            sem.at[0],
+        ).start()
+
+    _segscan_write(issue, [(vals_ref, sem.at[0])], chunk, rem, n_chunks)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "_chunk"),
+    donate_argnums=(0,),
+)
+def row_scatter_write_segscan_rowwise(
+    table: jnp.ndarray,
+    rows_end: jnp.ndarray,
+    heads: jnp.ndarray,
+    grads: jnp.ndarray,
+    old_rows: jnp.ndarray,
+    mom_rows: jnp.ndarray,
+    scal: jnp.ndarray,
+    *,
+    interpret: bool = False,
+    _chunk: int = 0,
+) -> tuple:
+    """Fused EXACT_ROWWISE_ADAGRAD backward tail (the RowWiseAdagrad
+    sibling of :func:`row_scatter_write_segscan` — same run-END layout
+    and scratch-tail parking contract):
+
+    for each run: ``g = sum(grads) + wd * table[id];
+    m_new = mom[id] + mean(g²); table[id] -= lr * g / (sqrt(m_new) +
+    eps)`` — rows are written in place; the updated accumulator values
+    come back as a BLOCKED ``[u, 1]`` output for the caller to scatter
+    (``mom.at[rows_end].set``, a cheap scalar-target XLA scatter —
+    per-element DMA scatters are impossible: minor-dim tiling is 128).
+
+    Extra args: ``mom_rows`` [u] f32 — the accumulator gathered at
+    ``min(rows_end, R-1)`` (garbage at sentinel positions ends up in the
+    scratch tail either way); ``scal`` [3] f32 — (lr, weight_decay, eps).
+    Returns ``(new_table, m_new [u, 1])``.
+    """
+    num_rows, d = table.shape
+    if d % 128:
+        raise ValueError(f"row width {d} must be a multiple of 128")
+    u = rows_end.shape[0]
+    chunk = _chunk or _CHUNK
+    if chunk > _CHUNK:
+        raise ValueError(f"_chunk={chunk} > _CHUNK={_CHUNK} with in_bounds")
+    rem = u % chunk
+    n_chunks = (u + chunk - 1) // chunk
+    kernel = functools.partial(
+        _row_scatter_write_segscan_rowwise_kernel,
+        chunk=chunk, rem=rem, n_chunks=n_chunks,
+    )
+    new_table, m_new = pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((3,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (chunk, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (chunk, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(table.shape, table.dtype),
+            jax.ShapeDtypeStruct((n_chunks * chunk, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((chunk, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        input_output_aliases={6: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        scal.astype(jnp.float32),
+        rows_end.astype(jnp.int32),
+        heads.astype(jnp.float32),
+        grads.astype(jnp.float32),
+        old_rows.astype(jnp.float32),
+        mom_rows.astype(jnp.float32).reshape(u, 1),
+        table,
+    )
+    return new_table, m_new[:u]
 
 
 # --------------------------------------------------------------------------
