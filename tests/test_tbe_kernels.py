@@ -214,14 +214,16 @@ def test_row_scatter_write_segscan_oracle(U, n_runs, chunk, wd):
     heads[0] = 1.0
     heads[1:, 0] = (ids[1:] != ids[:-1]).astype(np.float32)
     is_end = np.concatenate([ids[1:] != ids[:-1], [True]])
-    rows_end = np.where(is_end & (ids < R), ids, R + np.arange(U))
+    real_end = is_end & (ids < R)
+    rows_end = np.where(real_end, ids, R + np.arange(U))
+    ends = real_end.astype(np.float32)[:, None]
     old = table[np.minimum(ids, R - 1)]
 
     out = np.asarray(
         row_scatter_write_segscan(
             jnp.asarray(table), jnp.asarray(rows_end.astype(np.int32)),
-            jnp.asarray(heads), jnp.asarray(grads), jnp.asarray(old),
-            jnp.asarray([lr, wd], np.float32),
+            jnp.asarray(heads), jnp.asarray(ends), jnp.asarray(grads),
+            jnp.asarray(old), jnp.asarray([lr, wd], np.float32),
             interpret=True, _chunk=chunk,
         )
     )
@@ -229,6 +231,10 @@ def test_row_scatter_write_segscan_oracle(U, n_runs, chunk, wd):
     for rid, lo, hi in runs:
         want[rid] = (1 - lr * wd) * want[rid] - lr * grads[lo:hi].sum(0)
     np.testing.assert_allclose(out[:R], want, rtol=2e-6, atol=2e-6)
+    # scratch-tail rows written at sentinel positions are ZEROED (ends
+    # mask) — the tail stays finite across steps
+    touched_tail = sorted(int(r) - R for r in rows_end if r >= R)
+    np.testing.assert_array_equal(out[R:][touched_tail], 0.0)
 
 
 @pytest.mark.parametrize("opt_name", ["sgd", "rowwise_adagrad"])
@@ -343,16 +349,16 @@ def test_row_scatter_write_segscan_rowwise_oracle(U, n_runs, chunk, wd):
     heads[0] = 1.0
     heads[1:, 0] = (ids[1:] != ids[:-1]).astype(np.float32)
     is_end = np.concatenate([ids[1:] != ids[:-1], [True]])
-    rows_end = np.where(is_end & (ids < R), ids, R + np.arange(U)).astype(
-        np.int32
-    )
+    real_end = is_end & (ids < R)
+    rows_end = np.where(real_end, ids, R + np.arange(U)).astype(np.int32)
+    ends = real_end.astype(np.float32)[:, None]
     old = table[np.minimum(ids, R - 1)]
     mom_rows = mom[np.minimum(rows_end, R + S - 1)]
 
     new_t, mv = row_scatter_write_segscan_rowwise(
         jnp.asarray(table), jnp.asarray(rows_end), jnp.asarray(heads),
-        jnp.asarray(grads), jnp.asarray(old), jnp.asarray(mom_rows),
-        jnp.asarray([lr, wd, eps], np.float32),
+        jnp.asarray(ends), jnp.asarray(grads), jnp.asarray(old),
+        jnp.asarray(mom_rows), jnp.asarray([lr, wd, eps], np.float32),
         interpret=True, _chunk=chunk,
     )
     new_m = np.asarray(
@@ -369,3 +375,8 @@ def test_row_scatter_write_segscan_rowwise_oracle(U, n_runs, chunk, wd):
         want_t[rid] = table[rid] - lr * g / (np.sqrt(want_m[rid]) + eps)
     np.testing.assert_allclose(new_t[:R], want_t, rtol=2e-6, atol=2e-6)
     np.testing.assert_allclose(new_m[:R], want_m, rtol=2e-6, atol=2e-6)
+    # sentinel-position writes are zeroed (finite scratch tail) and their
+    # mvals are zero too
+    touched_tail = sorted(int(r) - R for r in rows_end if r >= R)
+    np.testing.assert_array_equal(new_t[R:][touched_tail], 0.0)
+    np.testing.assert_array_equal(np.asarray(mv)[~real_end, 0], 0.0)

@@ -179,9 +179,21 @@ class DistributedModelParallel:
         contract of the reference's env-derived process groups
         (torchrec/distributed/comm.py:164): each rank feeds its own batch.
         Every process's local batch must have the same example count and
-        padded KJT capacity.
+        padded KJT capacity. Only supported with
+        ``input_dist='bucketized'``: the replicated-input path needs the
+        identical GLOBAL KJT on every process (see
+        :meth:`make_global_batch`), which contradicts the per-slice
+        contract — feed the full batch everywhere instead.
         """
         if self.input_dist != "bucketized":
+            if process_local and jax.process_count() > 1:
+                raise ValueError(
+                    "prepare_batch(process_local=True) requires "
+                    "input_dist='bucketized': the replicated-input path "
+                    "places the KJT with a fully replicated sharding, which "
+                    "needs the identical GLOBAL batch on every process — "
+                    "pass the full batch with process_local=False instead"
+                )
             return self.make_global_batch(batch) if process_local else batch
         from torchrec_tpu.distributed.input_dist import stack_sparse
 
@@ -449,11 +461,16 @@ class DistributedModelParallel:
         bucketized = self.input_dist == "bucketized"
 
         def local_eval(state: TrainState, batch: Batch):
+            dropped = jnp.zeros((), jnp.int32)
             if bucketized:
                 sv, sl, sw = batch.sparse_features.local()
-                emb_values, _ = sebc.apply_local_bucketized(
+                emb_values, dropped = sebc.apply_local_bucketized(
                     state.sparse_params, sv, sl, sw
                 )
+                # surface a2a-capacity overflow exactly like the train step
+                # ("a2a_dropped" aux) — eval silently losing ids would skew
+                # metrics with no signal
+                dropped = jax.lax.psum(dropped, axis)
             else:
                 emb_values = sebc.apply_local(
                     state.sparse_params, batch.sparse_features
@@ -468,6 +485,7 @@ class DistributedModelParallel:
                 "loss": loss,
                 "logits": logits,
                 "labels": batch.labels,
+                "a2a_dropped": dropped,
             }
 
         state_specs = self._state_specs(example_state, None, None)
@@ -485,7 +503,10 @@ class DistributedModelParallel:
             dense_features=P(axis), sparse_features=sparse_spec,
             labels=P(axis),
         )
-        aux_specs = {"loss": P(), "logits": P(axis), "labels": P(axis)}
+        aux_specs = {
+            "loss": P(), "logits": P(axis), "labels": P(axis),
+            "a2a_dropped": P(),
+        }
         fn = shard_map(
             local_eval,
             mesh=env.mesh,

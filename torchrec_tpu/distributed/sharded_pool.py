@@ -164,11 +164,22 @@ class ShardedKeyedJaggedTensorPool:
 
     def update_local(self, state, ids, dense, lens):
         """Scatter ``dense [B, F, max_len]`` / ``lens [B, F]`` at rows
-        ``ids`` — only on the owning device."""
+        ``ids`` — only on the owning device. Repeated ids within one update
+        batch keep the LAST occurrence (deterministic; XLA's scatter leaves
+        the winner among duplicate indices undefined, so earlier duplicates
+        are masked out before the scatter)."""
         d = jax.lax.axis_index(self.env.shard_axis)
         local = self.rows_per_shard
         lo = d * local
         mine = (ids >= lo) & (ids < lo + local) & (ids < self.pool_size)
+        # keep-last dedup: position of the last occurrence of each id
+        n = ids.shape[0]
+        pos = jnp.arange(n, dtype=jnp.int32)
+        tgt = jnp.where(ids < self.pool_size, ids, self.pool_size)
+        last_pos = jnp.full(
+            (self.pool_size + 1,), -1, jnp.int32
+        ).at[tgt].max(pos, mode="drop")
+        mine = mine & (jnp.take(last_pos, tgt) == pos)
         idx = jnp.where(mine, ids - lo, local)
         f = len(self.keys)
         vals = state["values"].reshape(local, f, self.max_len)

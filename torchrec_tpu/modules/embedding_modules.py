@@ -631,8 +631,9 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
     _SMALL_MM_FUSED = True
     _CM_PACKED_SORT = True  # single-u32 packed sort when (key, seg) fit  # tests: run v3 with interpret kernels off-TPU
     # fused backward tail (run segsum + optimizer + write in ONE Pallas
-    # pass, tbe_pallas.row_scatter_write_segscan) when the optimizer
-    # supports it (SGD, fp32 tables); A/B gate
+    # pass, tbe_pallas.row_scatter_write_segscan[_rowwise]) when the
+    # optimizer supports it (SGD and RowWiseAdagrad on lane-aligned fp32
+    # tables — see supports_segscan_update); A/B gate
     _FUSED_BWD_SEGSCAN = True
 
     def _cm_impl(self, gi: int, weights) -> str:
@@ -1189,7 +1190,9 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 )[:, None]
                 is_end = jnp.concatenate([diff, jnp.ones((1,), jnp.bool_)])
                 pos = jnp.arange(u, dtype=jnp.int32)
-                rows_end = jnp.where(is_end & in_range, ids_m, total + pos)
+                real_end = is_end & in_range
+                rows_end = jnp.where(real_end, ids_m, total + pos)
+                ends = real_end.astype(jnp.float32)[:, None]
                 # IDENTICAL expression to the forward's compact window
                 # gather -> XLA CSEs it across the step (supports gate
                 # guarantees fp32, so table_f32 is tbl itself)
@@ -1198,8 +1201,8 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                     indices_are_sorted=True,
                 )
                 tbl, st = optimizer.segscan_update(
-                    tbl, st, rows_end, heads, g_sorted, old_rows, lr=lr,
-                    interpret=self._CM_FORCE_V3,
+                    tbl, st, rows_end, heads, ends, g_sorted, old_rows,
+                    lr=lr, interpret=self._CM_FORCE_V3,
                 )
             elif small < total and ids_g.shape[0] > 0:
                 # large rows: sort/dedup + sparse scatter (zero-capacity

@@ -188,12 +188,13 @@ class EmbeddingOptimizer:
         return False
 
     def segscan_update(
-        self, table, state, rows_end, heads, grads, old_rows,
+        self, table, state, rows_end, heads, ends, grads, old_rows,
         lr=None, interpret=False,
     ):
         """Fused sorted-stream update (see tbe_pallas.row_scatter_write_
-        segscan for the argument contract). Only valid when
-        :meth:`supports_segscan_update` returns True."""
+        segscan for the argument contract; ``ends`` marks real-row run-end
+        positions). Only valid when :meth:`supports_segscan_update`
+        returns True."""
         raise NotImplementedError
 
     def dense_update(
@@ -260,7 +261,7 @@ class SGD(EmbeddingOptimizer):
         )
 
     def segscan_update(
-        self, table, state, rows_end, heads, grads, old_rows,
+        self, table, state, rows_end, heads, ends, grads, old_rows,
         lr=None, interpret=False,
     ):
         from torchrec_tpu.ops.tbe_pallas import row_scatter_write_segscan
@@ -273,7 +274,7 @@ class SGD(EmbeddingOptimizer):
             ]
         )
         new_table = row_scatter_write_segscan(
-            table, rows_end, heads, grads, old_rows, scal,
+            table, rows_end, heads, ends, grads, old_rows, scal,
             interpret=interpret,
         )
         return new_table, state
@@ -355,7 +356,7 @@ class RowWiseAdagrad(EmbeddingOptimizer):
         )
 
     def segscan_update(
-        self, table, state, rows_end, heads, grads, old_rows,
+        self, table, state, rows_end, heads, ends, grads, old_rows,
         lr=None, interpret=False,
     ):
         from torchrec_tpu.ops.tbe_pallas import (
@@ -364,9 +365,8 @@ class RowWiseAdagrad(EmbeddingOptimizer):
 
         lr = self._lr(lr)
         mom = state["momentum"]
-        # accumulator at run-end rows (sentinel positions read garbage
-        # that lands back in the state's scratch tail — same parking
-        # contract as the table rows)
+        # accumulator at run-end rows (sentinel positions read garbage;
+        # the kernel's ends mask zeroes their outputs)
         mom_rows = jnp.take(mom, jnp.minimum(rows_end, mom.shape[0] - 1))
         scal = jnp.stack(
             [
@@ -376,7 +376,7 @@ class RowWiseAdagrad(EmbeddingOptimizer):
             ]
         )
         new_table, m_new = row_scatter_write_segscan_rowwise(
-            table, rows_end, heads, grads, old_rows, mom_rows, scal,
+            table, rows_end, heads, ends, grads, old_rows, mom_rows, scal,
             interpret=interpret,
         )
         new_mom = mom.at[rows_end].set(

@@ -529,13 +529,14 @@ def row_scatter_write(
     """``table[rows] = values`` for DISTINCT rows, in place; OOB skipped.
 
     ``in_bounds=True`` selects the branch-free kernel (2.8x faster issue
-    rate). CONTRACT: every entry of ``rows`` must be a distinct valid row
-    strictly below ``table.shape[0] - ((-len(rows)) % _CHUNK)`` — the final
-    chunk-padding rows of the table are used as distinct parking targets for
-    internal padding. The module layer satisfies this by allocating group
-    blobs with a scratch tail of ``round_up(max_unique, _CHUNK)`` rows and
-    parking dedup sentinels there (TableGroup.scratch_rows, which imports
-    the same ``_CHUNK`` constant so the two sides cannot drift).
+    rate). CONTRACT: every entry of ``rows`` must be a distinct row strictly
+    below ``table.shape[0]`` (no padding headroom needed — a partial tail
+    chunk is handled in-kernel by a static ``rem`` unroll, not by padding
+    the inputs). Callers that park dedup sentinels at real addresses
+    allocate group blobs with a scratch tail of ``round_up(max_unique,
+    _CHUNK)`` rows (TableGroup.scratch_rows imports the same ``_CHUNK``
+    constant so the two sides cannot drift) — that is the module layer's
+    sentinel-parking convention, not a requirement of this kernel.
     """
     num_rows, d = table.shape
     if d % 128:
@@ -665,6 +666,7 @@ def _row_scatter_write_segscan_kernel(
     scal_ref,   # SMEM [2] f32: (lr, weight_decay)
     rows_ref,   # SMEM [CHUNK] run-END targets — ALL in-bounds and distinct
     heads_ref,  # VMEM [CHUNK, 1] f32: 1.0 at run starts (global layout)
+    ends_ref,   # VMEM [CHUNK, 1] f32: 1.0 at run ENDS (real-row targets)
     grads_ref,  # VMEM [CHUNK, D] f32 per-slot gradient rows (slot order)
     old_ref,    # VMEM [CHUNK, D] f32 table rows at slot positions
     table_in,   # ANY (aliased)
@@ -681,8 +683,16 @@ def _row_scatter_write_segscan_kernel(
     lr = scal_ref[0]
     wd = scal_ref[1]
     # SGD with decoupled-into-gradient weight decay (fused_optim.SGD):
-    # new = old - lr * (run_sum + wd * old) = (1 - lr*wd) * old - lr * sum
-    vals_ref[...] = old_ref[...] * (1.0 - lr * wd) - lr * v
+    # new = old - lr * (run_sum + wd * old) = (1 - lr*wd) * old - lr * sum.
+    # Non-run-end positions write to scratch-tail sentinel rows; zero them
+    # (ends mask, via where — a multiply would keep NaN garbage: NaN*0=NaN)
+    # so the tail stays finite instead of accumulating garbage copies of
+    # old rows (NaN-free checkpoints / whole-tensor inspection).
+    vals_ref[...] = jnp.where(
+        ends_ref[...] > 0.0,
+        old_ref[...] * (1.0 - lr * wd) - lr * v,
+        0.0,
+    )
 
     def issue(i):
         pltpu.make_async_copy(
@@ -703,6 +713,7 @@ def row_scatter_write_segscan(
     table: jnp.ndarray,
     rows_end: jnp.ndarray,
     heads: jnp.ndarray,
+    ends: jnp.ndarray,
     grads: jnp.ndarray,
     old_rows: jnp.ndarray,
     scal: jnp.ndarray,
@@ -725,6 +736,10 @@ def row_scatter_write_segscan(
         entries < ``table.shape[0]``, module scratch tail sized by _CHUNK).
       heads:    [u, 1] f32 — 1.0 where a new run starts, else 0.0
         (position 0 is always a head).
+      ends:     [u, 1] f32 — 1.0 where a run ends AND targets a real row
+        (i.e. exactly where ``rows_end`` is not a sentinel). Non-end
+        positions write ZERO rows to their scratch-tail sentinels, keeping
+        the tail finite across steps.
       grads:    [u, D] f32 — per-slot gradient rows (zero rows for
         invalid/padding slots).
       old_rows: [u, D] f32 — current table rows at slot positions (the
@@ -754,6 +769,9 @@ def row_scatter_write_segscan(
                 (chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
+                (chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
                 (chunk, d), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
@@ -768,13 +786,14 @@ def row_scatter_write_segscan(
             pltpu.VMEM((1, d), jnp.float32),
             pltpu.SemaphoreType.DMA((1,)),
         ],
-        input_output_aliases={5: 0},
+        input_output_aliases={6: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(
         scal.astype(jnp.float32),
         rows_end.astype(jnp.int32),
         heads.astype(jnp.float32),
+        ends.astype(jnp.float32),
         grads.astype(jnp.float32),
         old_rows.astype(jnp.float32),
         table,
@@ -785,6 +804,7 @@ def _row_scatter_write_segscan_rowwise_kernel(
     scal_ref,   # SMEM [3] f32: (lr, weight_decay, eps)
     rows_ref,   # SMEM [CHUNK] run-END targets — ALL in-bounds and distinct
     heads_ref,  # VMEM [CHUNK, 1] f32
+    ends_ref,   # VMEM [CHUNK, 1] f32: 1.0 at run ENDS (real-row targets)
     grads_ref,  # VMEM [CHUNK, D] f32
     old_ref,    # VMEM [CHUNK, D] f32 table rows at slot positions
     mom_ref,    # VMEM [CHUNK, 1] f32 momentum at run-end rows (slot order)
@@ -808,10 +828,20 @@ def _row_scatter_write_segscan_rowwise_kernel(
     eps = scal_ref[2]
     # EXACT_ROWWISE_ADAGRAD (fused_optim.RowWiseAdagrad.update):
     #   g = run_sum + wd * old; s += mean(g^2); new = old - lr*g/(sqrt(s)+eps)
+    # Non-end positions hold garbage old/mom values (their writes park in
+    # the scratch tail; their mvals are dropped by the caller's mode="drop"
+    # scatter) — select them to zero (where, not multiply: NaN*0=NaN) so no
+    # NaN (sqrt of negative garbage) lands in the tail and mvals stay
+    # finite.
+    ends = ends_ref[...] > 0.0
     g = v + wd * old_ref[...]
     m_new = mom_ref[...] + jnp.mean(g * g, axis=1, keepdims=True)
-    mvals_ref[...] = m_new
-    vals_ref[...] = old_ref[...] - (lr * g) / (jnp.sqrt(m_new) + eps)
+    mvals_ref[...] = jnp.where(ends, m_new, 0.0)
+    vals_ref[...] = jnp.where(
+        ends,
+        old_ref[...] - (lr * g) / (jnp.sqrt(jnp.abs(m_new)) + eps),
+        0.0,
+    )
 
     def issue(i):
         pltpu.make_async_copy(
@@ -832,6 +862,7 @@ def row_scatter_write_segscan_rowwise(
     table: jnp.ndarray,
     rows_end: jnp.ndarray,
     heads: jnp.ndarray,
+    ends: jnp.ndarray,
     grads: jnp.ndarray,
     old_rows: jnp.ndarray,
     mom_rows: jnp.ndarray,
@@ -841,8 +872,8 @@ def row_scatter_write_segscan_rowwise(
     _chunk: int = 0,
 ) -> tuple:
     """Fused EXACT_ROWWISE_ADAGRAD backward tail (the RowWiseAdagrad
-    sibling of :func:`row_scatter_write_segscan` — same run-END layout
-    and scratch-tail parking contract):
+    sibling of :func:`row_scatter_write_segscan` — same run-END layout,
+    ``ends`` mask, and scratch-tail parking contract):
 
     for each run: ``g = sum(grads) + wd * table[id];
     m_new = mom[id] + mean(g²); table[id] -= lr * g / (sqrt(m_new) +
@@ -850,10 +881,12 @@ def row_scatter_write_segscan_rowwise(
     come back as a BLOCKED ``[u, 1]`` output for the caller to scatter
     (``mom.at[rows_end].set``, a cheap scalar-target XLA scatter —
     per-element DMA scatters are impossible: minor-dim tiling is 128).
+    Non-end positions write zero rows/mvals (kept finite by the ends
+    mask).
 
     Extra args: ``mom_rows`` [u] f32 — the accumulator gathered at
-    ``min(rows_end, R-1)`` (garbage at sentinel positions ends up in the
-    scratch tail either way); ``scal`` [3] f32 — (lr, weight_decay, eps).
+    ``min(rows_end, R-1)`` (garbage at sentinel positions is masked to
+    zero in-kernel); ``scal`` [3] f32 — (lr, weight_decay, eps).
     Returns ``(new_table, m_new [u, 1])``.
     """
     num_rows, d = table.shape
@@ -875,6 +908,9 @@ def row_scatter_write_segscan_rowwise(
         in_specs=[
             pl.BlockSpec((3,), lambda i: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec((chunk,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(
                 (chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
             ),
@@ -904,13 +940,14 @@ def row_scatter_write_segscan_rowwise(
             pltpu.VMEM((1, d), jnp.float32),
             pltpu.SemaphoreType.DMA((1,)),
         ],
-        input_output_aliases={6: 0},
+        input_output_aliases={7: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(
         scal.astype(jnp.float32),
         rows_end.astype(jnp.int32),
         heads.astype(jnp.float32),
+        ends.astype(jnp.float32),
         grads.astype(jnp.float32),
         old_rows.astype(jnp.float32),
         mom_rows.astype(jnp.float32).reshape(u, 1),
