@@ -26,6 +26,7 @@ from torchrec_tpu.sparse import KeyedJaggedTensor
         (512, 64, 0, 100, False),  # no small slots
         (5000, 64, 2000, 0, False),
         (19454, 64, 8600, 2048, False),  # many row blocks
+        (800, 32, 3000, 50, "frac"),  # fractional weights: two-limb bf16
     ],
 )
 def test_kernel_matches_oracle(small, kb, n_small, n_large, weighted):
@@ -35,8 +36,13 @@ def test_kernel_matches_oracle(small, kb, n_small, n_large, weighted):
         [ids_small, rng.integers(small, small + 10_000, size=n_large)]
     ).astype(np.int32)
     cols = rng.integers(0, kb, size=ids.shape[0]).astype(np.int32)
-    # integer weights stay exact through the kernel's bf16 one-hots
-    w = rng.integers(1, 4, size=ids.shape[0]).astype(np.float32) if weighted else None
+    if weighted == "frac":
+        w = rng.normal(size=ids.shape[0]).astype(np.float32)
+    elif weighted:
+        # integer weights stay exact through the two-limb bf16 split
+        w = rng.integers(1, 4, size=ids.shape[0]).astype(np.float32)
+    else:
+        w = None
     order = np.argsort(ids, kind="stable")
     C = np.asarray(
         sorted_count_matrix(
@@ -44,15 +50,18 @@ def test_kernel_matches_oracle(small, kb, n_small, n_large, weighted):
             jnp.asarray(cols[order]),
             small,
             kb,
-            jnp.asarray(w[order]) if weighted else None,
+            jnp.asarray(w[order]) if w is not None else None,
             interpret=True,
         )
     )
     oracle = np.zeros((small, kb), np.float32)
     for i in range(n_small):
-        oracle[ids[i], cols[i]] += w[i] if weighted else 1.0
+        oracle[ids[i], cols[i]] += w[i] if w is not None else 1.0
     assert C.shape == (small, kb)
-    np.testing.assert_array_equal(C, oracle)
+    if weighted == "frac":
+        np.testing.assert_allclose(C, oracle, rtol=1e-5, atol=1e-5)
+    else:
+        np.testing.assert_array_equal(C, oracle)
 
 
 def test_kernel_empty_stream():
@@ -136,9 +145,9 @@ def test_v3_zero_batch(forced_v3):
         np.testing.assert_array_equal(np.asarray(p0[k]), np.asarray(params[k]))
 
 
-def test_v3_falls_back_when_unsupported(forced_v3):
-    """Weighted EBCs (bf16 one-hot precision) must silently take v2."""
-    rng = np.random.default_rng(0)
+def test_v3_gate_coverage(forced_v3):
+    """Weighted EBCs take v3 (two-limb bf16 count matmul); multi-feature
+    tables and missing max_unique still fall back to v2."""
     tables = [
         EmbeddingBagConfig(
             name="t0", num_embeddings=100, embedding_dim=8,
@@ -148,8 +157,71 @@ def test_v3_falls_back_when_unsupported(forced_v3):
     ebc = EmbeddingBagCollection(
         tables, is_weighted=True, max_unique_gradient_rows=64
     )
-    assert ebc._cm_impl(0, jnp.ones((4,))) == "v2"
+    assert ebc._cm_impl(0, jnp.ones((4,))) == "v3"
     assert ebc._cm_impl(0, None) == "v3"  # forced on CPU by the fixture
+    no_bound = EmbeddingBagCollection(tables, is_weighted=True)
+    assert no_bound._cm_impl(0, None) == "v2"
+
+
+def test_v3_matches_v2_weighted(forced_v3):
+    """Weighted KJT through the v3 shared-sort path: forward pooling,
+    count matmul (two-limb bf16), window scaling, and the weighted
+    backward (segscan + dedup) all match v2 (reference contract:
+    per_sample_weights through TBE at full speed,
+    torchrec/distributed/batched_embedding_kernel.py:3725)."""
+    rng = np.random.default_rng(11)
+    tables = [
+        EmbeddingBagConfig(
+            name=f"t{i}", num_embeddings=r, embedding_dim=128,
+            feature_names=[f"f{i}"],
+        )
+        for i, r in enumerate([50, 4000, 300_000, 120_000])
+    ]
+    ebc = EmbeddingBagCollection(
+        tables, is_weighted=True, max_unique_gradient_rows=600
+    )
+    params = ebc.init(jax.random.key(1))
+    B = 8
+    keys = [f"f{i}" for i in range(4)]
+    lengths = rng.integers(0, 6, size=(4 * B,)).astype(np.int32)
+    vals = np.concatenate(
+        [
+            rng.integers(
+                0, tables[i].num_embeddings,
+                size=int(lengths[i * B: (i + 1) * B].sum()),
+            )
+            for i in range(4)
+        ]
+    ).astype(np.int32)
+    w = rng.normal(size=vals.shape[0]).astype(np.float32)
+    kjt = KeyedJaggedTensor.from_lengths(
+        keys, jnp.asarray(vals), jnp.asarray(lengths), jnp.asarray(w)
+    )
+    cot = jnp.asarray(rng.normal(size=(B, 4 * 128)).astype(np.float32))
+    from torchrec_tpu.ops import RowWiseAdagrad
+
+    for opt in (SGD(learning_rate=0.1), RowWiseAdagrad(learning_rate=0.1)):
+        states = ebc.init_optimizer(params, opt)
+        res = {}
+        for impl, force in [("v2", False), ("v3", True)]:
+            EmbeddingBagCollection._CM_IMPL = impl
+            EmbeddingBagCollection._CM_FORCE_V3 = force
+            out = np.asarray(ebc.apply(params, kjt).values())
+            # the interpret segscan kernel aliases (donates) its table
+            # buffer — hand it a copy so params survive the next round
+            p_in = {k: jnp.array(v) for k, v in params.items()}
+            p2, s2 = ebc.apply_gradients(p_in, states, opt, kjt, cot)
+            totals = {g.key: g.total_rows for g in ebc._groups}
+            p2 = {k: v[: totals[k]] for k, v in p2.items()}
+            res[impl] = (out, jax.tree.map(np.asarray, (p2, s2)))
+        np.testing.assert_allclose(res["v2"][0], res["v3"][0],
+                                   rtol=2e-5, atol=2e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                a, b, rtol=2e-5, atol=2e-5
+            ),
+            res["v2"][1], res["v3"][1],
+        )
 
 
 def test_v3_vbe_matches_v2(forced_v3):

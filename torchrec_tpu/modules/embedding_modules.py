@@ -606,7 +606,7 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                         preferred_element_type=jnp.float32),
                 (off, 0),
             )
-        touched = jnp.sum(C, axis=1) > 0
+        touched = jnp.sum(jnp.abs(C), axis=1) > 0
         return acc, touched
 
     # which count-matrix builder to use for the small-table matmul path:
@@ -641,8 +641,7 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
         if impl != "v3":
             return impl
         if (
-            weights is not None
-            or self._max_feats_per_table != 1
+            self._max_feats_per_table != 1
             or self._max_unique is None
         ):
             return "v2"
@@ -702,17 +701,19 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
         return sk, ss, sw, n_small
 
     def _count_matrix_v3(
-        self, gi: int, sk, ss, b: int, pad_rows: bool = False
+        self, gi: int, sk, ss, b: int, sw=None, pad_rows: bool = False
     ) -> jnp.ndarray:
         """C from the sorted stream — zero scatters (Pallas MXU kernel).
         Only valid when every table has one feature (column = batch slot:
-        ``ss % b``); the gate in _cm_impl guarantees it. ``pad_rows`` keeps
-        the kernel's block-padded row layout (fused small-path form)."""
+        ``ss % b``); the gate in _cm_impl guarantees it. ``sw``: co-sorted
+        per-slot weights (weighted EBCs — two-limb bf16 matmul in the
+        kernel). ``pad_rows`` keeps the kernel's block-padded row layout
+        (fused small-path form)."""
         from torchrec_tpu.ops.tbe_pallas import sorted_count_matrix
 
         g = self._groups[gi]
         return sorted_count_matrix(
-            sk, ss % jnp.int32(b), g.small_rows, b,
+            sk, ss % jnp.int32(b), g.small_rows, b, sorted_w=sw,
             interpret=self._CM_FORCE_V3, pad_rows=pad_rows,
         )
 
@@ -866,7 +867,7 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
             cb = C_flat[
                 bk["flat_off"] * b : (bk["flat_off"] + bk["n_t"] * bk["rpad"] * k) * b
             ].reshape(bk["n_t"] * bk["rpad"], k * b)
-            row_sums.append(jnp.sum(cb, axis=1))
+            row_sums.append(jnp.sum(jnp.abs(cb), axis=1))
         rs = jnp.concatenate(row_sums + [jnp.zeros((1,), jnp.float32)])
         touched = jnp.take(rs, jnp.minimum(src, rs.shape[0] - 1)) > 0
         return acc, touched
@@ -910,6 +911,9 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                     table_f32, jnp.minimum(sids, total - 1), axis=0,
                     indices_are_sorted=True,
                 )
+                if sw is not None:
+                    sw_u = jax.lax.dynamic_slice(sw, (n_small,), (u,))
+                    rows = rows * sw_u[:, None].astype(rows.dtype)
                 rows = jnp.where(in_range[:, None], rows, 0.0)
                 pooled = jax.ops.segment_sum(
                     rows,
@@ -917,7 +921,7 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                     num_segments=n_gf * b,
                 )
                 fused = self._use_small_fused(gi, b)
-                C = self._count_matrix_v3(gi, sk, ss, b, pad_rows=fused)
+                C = self._count_matrix_v3(gi, sk, ss, b, sw, pad_rows=fused)
             elif use_cm and self._max_unique is not None:
                 # COMPACT forward for the large-table slots: rank-compact
                 # the stream to the slot bound (the identical compaction the
@@ -1184,6 +1188,9 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                     ]
                 )
                 g_sorted = jnp.take(padded, seg_m, axis=0)
+                if sw is not None:
+                    sw_u = jax.lax.dynamic_slice(sw, (n_small,), (u,))
+                    g_sorted = g_sorted * sw_u[:, None].astype(g_sorted.dtype)
                 diff = ids_m[1:] != ids_m[:-1]
                 heads = jnp.concatenate(
                     [jnp.ones((1,), jnp.float32), diff.astype(jnp.float32)]
@@ -1215,6 +1222,10 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                         sids_u,
                         jax.lax.dynamic_slice(ss, (n_small,), (u,)),
                         pooled_grad, total, lo_row=small,
+                        w_sorted=(
+                            None if sw is None
+                            else jax.lax.dynamic_slice(sw, (n_small,), (u,))
+                        ),
                     )
                     if self._REUSE_FWD_ROWS:
                         # the IDENTICAL expression to the forward's compact
@@ -1252,7 +1263,9 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 # count-matmul fast path (C is CSE-shared with the forward)
                 if v3:
                     fused = self._use_small_fused(gi, b)
-                    C = self._count_matrix_v3(gi, sk, ss, b, pad_rows=fused)
+                    C = self._count_matrix_v3(
+                        gi, sk, ss, b, sw, pad_rows=fused
+                    )
                     if fused:
                         from torchrec_tpu.ops.tbe_pallas import (
                             small_acc_from_counts,
@@ -1263,7 +1276,9 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                             C, pooled_grad, *meta,
                             interpret=self._CM_FORCE_V3,
                         )[:small]
-                        touched = jnp.sum(C[:small], axis=1) > 0
+                        # abs: weighted counts can cancel across columns
+                        # for a touched row (negative weights)
+                        touched = jnp.sum(jnp.abs(C[:small]), axis=1) > 0
                     else:
                         acc, touched = self._small_acc_matmul_v1(
                             gi, C, pooled_grad, b

