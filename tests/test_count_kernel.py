@@ -146,12 +146,13 @@ def test_v3_zero_batch(forced_v3):
 
 
 def test_v3_gate_coverage(forced_v3):
-    """Weighted EBCs take v3 (two-limb bf16 count matmul); multi-feature
-    tables and missing max_unique still fall back to v2."""
+    """Weighted EBCs and multi-feature tables take v3 (weights and count
+    columns ride the sort as payloads); only a missing max_unique still
+    falls back to v2."""
     tables = [
         EmbeddingBagConfig(
             name="t0", num_embeddings=100, embedding_dim=8,
-            feature_names=["f0"],
+            feature_names=["f0", "f0b"],
         )
     ]
     ebc = EmbeddingBagCollection(
@@ -159,8 +160,85 @@ def test_v3_gate_coverage(forced_v3):
     )
     assert ebc._cm_impl(0, jnp.ones((4,))) == "v3"
     assert ebc._cm_impl(0, None) == "v3"  # forced on CPU by the fixture
+    # multi-feature tables use the per-table matmul small path (the fused
+    # plan's block entries carry one feature per table)
+    assert not ebc._use_small_fused(0, 8)
     no_bound = EmbeddingBagCollection(tables, is_weighted=True)
     assert no_bound._cm_impl(0, None) == "v2"
+
+
+@pytest.mark.parametrize("weighted", [False, True])
+def test_v3_matches_v2_multi_feature(forced_v3, weighted):
+    """Tables with >1 feature through the v3 shared-sort path: the count
+    column (feat_local * b + batch) rides the sort as a payload, the count
+    matrix widens to k*B columns, and forward/backward match v2 (reference
+    contract: multiple features per table through one TBE,
+    torchrec/distributed/embedding_lookup.py:605)."""
+    rng = np.random.default_rng(17)
+    tables = [
+        EmbeddingBagConfig(
+            name="t0", num_embeddings=60, embedding_dim=16,
+            feature_names=["a0", "a1", "a2"],
+        ),
+        EmbeddingBagConfig(
+            name="t1", num_embeddings=3000, embedding_dim=16,
+            feature_names=["b0"],
+        ),
+        EmbeddingBagConfig(
+            name="t2", num_embeddings=250_000, embedding_dim=16,
+            feature_names=["c0", "c1"],
+        ),
+    ]
+    feats = ["a0", "a1", "a2", "b0", "c0", "c1"]
+    feat_rows = [60, 60, 60, 3000, 250_000, 250_000]
+    ebc = EmbeddingBagCollection(
+        tables, is_weighted=weighted, max_unique_gradient_rows=600
+    )
+    assert ebc._max_feats_per_table == 3
+    params = ebc.init(jax.random.key(4))
+    B = 8
+    lengths = rng.integers(0, 5, size=(len(feats) * B,)).astype(np.int32)
+    vals = np.concatenate(
+        [
+            rng.integers(
+                0, feat_rows[i],
+                size=int(lengths[i * B: (i + 1) * B].sum()),
+            )
+            for i in range(len(feats))
+        ]
+    ).astype(np.int32)
+    w = (
+        jnp.asarray(rng.normal(size=vals.shape[0]).astype(np.float32))
+        if weighted else None
+    )
+    kjt = KeyedJaggedTensor.from_lengths(
+        feats, jnp.asarray(vals), jnp.asarray(lengths), w
+    )
+    cot = jnp.asarray(
+        rng.normal(size=(B, len(feats) * 16)).astype(np.float32)
+    )
+    from torchrec_tpu.ops import RowWiseAdagrad
+
+    for opt in (SGD(learning_rate=0.1), RowWiseAdagrad(learning_rate=0.1)):
+        states = ebc.init_optimizer(params, opt)
+        res = {}
+        for impl, force in [("v2", False), ("v3", True)]:
+            EmbeddingBagCollection._CM_IMPL = impl
+            EmbeddingBagCollection._CM_FORCE_V3 = force
+            out = np.asarray(ebc.apply(params, kjt).values())
+            p_in = {k: jnp.array(v) for k, v in params.items()}
+            p2, s2 = ebc.apply_gradients(p_in, states, opt, kjt, cot)
+            totals = {g.key: g.total_rows for g in ebc._groups}
+            p2 = {k: v[: totals[k]] for k, v in p2.items()}
+            res[impl] = (out, jax.tree.map(np.asarray, (p2, s2)))
+        np.testing.assert_allclose(res["v2"][0], res["v3"][0],
+                                   rtol=2e-5, atol=2e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                a, b, rtol=2e-5, atol=2e-5
+            ),
+            res["v2"][1], res["v3"][1],
+        )
 
 
 def test_v3_matches_v2_weighted(forced_v3):

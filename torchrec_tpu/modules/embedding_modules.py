@@ -613,9 +613,11 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
     #   "v3": shared group-wide sort + Pallas block-diagonal one-hot
     #         count-matmul (ops/tbe_pallas.py::sorted_count_matrix, ~115 us
     #         at the DLRM headline shapes vs ~770 us for the v2 scatter);
-    #         requires TPU (or _CM_FORCE_V3 for interpret-mode tests),
-    #         unweighted, one feature per table, and max_unique set —
-    #         otherwise falls back to v2 per group.
+    #         requires TPU (or _CM_FORCE_V3 for interpret-mode tests) and
+    #         max_unique set — otherwise falls back to v2 per group.
+    #         Weighted KJTs co-sort weights as a payload (two-limb bf16
+    #         count matmul); multi-feature tables co-sort the count column
+    #         (feat_local * b + batch) as a payload.
     #   "v2": row-granular one-hot segment-sum (~2.5 ns/slot).
     #   "v1": flat scalar scatter-add (~9.6 ns/slot).
     _CM_IMPL = "v3"
@@ -640,10 +642,7 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
         impl = self._CM_IMPL
         if impl != "v3":
             return impl
-        if (
-            self._max_feats_per_table != 1
-            or self._max_unique is None
-        ):
+        if self._max_unique is None:
             return "v2"
         if self._CM_FORCE_V3:
             return "v3"
@@ -653,17 +652,36 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
             on_tpu = False
         return "v3" if on_tpu else "v2"
 
-    def _sorted_stream_v3(self, gi, ids_g, seg_g, in_group, weights, b):
+    def _sorted_stream_v3(
+        self, gi, ids_g, seg_g, in_group, weights, b,
+        slot_feature=None, slot_batch=None,
+    ):
         """ONE ascending sort of the whole group slot stream by stacked row
         id (small tables first by layout, then large, then invalid
         sentinels). Forward compact gather, backward dedup, and the count
         kernel all consume it; identical expressions here and in the
-        backward make XLA CSE the sort across the step."""
+        backward make XLA CSE the sort across the step.
+
+        Returns ``(sk, ss, sw, scol, n_small)``. ``scol`` (multi-feature
+        tables only, else None) is the count-matrix column of each slot —
+        ``feat_local * b + batch`` — carried through the sort as a payload
+        (the slot->feature map is jagged, so it cannot be reconstructed
+        from the sorted stream)."""
         g = self._groups[gi]
         total = g.total_rows
         n_gf = len(self._group_features[gi])
         key = jnp.where(in_group, ids_g, total)
         seg = jnp.where(in_group, seg_g, n_gf * b)
+        payloads = []
+        col = None
+        if self._max_feats_per_table > 1:
+            local = jnp.take(
+                jnp.asarray(self._feat_local), slot_feature
+            )
+            col = (local * b + slot_batch).astype(jnp.int32)
+            payloads.append(col)
+        if weights is not None:
+            payloads.append(weights)
         seg_bits = max((n_gf * b + 1).bit_length(), 1)
         if self._CM_PACKED_SORT and (total + 1) < (1 << (32 - seg_bits)):
             # pack (key, seg) into ONE uint32 sort operand: (key << bits) |
@@ -679,48 +697,49 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
             # order-invariant within equal keys, and payload operands stay
             # PAIRED with their key either way — only within-tie order
             # (hence float summation order) changes.
-            if weights is None:
-                (sp,) = jax.lax.sort(
-                    (packed,), num_keys=1, is_stable=False
-                )
-                sw = None
-            else:
-                sp, sw = jax.lax.sort(
-                    (packed, weights), num_keys=1, is_stable=False
-                )
+            sp, *sorted_payloads = jax.lax.sort(
+                (packed, *payloads), num_keys=1, is_stable=False
+            )
             sk = (sp >> seg_bits).astype(jnp.int32)
             ss = (sp & jnp.uint32((1 << seg_bits) - 1)).astype(jnp.int32)
-        elif weights is None:
-            sk, ss = jax.lax.sort((key, seg), num_keys=1, is_stable=False)
-            sw = None
         else:
-            sk, ss, sw = jax.lax.sort(
-                (key, seg, weights), num_keys=1, is_stable=False
+            sk, ss, *sorted_payloads = jax.lax.sort(
+                (key, seg, *payloads), num_keys=1, is_stable=False
             )
+        scol = sorted_payloads.pop(0) if col is not None else None
+        sw = sorted_payloads.pop(0) if weights is not None else None
         n_small = jnp.sum((key < g.small_rows).astype(jnp.int32))
-        return sk, ss, sw, n_small
+        return sk, ss, sw, scol, n_small
 
     def _count_matrix_v3(
-        self, gi: int, sk, ss, b: int, sw=None, pad_rows: bool = False
+        self, gi: int, sk, ss, b: int, sw=None, scol=None,
+        pad_rows: bool = False
     ) -> jnp.ndarray:
         """C from the sorted stream — zero scatters (Pallas MXU kernel).
-        Only valid when every table has one feature (column = batch slot:
-        ``ss % b``); the gate in _cm_impl guarantees it. ``sw``: co-sorted
+        Columns are ``feat_local * b + batch`` (``k * b`` wide); with one
+        feature per table that is just the batch slot ``ss % b``, otherwise
+        the co-sorted ``scol`` payload carries it. ``sw``: co-sorted
         per-slot weights (weighted EBCs — two-limb bf16 matmul in the
         kernel). ``pad_rows`` keeps the kernel's block-padded row layout
         (fused small-path form)."""
         from torchrec_tpu.ops.tbe_pallas import sorted_count_matrix
 
         g = self._groups[gi]
+        k = self._max_feats_per_table
+        col = ss % jnp.int32(b) if scol is None else scol
         return sorted_count_matrix(
-            sk, ss % jnp.int32(b), g.small_rows, b, sorted_w=sw,
+            sk, col, g.small_rows, k * b, sorted_w=sw,
             interpret=self._CM_FORCE_V3, pad_rows=pad_rows,
         )
 
     def _use_small_fused(self, gi: int, b: int) -> bool:
         """Gate for the ONE-launch fused small-path matmul kernels: the
-        whole [n_gf, B, dim] pooled block must sit in VMEM."""
+        whole [n_gf, B, dim] pooled block must sit in VMEM. Multi-feature
+        tables take the per-table XLA matmul path instead (the fused plan's
+        per-block entries carry one feature per table)."""
         if not self._SMALL_MM_FUSED or b == 0:
+            return False
+        if self._max_feats_per_table != 1:
             return False
         g = self._groups[gi]
         n_gf = len(self._group_features[gi])
@@ -901,8 +920,9 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 small = g.small_rows
                 N = ids_g.shape[0]
                 u = min(self._max_unique, N)
-                sk, ss, sw, n_small = self._sorted_stream_v3(
-                    gi, ids_g, seg_g, in_group, weights, b
+                sk, ss, sw, scol, n_small = self._sorted_stream_v3(
+                    gi, ids_g, seg_g, in_group, weights, b,
+                    slot_feature, slot_batch,
                 )
                 sids = jax.lax.dynamic_slice(sk, (n_small,), (u,))
                 sseg = jax.lax.dynamic_slice(ss, (n_small,), (u,))
@@ -921,7 +941,9 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                     num_segments=n_gf * b,
                 )
                 fused = self._use_small_fused(gi, b)
-                C = self._count_matrix_v3(gi, sk, ss, b, sw, pad_rows=fused)
+                C = self._count_matrix_v3(
+                    gi, sk, ss, b, sw, scol, pad_rows=fused
+                )
             elif use_cm and self._max_unique is not None:
                 # COMPACT forward for the large-table slots: rank-compact
                 # the stream to the slot bound (the identical compaction the
@@ -1147,8 +1169,9 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
             if v3:
                 # identical expression to the forward's -> XLA CSEs the
                 # sort (and the count kernel) across the whole train step
-                sk, ss, sw, n_small = self._sorted_stream_v3(
-                    gi, ids_g, seg_g, in_group, weights, b
+                sk, ss, sw, scol, n_small = self._sorted_stream_v3(
+                    gi, ids_g, seg_g, in_group, weights, b,
+                    slot_feature, slot_batch,
                 )
             # v3's position-layout ids need the branch-free scratch-tail
             # write kernel; the fused segscan path needs it too
@@ -1264,7 +1287,7 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 if v3:
                     fused = self._use_small_fused(gi, b)
                     C = self._count_matrix_v3(
-                        gi, sk, ss, b, sw, pad_rows=fused
+                        gi, sk, ss, b, sw, scol, pad_rows=fused
                     )
                     if fused:
                         from torchrec_tpu.ops.tbe_pallas import (
