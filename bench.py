@@ -45,7 +45,14 @@ def set_scale(scale: int) -> None:
     SCALE = scale
 
 
-def build():
+def build(weighted=False, two_features=False):
+    """Variants (same total slots/table => comparable step cost):
+      weighted      — per-sample weights through the whole stack
+                      (reference TBE per_sample_weights,
+                      distributed/batched_embedding_kernel.py:3725)
+      two_features  — 2 features per table at half the pooling factor
+                      (multi-feature co-sorted count-column path)
+    """
     from torchrec_tpu.modules import EmbeddingBagCollection, EmbeddingBagConfig
     from torchrec_tpu.ops import SGD
 
@@ -55,7 +62,9 @@ def build():
             name=f"t{i}",
             num_embeddings=r,
             embedding_dim=DIM,
-            feature_names=[f"f{i}"],
+            feature_names=(
+                [f"f{i}a", f"f{i}b"] if two_features else [f"f{i}"]
+            ),
         )
         for i, r in enumerate(rows)
     ]
@@ -65,6 +74,7 @@ def build():
     ebc = EmbeddingBagCollection(
         tables,
         max_unique_gradient_rows=n_large * BATCH * IDS_PER_FEATURE + 64,
+        is_weighted=weighted,
     )
     params = ebc.init(jax.random.key(0))
     opt = SGD(learning_rate=LR)
@@ -72,33 +82,47 @@ def build():
     return ebc, params, opt, states, rows
 
 
-def make_epoch_batches(rows, seed=0):
-    """Stacked [N_BATCH, ...] epoch data: ids + fixed lengths."""
+def make_epoch_batches(rows, seed=0, weighted=False, two_features=False):
+    """Stacked [N_BATCH, ...] epoch data: ids + fixed lengths (+weights)."""
     from torchrec_tpu.sparse import KeyedJaggedTensor
 
     rng = np.random.default_rng(seed)
-    f = len(rows)
-    cap = f * BATCH * IDS_PER_FEATURE
+    fpt = 2 if two_features else 1  # features per table
+    ipf = IDS_PER_FEATURE // fpt  # half pooling at 2 feats: same slot count
+    f = len(rows) * fpt
+    cap = f * BATCH * ipf
     all_values = np.zeros((BATCHES_PER_EPOCH, cap), dtype=np.int32)
     for bi in range(BATCHES_PER_EPOCH):
         pos = 0
-        for fi, r in enumerate(rows):
-            n = BATCH * IDS_PER_FEATURE
+        for r in rows:
+            n = fpt * BATCH * ipf
             all_values[bi, pos : pos + n] = rng.integers(0, r, size=n)
             pos += n
-    lengths = np.full((f, BATCH), IDS_PER_FEATURE, dtype=np.int32)
-    keys = [f"f{i}" for i in range(f)]
+    lengths = np.full((f, BATCH), ipf, dtype=np.int32)
+    if two_features:
+        keys = [f"f{i}{s}" for i in range(len(rows)) for s in ("a", "b")]
+    else:
+        keys = [f"f{i}" for i in range(len(rows))]
+    all_weights = (
+        jnp.asarray(
+            rng.random((BATCHES_PER_EPOCH, cap), dtype=np.float32) + 0.5
+        )
+        if weighted
+        else None
+    )
     kjt_proto = KeyedJaggedTensor(
         keys=keys, values=jnp.zeros(cap, jnp.int32), lengths=jnp.asarray(lengths)
     )
-    return jnp.asarray(all_values), kjt_proto
+    return jnp.asarray(all_values), all_weights, kjt_proto
 
 
-def run_scale():
+def run_scale(weighted=False, two_features=False):
     """One measured multi-epoch run at the current SCALE -> s/epoch."""
-    ebc, params, opt, states, rows = build()
-    values_stack, kjt_proto = make_epoch_batches(rows)
-    total_dim = DIM * len(rows)
+    ebc, params, opt, states, rows = build(weighted, two_features)
+    values_stack, weights_stack, kjt_proto = make_epoch_batches(
+        rows, weighted=weighted, two_features=two_features
+    )
+    total_dim = DIM * len(kjt_proto.keys())
 
     import dataclasses
 
@@ -107,9 +131,12 @@ def run_scale():
     keys = kjt_proto.keys()
     lengths_const = kjt_proto.lengths()
 
-    def one_step(carry, values):
+    def one_step(carry, batch):
         params, states = carry
-        kjt = KeyedJaggedTensor(keys=keys, values=values, lengths=lengths_const)
+        values, w = batch if weighted else (batch, None)
+        kjt = KeyedJaggedTensor(
+            keys=keys, values=values, lengths=lengths_const, weights=w
+        )
         # d(sum(pooled))/d(pooled) == ones: skip the forward+AD round trip
         # the same way XLA would DCE it, but keep the forward live so the
         # benchmark measures lookup + backward + update like the reference.
@@ -117,6 +144,9 @@ def run_scale():
         cot = jnp.ones((BATCH, total_dim), kt.values().dtype) + 0.0 * kt.values()
         params, states = ebc.apply_gradients(params, states, opt, kjt, cot)
         return (params, states), kt.values()[0, 0]
+
+    if weighted:
+        values_stack = (values_stack, weights_stack)
 
     def epoch_body(carry, values_stack):
         (params, states), probe = jax.lax.scan(
@@ -157,14 +187,30 @@ def run_scale():
     return (time.perf_counter() - t0) / n_epochs
 
 
-def main(scales=None):
+def main(scales=None, variant=None):
     """Default: measure ALL THREE published reference scales (/128, /64,
     /32 — the 8x V100 baseline is 0.019 s/epoch at each, reference
-    benchmarks/README.md:51-53) and print ONE JSON line keyed on the /128
-    headline with the other scales as extra fields. ``python bench.py 64``
-    measures a single scale (the fast A/B loop)."""
+    benchmarks/README.md:51-53) plus the weighted and 2-features-per-table
+    variants at /128, and print ONE JSON line keyed on the /128 headline
+    with everything else as extra fields. ``python bench.py 64`` measures a
+    single scale (the fast A/B loop); ``python bench.py 128 weighted`` /
+    ``... multifeature`` measures one variant."""
     single = scales is not None and len(scales) == 1
     scales = scales or [128, 64, 32]
+    if variant is not None:
+        set_scale(scales[0])
+        v = run_scale(
+            weighted=(variant == "weighted"),
+            two_features=(variant == "multifeature"),
+        )
+        print(json.dumps({
+            "metric": f"fused_ebc_train_s_per_epoch_mlperf_"
+                      f"div{scales[0]}_{variant}",
+            "value": v,
+            "unit": "s/epoch",
+            "vs_baseline": BASELINE_S_PER_EPOCH / v,
+        }))
+        return
     values, ratios = {}, {}
     for s in scales:
         set_scale(s)
@@ -181,10 +227,24 @@ def main(scales=None):
         for s in scales[1:]:
             out[f"value_div{s}"] = values[s]
             out[f"vs_baseline_div{s}"] = ratios[s]
+        # workload-envelope variants at the headline scale (VERDICT r3 #1)
+        set_scale(head)
+        out["value_weighted"] = run_scale(weighted=True)
+        out["vs_baseline_weighted"] = (
+            BASELINE_S_PER_EPOCH / out["value_weighted"]
+        )
+        out["value_multifeature"] = run_scale(two_features=True)
+        out["vs_baseline_multifeature"] = (
+            BASELINE_S_PER_EPOCH / out["value_multifeature"]
+        )
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
     import sys
 
-    main([int(a) for a in sys.argv[1:]] or None)
+    args = sys.argv[1:]
+    variant = None
+    if args and args[-1] in ("weighted", "multifeature"):
+        variant = args.pop()
+    main([int(a) for a in args] or None, variant=variant)

@@ -23,7 +23,7 @@ import sys
 TRACE_DIR = "/tmp/torchrec_tpu_trace"
 
 
-def run_traced(scale: int) -> int:
+def run_traced(scale: int, variant: str = "") -> int:
     """One profiled bench execution; returns total steps traced."""
     import jax
     import numpy as np
@@ -31,9 +31,13 @@ def run_traced(scale: int) -> int:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     import bench
 
+    weighted = variant == "weighted"
+    two_features = variant == "multifeature"
     bench.set_scale(scale)
-    ebc, params, opt, states, rows = bench.build()
-    values_stack, kjt_proto = bench.make_epoch_batches(rows)
+    ebc, params, opt, states, rows = bench.build(weighted, two_features)
+    values_stack, weights_stack, kjt_proto = bench.make_epoch_batches(
+        rows, weighted=weighted, two_features=two_features
+    )
 
     # same scan-of-scans harness as bench.main, one traced execution
     import dataclasses  # noqa: F401  (parity with bench.main imports)
@@ -42,16 +46,22 @@ def run_traced(scale: int) -> int:
 
     keys = kjt_proto.keys()
     lengths_const = kjt_proto.lengths()
-    total_dim = bench.DIM * len(rows)
+    total_dim = bench.DIM * len(keys)
     import jax.numpy as jnp
 
-    def one_step(carry, values):
+    def one_step(carry, batch):
         params, states = carry
-        kjt = KeyedJaggedTensor(keys=keys, values=values, lengths=lengths_const)
+        values, w = batch if weighted else (batch, None)
+        kjt = KeyedJaggedTensor(
+            keys=keys, values=values, lengths=lengths_const, weights=w
+        )
         kt = ebc.apply(params, kjt)
         cot = jnp.ones((bench.BATCH, total_dim), kt.values().dtype) + 0.0 * kt.values()
         params, states = ebc.apply_gradients(params, states, opt, kjt, cot)
         return (params, states), kt.values()[0, 0]
+
+    if weighted:
+        values_stack = (values_stack, weights_stack)
 
     n_epochs = 20
 
@@ -108,7 +118,11 @@ def report(steps: int, top_k: int) -> None:
 
 
 if __name__ == "__main__":
-    scale = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    top_k = int(sys.argv[2]) if len(sys.argv) > 2 else 30
-    steps = run_traced(scale)
+    args = sys.argv[1:]
+    variant = ""
+    if args and args[-1] in ("weighted", "multifeature"):
+        variant = args.pop()
+    scale = int(args[0]) if len(args) > 0 else 128
+    top_k = int(args[1]) if len(args) > 1 else 30
+    steps = run_traced(scale, variant)
     report(steps, top_k)

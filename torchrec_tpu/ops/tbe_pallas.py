@@ -992,8 +992,19 @@ def _sorted_count_body(
 ):
     j = pl.program_id(0)
     row0 = j * rb
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (ck, kb), 1)
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (rb, ck), 0) + row0
+    if w_ref is None:
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (ck, kb), 1)
+    else:
+        # weighted: two-limb bf16 split keeps ~fp32 weight precision at
+        # MXU bf16 speed (w = hi + lo exactly captures the top ~16
+        # mantissa bits). The limbs are PACKED side by side into one
+        # [CK, 2*kb] operand so both ride ONE MXU pass — at kb <= 64 the
+        # second limb fills lanes the kb-wide matmul left idle, making
+        # weighted ~the same MXU cost as unweighted.
+        col2 = jax.lax.broadcasted_iota(jnp.int32, (ck, 2 * kb), 1)
+        col_iota = col2 % kb
+        limb_hi = col2 < kb
 
     def chunk(c, acc):
         ids = ids_ref[c]  # [CK]
@@ -1006,16 +1017,17 @@ def _sorted_count_body(
             return acc + jax.lax.dot(
                 oh, a, preferred_element_type=jnp.float32
             )
-        # weighted: two-limb bf16 split keeps ~fp32 weight precision at
-        # MXU bf16 speed (w = hi + lo exactly captures the top ~16
-        # mantissa bits; one extra matmul per chunk only when weighted)
-        sel = cols[:, None] == col_iota
-        w32 = w_ref[c][:, None]
-        a32 = jnp.where(sel, jnp.broadcast_to(w32, sel.shape), 0.0)
-        a_hi = a32.astype(jnp.bfloat16)
-        a_lo = (a32 - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        acc = acc + jax.lax.dot(oh, a_hi, preferred_element_type=jnp.float32)
-        return acc + jax.lax.dot(oh, a_lo, preferred_element_type=jnp.float32)
+        # (minor-dim inserts must be 32-bit for Mosaic: limb math in f32,
+        # one cast to bf16 at the end — bf16(hi32) == hi exactly and
+        # bf16(w - hi32) is the exact lo limb)
+        w32 = w_ref[c][:, None]  # f32 [CK, 1]
+        w_hi32 = w32.astype(jnp.bfloat16).astype(jnp.float32)
+        wsel = jnp.where(limb_hi, w_hi32, w32 - w_hi32)
+        a = jnp.where(
+            cols[:, None] == col_iota, wsel, 0.0
+        ).astype(jnp.bfloat16)
+        out = jax.lax.dot(oh, a, preferred_element_type=jnp.float32)
+        return acc + out[:, :kb] + out[:, kb:]
 
     acc = jnp.zeros((rb, kb), jnp.float32)
     out_ref[...] = jax.lax.fori_loop(c_lo_ref[j], c_hi_ref[j], chunk, acc)
