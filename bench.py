@@ -45,15 +45,19 @@ def set_scale(scale: int) -> None:
     SCALE = scale
 
 
-def build(weighted=False, two_features=False):
+def build(weighted=False, two_features=False, bf16_sr=False):
     """Variants (same total slots/table => comparable step cost):
       weighted      — per-sample weights through the whole stack
                       (reference TBE per_sample_weights,
                       distributed/batched_embedding_kernel.py:3725)
       two_features  — 2 features per table at half the pooling factor
                       (multi-feature co-sorted count-column path)
+      bf16_sr       — bf16 tables + stochastic rounding (FBGEMM
+                      low-precision fused-optimizer mode; in-kernel SR
+                      on the fused segscan backward)
     """
     from torchrec_tpu.modules import EmbeddingBagCollection, EmbeddingBagConfig
+    from torchrec_tpu.modules.embedding_configs import DataType
     from torchrec_tpu.ops import SGD
 
     rows = [max(r // SCALE, 4) for r in MLPERF_ROWS]
@@ -65,6 +69,7 @@ def build(weighted=False, two_features=False):
             feature_names=(
                 [f"f{i}a", f"f{i}b"] if two_features else [f"f{i}"]
             ),
+            data_type=DataType.BF16 if bf16_sr else DataType.FP32,
         )
         for i, r in enumerate(rows)
     ]
@@ -77,7 +82,7 @@ def build(weighted=False, two_features=False):
         is_weighted=weighted,
     )
     params = ebc.init(jax.random.key(0))
-    opt = SGD(learning_rate=LR)
+    opt = SGD(learning_rate=LR, stochastic_rounding=bf16_sr)
     states = ebc.init_optimizer(params, opt)
     return ebc, params, opt, states, rows
 
@@ -116,9 +121,9 @@ def make_epoch_batches(rows, seed=0, weighted=False, two_features=False):
     return jnp.asarray(all_values), all_weights, kjt_proto
 
 
-def run_scale(weighted=False, two_features=False):
+def run_scale(weighted=False, two_features=False, bf16_sr=False):
     """One measured multi-epoch run at the current SCALE -> s/epoch."""
-    ebc, params, opt, states, rows = build(weighted, two_features)
+    ebc, params, opt, states, rows = build(weighted, two_features, bf16_sr)
     values_stack, weights_stack, kjt_proto = make_epoch_batches(
         rows, weighted=weighted, two_features=two_features
     )
@@ -194,7 +199,7 @@ def main(scales=None, variant=None):
     variants at /128, and print ONE JSON line keyed on the /128 headline
     with everything else as extra fields. ``python bench.py 64`` measures a
     single scale (the fast A/B loop); ``python bench.py 128 weighted`` /
-    ``... multifeature`` measures one variant."""
+    ``... multifeature`` / ``... bf16sr`` measures one variant."""
     single = scales is not None and len(scales) == 1
     scales = scales or [128, 64, 32]
     if variant is not None:
@@ -202,6 +207,7 @@ def main(scales=None, variant=None):
         v = run_scale(
             weighted=(variant == "weighted"),
             two_features=(variant == "multifeature"),
+            bf16_sr=(variant == "bf16sr"),
         )
         print(json.dumps({
             "metric": f"fused_ebc_train_s_per_epoch_mlperf_"
@@ -237,6 +243,10 @@ def main(scales=None, variant=None):
         out["vs_baseline_multifeature"] = (
             BASELINE_S_PER_EPOCH / out["value_multifeature"]
         )
+        out["value_bf16sr"] = run_scale(bf16_sr=True)
+        out["vs_baseline_bf16sr"] = (
+            BASELINE_S_PER_EPOCH / out["value_bf16sr"]
+        )
     print(json.dumps(out))
 
 
@@ -245,6 +255,6 @@ if __name__ == "__main__":
 
     args = sys.argv[1:]
     variant = None
-    if args and args[-1] in ("weighted", "multifeature"):
+    if args and args[-1] in ("weighted", "multifeature", "bf16sr"):
         variant = args.pop()
     main([int(a) for a in args] or None, variant=variant)

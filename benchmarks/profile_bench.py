@@ -32,9 +32,10 @@ def run_traced(scale: int, variant: str = "") -> int:
     import bench
 
     weighted = variant == "weighted"
+    bf16_sr = variant == "bf16sr"
     two_features = variant == "multifeature"
     bench.set_scale(scale)
-    ebc, params, opt, states, rows = bench.build(weighted, two_features)
+    ebc, params, opt, states, rows = bench.build(weighted, two_features, bf16_sr)
     values_stack, weights_stack, kjt_proto = bench.make_epoch_batches(
         rows, weighted=weighted, two_features=two_features
     )
@@ -120,7 +121,7 @@ def report(steps: int, top_k: int) -> None:
 if __name__ == "__main__":
     args = sys.argv[1:]
     variant = ""
-    if args and args[-1] in ("weighted", "multifeature"):
+    if args and args[-1] in ("weighted", "multifeature", "bf16sr"):
         variant = args.pop()
     scale = int(args[0]) if len(args) > 0 else 128
     top_k = int(args[1]) if len(args) > 1 else 30

@@ -188,3 +188,60 @@ def test_ragged_exchange_degenerate_compiled(tpu):
     # reverse leg: delivered slots come back doubled, dropped slots zero
     np.testing.assert_array_equal(back[:cap], ids[:cap] * 2)
     np.testing.assert_array_equal(back[cap:], np.zeros(n - cap, np.int32))
+
+
+def test_bf16_pair_segscan_compiled(tpu):
+    """Compiled pair-granular bf16 segscan (Mosaic cannot DMA 256-byte
+    rows — this is THE bf16 sparse-write path; it once failed only on
+    hardware, never in interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchrec_tpu.ops.tbe_pallas import (
+        pack_pairs_host,
+        row_scatter_write_segscan_pair,
+        unpack_pairs_host,
+    )
+
+    rng = np.random.default_rng(3)
+    R, D, lr = 4096, 128, 0.25
+    U = 1024  # one full chunk
+    bf16 = np.asarray(jnp.asarray(
+        rng.normal(size=(R + 2048, D)).astype(np.float32)
+    ).astype(jnp.bfloat16))
+    base = np.asarray(jnp.asarray(bf16).astype(jnp.float32))
+    # simple run structure: U slots over U//2 consecutive rows (2 each)
+    ids = np.repeat(np.arange(100, 100 + U // 2) * 2, 2).astype(np.int32)
+    grads = rng.normal(size=(U, D)).astype(np.float32)
+    g_half = np.concatenate([grads[:, 0::2], grads[:, 1::2]], axis=1)
+    pid = ids >> 1
+    heads = np.zeros((U, 1), np.float32)
+    heads[0] = 1.0
+    heads[1:, 0] = (pid[1:] != pid[:-1]).astype(np.float32)
+    is_end = np.concatenate([pid[1:] != pid[:-1], [True]])
+    pairs_end = np.where(is_end, pid, (R + 2048) // 2 - U + np.arange(U))
+    ends = is_end.astype(np.float32)[:, None]
+    parity = (ids & 1).astype(np.float32)[:, None]
+    pairs_all = pack_pairs_host(bf16)
+    old_pairs = pairs_all[np.minimum(pid, pairs_all.shape[0] - 1)]
+
+    out = row_scatter_write_segscan_pair(
+        jnp.asarray(pairs_all), jnp.asarray(pairs_end.astype(np.int32)),
+        jnp.asarray(heads), jnp.asarray(ends), jnp.asarray(parity),
+        jnp.asarray(g_half), jnp.asarray(old_pairs),
+        jnp.asarray([lr, 0.0], np.float32),
+    )
+    got = unpack_pairs_host(np.asarray(out), bf16.dtype).astype(np.float32)
+    want = base.copy()
+    for k in range(U // 2):
+        r = 200 + 2 * k
+        want[r] = base[r] - lr * grads[2 * k : 2 * k + 2].sum(0)
+    touched = 2 * np.arange(100, 100 + U // 2)
+    np.testing.assert_allclose(
+        got[touched], want[touched],
+        rtol=2 ** -7, atol=2 ** -24,
+    )
+    # untouched odd siblings keep exact bits
+    np.testing.assert_array_equal(
+        got[touched + 1], base[touched + 1]
+    )

@@ -90,3 +90,26 @@ def test_dense_update_sr():
         t, st = opt.dense_update(t, st, g, touched)
     moved = np.asarray(table, np.float32) - np.asarray(t, np.float32)
     np.testing.assert_allclose(moved.mean(), 32 * 2.0 ** -11, rtol=0.35)
+
+
+def test_dense_update_sr_rowwise():
+    """RowWiseAdagrad dense path: SR applies at the store and sr_step
+    survives the state round-trip (it once dropped the counter and
+    rounded nearest, freezing sub-ULP steps)."""
+    table = jnp.full((16, 8), 1.0, jnp.bfloat16)
+    # accumulator starts at 1 => step = lr * g / (sqrt(1 + ...)) ~ tiny
+    opt = RowWiseAdagrad(
+        learning_rate=2.0 ** -11, stochastic_rounding=True,
+        initial_accumulator_value=1.0,
+    )
+    st = opt.init(table)
+    touched = jnp.ones((16,), bool)
+    g = jnp.full((16, 8), 1e-3, jnp.float32)
+    t = table
+    for _ in range(64):
+        t, st = opt.dense_update(t, st, g, touched)
+    assert int(st["sr_step"]) == 64
+    moved = np.asarray(table, np.float32) - np.asarray(t, np.float32)
+    # nearest rounding would freeze (step ~ 2^-21 << half ULP 2^-9);
+    # SR advances in expectation
+    assert moved.mean() > 0

@@ -323,6 +323,262 @@ def test_ebc_segscan_gate_equivalence(opt_name):
         EmbeddingBagCollection._FUSED_BWD_SEGSCAN = old_gate
 
 
+@pytest.mark.parametrize("sr", [False, True], ids=["nearest", "sr"])
+def test_ebc_segscan_bf16_gate(sr):
+    """bf16 tables (with and without stochastic rounding) ENGAGE the fused
+    segscan path, and the update tracks an fp32-EBC reference within bf16
+    rounding noise."""
+    from torchrec_tpu.modules import (
+        EmbeddingBagCollection,
+        EmbeddingBagConfig,
+    )
+    from torchrec_tpu.modules.embedding_configs import DataType
+    from torchrec_tpu.ops import SGD
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+    import torchrec_tpu.ops.tbe_pallas as _tp
+
+    old_impl = EmbeddingBagCollection._CM_IMPL
+    old_force = EmbeddingBagCollection._CM_FORCE_V3
+    try:
+        EmbeddingBagCollection._CM_IMPL = "v3"
+        EmbeddingBagCollection._CM_FORCE_V3 = True
+        rng = np.random.default_rng(5)
+
+        def build(dt):
+            # v3 (and hence segscan) needs a small table in the group
+            tables = [
+                EmbeddingBagConfig(
+                    name="t0", num_embeddings=60, embedding_dim=128,
+                    feature_names=["fs"], data_type=dt,
+                ),
+                EmbeddingBagConfig(
+                    name="t1", num_embeddings=200_000, embedding_dim=128,
+                    feature_names=["f0"], data_type=dt,
+                ),
+            ]
+            ebc = EmbeddingBagCollection(
+                tables, max_unique_gradient_rows=300
+            )
+            return ebc, ebc.init(jax.random.key(0))
+
+        from torchrec_tpu.ops.tbe_pallas import unpack_pair_blob
+
+        ebc16, p16 = build(DataType.BF16)
+        ebc32, p32 = build(DataType.FP32)
+        key = next(iter(p16))
+        key32 = next(iter(p32))
+        # bf16 blobs are pair-packed u32 storage; compare through the
+        # logical view. identical starting values (bf16-representable) —
+        # note the fp32 blob may have a different scratch-tail size
+        logical16 = np.asarray(unpack_pair_blob(p16[key]))
+        pad32 = p32[key32].shape[0]
+        p32 = {key32: jnp.asarray(
+            np.concatenate([
+                logical16,
+                np.zeros((max(pad32 - logical16.shape[0], 0), 128),
+                         np.float32),
+            ])[:pad32]
+        )}
+        B = 8
+        lengths = rng.integers(1, 6, size=(2 * B,)).astype(np.int32)
+        vals = np.concatenate([
+            rng.integers(0, 60, size=int(lengths[:B].sum())),
+            rng.integers(0, 200_000, size=int(lengths[B:].sum())),
+        ]).astype(np.int32)
+        kjt = KeyedJaggedTensor.from_lengths(
+            ["fs", "f0"], jnp.asarray(vals), jnp.asarray(lengths)
+        )
+        cot = jnp.asarray(
+            rng.normal(size=(B, 2 * 128)).astype(np.float32)
+        )
+        opt16 = SGD(learning_rate=0.05, stochastic_rounding=sr)
+        opt32 = SGD(learning_rate=0.05)
+        tot = ebc16._groups[0].total_rows
+        # snapshot before apply_gradients donates the bf16 blob
+        base = logical16[:tot]
+        calls = {"n": 0, "sr_seed": []}
+        orig = _tp.row_scatter_write_segscan_pair
+
+        def spy(*a, **k):
+            calls["n"] += 1
+            calls["sr_seed"].append(
+                a[8] is not None if len(a) > 8 else
+                k.get("sr_seed") is not None
+            )
+            return orig(*a, **k)
+
+        _tp.row_scatter_write_segscan_pair = spy
+        try:
+            n16, s16 = ebc16.apply_gradients(
+                p16, ebc16.init_optimizer(p16, opt16), opt16, kjt, cot
+            )
+        finally:
+            _tp.row_scatter_write_segscan_pair = orig
+        assert calls["n"] == 1  # bf16 table took the fused path
+        assert calls["sr_seed"] == [sr]
+        if sr:
+            # one rounding event per region: segscan (large) + dense
+            # (small) each advance the counter
+            assert int(s16[key]["sr_step"]) == 2
+        n32, _ = ebc32.apply_gradients(
+            p32, ebc32.init_optimizer(p32, opt32), opt32, kjt, cot
+        )
+        a = np.asarray(unpack_pair_blob(n16[key]))[:tot]
+        b = np.asarray(n32[key32][:tot])
+        # within ~2 bf16 ULPs of the fp32 reference, scaled by BOTH the
+        # old and new magnitudes (the small path rounds the DELTA, whose
+        # error scales with the update size, not the result)
+        tol = (np.abs(b) + np.abs(base)) * 2 ** -6 + 1e-9
+        assert (np.abs(a - b) <= tol).all()
+        # rows actually moved
+        assert (a != base).any()
+    finally:
+        EmbeddingBagCollection._CM_IMPL = old_impl
+        EmbeddingBagCollection._CM_FORCE_V3 = old_force
+
+
+@pytest.mark.parametrize("sr", [False, True], ids=["nearest", "sr"])
+@pytest.mark.parametrize("rowwise", [False, True], ids=["sgd", "rowwise"])
+def test_segscan_bf16_pair(rowwise, sr):
+    """bf16 tables through the PAIR-granular fused segscan tail: fp32
+    in-kernel compute, rounded at the store — nearest without SR; with SR
+    every stored value is a bf16 neighbour of the fp32 result, the mean
+    error is ~unbiased, the same seed reproduces bit-exactly, and
+    UNTOUCHED pair siblings keep their exact bits."""
+    from torchrec_tpu.ops.tbe_pallas import (
+        row_scatter_write_segscan_pair,
+        row_scatter_write_segscan_pair_rowwise,
+    )
+
+    rng = np.random.default_rng(11 + rowwise)
+    U, n_runs, chunk = 150, 9, 64
+    R, D, lr = 3000, 128, 0.017
+    S = 2 * (-(-U // chunk) * chunk)
+    table32 = rng.normal(size=(R + S, D)).astype(np.float32)
+    table32 = np.asarray(
+        jnp.asarray(table32).astype(jnp.bfloat16).astype(jnp.float32)
+    )  # bf16-representable baseline
+    mom = np.abs(rng.normal(size=(R + S,))).astype(np.float32)
+    ids, runs, grads = _segscan_case(U, n_runs, rng, R=R, D=D)
+
+    # pair-granular structure: key by pair id, invalid slots -> pair Rp
+    Rp = (R + 1) // 2
+    in_range = ids < R
+    pid = np.where(in_range, ids >> 1, Rp).astype(np.int32)
+    heads = np.zeros((U, 1), np.float32)
+    heads[0] = 1.0
+    heads[1:, 0] = (pid[1:] != pid[:-1]).astype(np.float32)
+    is_end = np.concatenate([pid[1:] != pid[:-1], [True]])
+    real_end = is_end & in_range
+    pairs_end = np.where(real_end, pid, Rp + np.arange(U)).astype(np.int32)
+    ends = real_end.astype(np.float32)[:, None]
+    parity = (ids & 1).astype(np.float32)[:, None]
+    # half-layout grads: col j < D/2 = lane 2j
+    g_half = np.concatenate([grads[:, 0::2], grads[:, 1::2]], axis=1)
+    # u32 pair words at slot positions
+    pairs_all = np.asarray(jax.lax.bitcast_convert_type(
+        jnp.asarray(table32).astype(jnp.bfloat16).reshape(
+            (R + S) // 2, D, 2
+        ),
+        jnp.uint32,
+    ))
+    old_pairs = pairs_all[np.minimum(pid, (R + S) // 2 - 1)]
+    mom_pairs = mom[: 2 * ((R + S) // 2)].reshape(-1, 2)[
+        np.minimum(pairs_end, (R + S) // 2 - 1)
+    ]
+
+    from torchrec_tpu.ops.tbe_pallas import (
+        pack_pairs_host,
+        unpack_pairs_host,
+    )
+
+    bf16_np = np.asarray(
+        jnp.asarray(table32).astype(jnp.bfloat16)
+    )
+
+    def run(seed):
+        # fresh buffer per call: the kernel donates its table argument
+        # (u32 pair-packed storage — the bf16 table format)
+        table = jnp.asarray(pack_pairs_host(bf16_np))
+        sr_seed = (
+            None if seed is None else jnp.asarray([seed], jnp.uint32)
+        )
+        if rowwise:
+            t, mv = row_scatter_write_segscan_pair_rowwise(
+                table, jnp.asarray(pairs_end), jnp.asarray(heads),
+                jnp.asarray(ends), jnp.asarray(parity),
+                jnp.asarray(g_half), jnp.asarray(old_pairs),
+                jnp.asarray(mom_pairs),
+                jnp.asarray([lr, 0.0, 1e-8], np.float32),
+                sr_seed, interpret=True, _chunk=chunk,
+            )
+        else:
+            t = row_scatter_write_segscan_pair(
+                table, jnp.asarray(pairs_end), jnp.asarray(heads),
+                jnp.asarray(ends), jnp.asarray(parity),
+                jnp.asarray(g_half), jnp.asarray(old_pairs),
+                jnp.asarray([lr, 0.0], np.float32),
+                sr_seed, interpret=True, _chunk=chunk,
+            )
+            mv = None
+        logical = unpack_pairs_host(
+            np.asarray(t), bf16_np.dtype
+        ).astype(np.float32)
+        return logical, None if mv is None else np.asarray(mv)
+
+    # fp32 oracle of the updated rows + accumulators
+    want = table32[:R].copy()
+    want_m = mom[:R].copy()
+    for rid, lo, hi in runs:
+        g = grads[lo:hi].sum(0)
+        if rowwise:
+            want_m[rid] = mom[rid] + np.mean(g * g)
+            want[rid] = table32[rid] - lr * g / (np.sqrt(want_m[rid]) + 1e-8)
+        else:
+            want[rid] = table32[rid] - lr * g
+
+    touched = sorted({rid for rid, _, _ in runs})
+    # untouched SIBLINGS of touched rows: exact bit preservation
+    siblings = sorted(
+        {rid ^ 1 for rid in touched} - set(touched) - {R}
+    )
+
+    out, mv = run(None if not sr else 3)
+    np.testing.assert_array_equal(out[siblings], table32[siblings])
+    if rowwise:
+        # accumulator exact at real ends (fp32 math, no rounding)
+        got_m = np.zeros_like(mom)
+        got_m[:] = mom
+        got2 = got_m[: 2 * ((R + S) // 2)].reshape(-1, 2)
+        for i in range(U):
+            if real_end[i]:
+                got2[pairs_end[i]] = mv[i]
+        np.testing.assert_allclose(
+            got_m[touched], want_m[touched], rtol=2e-6
+        )
+        # untouched siblings keep their accumulator
+        np.testing.assert_array_equal(got_m[siblings], mom[siblings])
+    if not sr:
+        # nearest rounding of the fp32 result: within half a bf16 ULP
+        np.testing.assert_allclose(
+            out[touched], want[touched], rtol=2 ** -8, atol=2 ** -24
+        )
+        return
+    out1b, _ = run(3)
+    out2, _ = run(4)
+    np.testing.assert_array_equal(out, out1b)  # same seed -> bit-exact
+    assert (out[touched] != out2[touched]).any()  # seeds decorrelate
+    w = want[touched]
+    o = out[touched]
+    # every stored value is within one bf16 ULP (2^-7 relative) of the
+    # fp32 result — i.e. one of the two bracketing grid points
+    step = np.maximum(np.abs(w) * 2 ** -7, 2 ** -126)
+    assert (np.abs(o - w) <= step + 1e-12).all()
+    # ~unbiased: mean signed rounding error across many elements ~ 0
+    errs = (o - w).ravel()
+    assert abs(errs.mean()) < 4 * errs.std() / np.sqrt(errs.size) + 1e-9
+
+
 @pytest.mark.parametrize(
     "U,n_runs,chunk,wd",
     [

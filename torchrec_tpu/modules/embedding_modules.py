@@ -171,10 +171,18 @@ class _EmbeddingCollectionBase:
             # free past the sentinel range (pad == round_up(u, c) - u), so
             # parking targets and pad targets never collide.
             scratch = 0
+            pack = self._PACK_BF16 and dt == DataType.BF16
             if scratch_window is not None and small_rows < off:
                 from torchrec_tpu.ops.tbe_pallas import _CHUNK as _wc
 
                 scratch = -(-scratch_window // _wc) * _wc
+                if pack:
+                    # pair-granular kernel: sentinels are PAIR indices,
+                    # so the tail needs 2x the rows
+                    scratch *= 2
+            if pack:
+                # pair-packed u32 storage needs an EVEN blob row count
+                scratch += (off + scratch) % 2
             g = TableGroup(
                 key=f"group_d{dim}_{dt.value.lower()}",
                 dim=dim,
@@ -219,6 +227,53 @@ class _EmbeddingCollectionBase:
             table_feats[ti] = self._feat_local[fi] + 1
         self._max_feats_per_table = max(table_feats.values()) if table_feats else 1
 
+    # bf16 group blobs are STORED pair-packed as u32 [padded/2, dim]
+    # (tbe_pallas pair-storage section; same "packed at a higher layer"
+    # convention as int4/int2 — XLA-level bf16<->u32 views re-tile and
+    # copy the whole table on TPU, so the packed form IS the format).
+    # EBC-only: EC keeps logical bf16 (its consumers may differentiate
+    # through apply, and integer leaves take no AD cotangent).
+    _PACK_BF16 = False
+
+    def _pack_group(self, g: TableGroup) -> bool:
+        return self._PACK_BF16 and g.data_type == DataType.BF16
+
+    def _table_f32(self, gi: int, params: "Params"):
+        """Lazy logical-f32 view of the group blob (built at most once
+        per trace). Pair-packed groups pay a FULL unpack — fallback paths
+        only; the v3 fast paths consume pair words directly."""
+        g = self._groups[gi]
+        cell: List[jnp.ndarray] = []
+
+        def get():
+            if not cell:
+                blob = params[g.key]
+                if self._pack_group(g):
+                    from torchrec_tpu.ops.tbe_pallas import (
+                        unpack_pair_blob,
+                    )
+
+                    cell.append(unpack_pair_blob(blob))
+                elif g.data_type != DataType.FP32:
+                    cell.append(blob.astype(jnp.float32))
+                else:
+                    cell.append(blob)
+            return cell[0]
+
+        return get
+
+    def _small_f32(self, gi: int, params: "Params") -> jnp.ndarray:
+        """Logical-f32 rows covering the SMALL region (possibly one spare
+        row past it for pair-packed groups with an odd small boundary) —
+        keeps the per-step small-path unpack O(small), not O(table)."""
+        g = self._groups[gi]
+        if not self._pack_group(g):
+            return self._table_f32(gi, params)()
+        from torchrec_tpu.ops.tbe_pallas import unpack_pair_blob
+
+        ps = (g.small_rows + 1) // 2
+        return unpack_pair_blob(params[g.key][:ps])
+
     # -- public structural accessors (reference parity) -----------------------
     def feature_names(self) -> List[str]:
         return list(self._feature_names)
@@ -250,7 +305,12 @@ class _EmbeddingCollectionBase:
                 parts.append(t.get_weight_init_fn()(sub, (rows, g.dim), dtype))
             if g.scratch_rows:
                 parts.append(jnp.zeros((g.scratch_rows, g.dim), dtype))
-            params[g.key] = jnp.concatenate(parts, axis=0)
+            blob = jnp.concatenate(parts, axis=0)
+            if self._pack_group(g):
+                from torchrec_tpu.ops.tbe_pallas import pack_pair_blob
+
+                blob = pack_pair_blob(blob)
+            params[g.key] = blob
         return params
 
     def table_slice(self, params: Params, table_name: str) -> jnp.ndarray:
@@ -260,7 +320,16 @@ class _EmbeddingCollectionBase:
             if table_name in g.table_names:
                 i = g.table_names.index(table_name)
                 off, rows = g.row_offsets[i], g.table_rows[i]
-                return params[g.key][off : off + rows]
+                blob = params[g.key]
+                if self._pack_group(g):
+                    from torchrec_tpu.ops.tbe_pallas import (
+                        unpack_pair_blob,
+                    )
+
+                    blob = unpack_pair_blob(blob).astype(
+                        g.data_type.as_jnp()
+                    )
+                return blob[off : off + rows]
         raise KeyError(table_name)
 
     def split_params(self, params: Params) -> Dict[str, jnp.ndarray]:
@@ -290,7 +359,12 @@ class _EmbeddingCollectionBase:
                 parts.append(jnp.asarray(w, dtype))
             if g.scratch_rows:
                 parts.append(jnp.zeros((g.scratch_rows, g.dim), dtype))
-            params[g.key] = jnp.concatenate(parts, axis=0)
+            blob = jnp.concatenate(parts, axis=0)
+            if self._pack_group(g):
+                from torchrec_tpu.ops.tbe_pallas import pack_pair_blob
+
+                blob = pack_pair_blob(blob)
+            params[g.key] = blob
         return params
 
     def init_optimizer(
@@ -301,7 +375,14 @@ class _EmbeddingCollectionBase:
         the write-kernel scratch tail carries no optimizer state (sentinel
         scatters drop against the logical bound)."""
         return {
-            g.key: optimizer.init(params[g.key][: g.total_rows])
+            g.key: optimizer.init(
+                # pair-packed groups: state is sized/typed off the LOGICAL
+                # table (u32 pair rows would halve row counts and break
+                # the bf16 stochastic-rounding dtype check)
+                jnp.zeros((g.total_rows, g.dim), g.data_type.as_jnp())
+                if self._pack_group(g)
+                else params[g.key][: g.total_rows]
+            )
             for g in self._groups
         }
 
@@ -334,7 +415,15 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
     Reference: torchrec/modules/embedding_modules.py:129. Weighted EBCs
     (per-id weights, e.g. from feature processors) require a weighted KJT
     and force SUM pooling, matching nn.EmbeddingBag semantics.
+
+    bf16 groups store their blob PAIR-PACKED as u32 [padded/2, dim]
+    (see tbe_pallas pair-storage section — Mosaic cannot DMA 256-byte
+    rows, so the packed form is the only layout with a fast sparse
+    backward); :meth:`table_slice`/:meth:`split_params` present logical
+    bf16 views.
     """
+
+    _PACK_BF16 = True
 
     def __init__(
         self,
@@ -635,7 +724,8 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
     # fused backward tail (run segsum + optimizer + write in ONE Pallas
     # pass, tbe_pallas.row_scatter_write_segscan[_rowwise]) when the
     # optimizer supports it (SGD and RowWiseAdagrad on lane-aligned fp32
-    # tables — see supports_segscan_update); A/B gate
+    # OR bf16 tables, with or without stochastic rounding — see
+    # supports_segscan_update); A/B gate
     _FUSED_BWD_SEGSCAN = True
 
     def _cm_impl(self, gi: int, weights) -> str:
@@ -742,6 +832,10 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
         if self._max_feats_per_table != 1:
             return False
         g = self._groups[gi]
+        if self._pack_group(g):
+            # the fused kernels read raw blob rows; pair-packed groups
+            # take the per-table matmul path on the unpacked small region
+            return False
         n_gf = len(self._group_features[gi])
         return n_gf * b * g.dim * 4 <= 4 * 2**20
 
@@ -907,11 +1001,8 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 continue
             use_cm = self._use_count_matmul(gi, b)
             impl = self._cm_impl(gi, weights)
-            table_f32 = (
-                params[g.key].astype(jnp.float32)
-                if g.data_type != DataType.FP32
-                else params[g.key]
-            )
+            packed = self._pack_group(g)
+            table_f32 = self._table_f32(gi, params)
             C = None
             if use_cm and impl == "v3":
                 # shared-sort path: one sort feeds the compact large-table
@@ -927,10 +1018,33 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 sids = jax.lax.dynamic_slice(sk, (n_small,), (u,))
                 sseg = jax.lax.dynamic_slice(ss, (n_small,), (u,))
                 in_range = (sids >= small) & (sids < total)
-                rows = jnp.take(
-                    table_f32, jnp.minimum(sids, total - 1), axis=0,
-                    indices_are_sorted=True,
-                )
+                if packed:
+                    # pair-packed blob: ONE pair-row gather (the identical
+                    # expression in the backward CSEs it), select the
+                    # slot's half by id parity, unpack to HALF-LAYOUT f32;
+                    # the pooled block is de-permuted to logical lanes
+                    # after the (layout-blind) segment-sum
+                    from torchrec_tpu.ops.tbe_pallas import (
+                        _half_inv_perm,
+                        _unpack_pair_half,
+                    )
+
+                    pv = params[g.key]
+                    d2v = g.dim // 2
+                    w_pair = jnp.take(
+                        pv, jnp.minimum(sids >> 1, pv.shape[0] - 1),
+                        axis=0, indices_are_sorted=True,
+                    )
+                    half = jnp.where(
+                        (sids & 1)[:, None].astype(bool),
+                        w_pair[:, d2v:], w_pair[:, :d2v],
+                    )
+                    rows = _unpack_pair_half(half)
+                else:
+                    rows = jnp.take(
+                        table_f32(), jnp.minimum(sids, total - 1), axis=0,
+                        indices_are_sorted=True,
+                    )
                 if sw is not None:
                     sw_u = jax.lax.dynamic_slice(sw, (n_small,), (u,))
                     rows = rows * sw_u[:, None].astype(rows.dtype)
@@ -940,6 +1054,12 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                     jnp.where(in_range, sseg, n_gf * b),
                     num_segments=n_gf * b,
                 )
+                if packed:
+                    pooled = jnp.take(
+                        pooled,
+                        jnp.asarray(_half_inv_perm(g.dim)),
+                        axis=1,
+                    )
                 fused = self._use_small_fused(gi, b)
                 C = self._count_matrix_v3(
                     gi, sk, ss, b, sw, scol, pad_rows=fused
@@ -962,7 +1082,7 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                     unique_bound=self._max_unique, weights=weights,
                 )
                 rows = jnp.take(
-                    table_f32, jnp.minimum(sids, total - 1), axis=0,
+                    table_f32(), jnp.minimum(sids, total - 1), axis=0,
                     indices_are_sorted=True,
                 )
                 if w_s is not None:
@@ -990,7 +1110,7 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                     and len(self._group_features[gi]) == f
                 )
                 pooled = pooled_lookup(
-                    table_f32,
+                    table_f32(),
                     ids_g,
                     seg_g,
                     n_gf * b,
@@ -1011,7 +1131,7 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                         )
                     else:
                         pooled = pooled + self._small_pool_matmul_v1(
-                            gi, C, table_f32, b
+                            gi, C, self._small_f32(gi, params), b
                         )
                 elif impl in ("v1", "v2"):
                     cm = (self._count_matrix_v2 if impl == "v2"
@@ -1021,7 +1141,7 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                         weights, b,
                     )
                     pooled = pooled + self._small_pool_matmul_v1(
-                        gi, C, table_f32, b
+                        gi, C, self._small_f32(gi, params), b
                     )
                 else:
                     C = self._count_tensor(
@@ -1029,7 +1149,7 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                         weights, b,
                     )
                     pooled = pooled + self._small_pool_matmul(
-                        gi, C, table_f32, b
+                        gi, C, self._small_f32(gi, params), b
                     )
             pooled = pooled.reshape(n_gf, b, g.dim)
             for local, fi in enumerate(self._group_features[gi]):
@@ -1175,8 +1295,9 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 )
             # v3's position-layout ids need the branch-free scratch-tail
             # write kernel; the fused segscan path needs it too
-            in_bounds = (
-                g.scratch_rows > 0 and tbl.shape[0] == g.padded_rows
+            packed = self._pack_group(g)
+            in_bounds = g.scratch_rows > 0 and tbl.shape[0] == (
+                g.padded_rows // 2 if packed else g.padded_rows
             )
             use_scan = (
                 v3
@@ -1199,10 +1320,10 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 sseg_u = jax.lax.dynamic_slice(ss, (n_small,), (u,))
                 s = pooled_grad.shape[0]
                 in_range = (sids_u >= small) & (sids_u < total)
-                ids_m = jnp.where(in_range, sids_u, total)
                 seg_m = jnp.where(
                     in_range, jnp.minimum(sseg_u, s), s
                 )
+                pairs = packed
                 padded = jnp.concatenate(
                     [
                         pooled_grad,
@@ -1210,29 +1331,52 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                                   pooled_grad.dtype),
                     ]
                 )
+                if pairs:
+                    # bf16 pair mode (tbe_pallas pair kernels): runs are
+                    # keyed by PAIR id; grads go in HALF-LAYOUT (col j <
+                    # dim/2 = lane 2j) — the column permute happens on the
+                    # TINY pooled-grad array, before the expand gather
+                    padded = jnp.concatenate(
+                        [padded[:, 0::2], padded[:, 1::2]], axis=1
+                    )
+                    pp_total = (total + 1) // 2
+                    key_m = jnp.where(in_range, sids_u >> 1, pp_total)
+                    invalid_key = pp_total
+                else:
+                    key_m = jnp.where(in_range, sids_u, total)
+                    invalid_key = total
                 g_sorted = jnp.take(padded, seg_m, axis=0)
                 if sw is not None:
                     sw_u = jax.lax.dynamic_slice(sw, (n_small,), (u,))
                     g_sorted = g_sorted * sw_u[:, None].astype(g_sorted.dtype)
-                diff = ids_m[1:] != ids_m[:-1]
+                diff = key_m[1:] != key_m[:-1]
                 heads = jnp.concatenate(
                     [jnp.ones((1,), jnp.float32), diff.astype(jnp.float32)]
                 )[:, None]
                 is_end = jnp.concatenate([diff, jnp.ones((1,), jnp.bool_)])
                 pos = jnp.arange(u, dtype=jnp.int32)
                 real_end = is_end & in_range
-                rows_end = jnp.where(real_end, ids_m, total + pos)
+                rows_end = jnp.where(real_end, key_m, invalid_key + pos)
                 ends = real_end.astype(jnp.float32)[:, None]
-                # IDENTICAL expression to the forward's compact window
-                # gather -> XLA CSEs it across the step (supports gate
-                # guarantees fp32, so table_f32 is tbl itself)
-                old_rows = jnp.take(
-                    tbl, jnp.minimum(sids_u, total - 1), axis=0,
-                    indices_are_sorted=True,
-                )
+                if pairs:
+                    parity = (sids_u & 1).astype(jnp.float32)[:, None]
+                    # IDENTICAL expression to the forward's pair-row
+                    # gather -> XLA CSEs it across the step
+                    old_rows = jnp.take(
+                        tbl, jnp.minimum(sids_u >> 1, tbl.shape[0] - 1),
+                        axis=0, indices_are_sorted=True,
+                    )
+                else:
+                    parity = None
+                    # IDENTICAL expression to the forward's compact window
+                    # gather -> XLA CSEs it across the step
+                    old_rows = jnp.take(
+                        tbl, jnp.minimum(sids_u, total - 1), axis=0,
+                        indices_are_sorted=True,
+                    )
                 tbl, st = optimizer.segscan_update(
                     tbl, st, rows_end, heads, ends, g_sorted, old_rows,
-                    lr=lr, interpret=self._CM_FORCE_V3,
+                    lr=lr, interpret=self._CM_FORCE_V3, parity=parity,
                 )
             elif small < total and ids_g.shape[0] > 0:
                 # large rows: sort/dedup + sparse scatter (zero-capacity
@@ -1250,7 +1394,7 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                             else jax.lax.dynamic_slice(sw, (n_small,), (u,))
                         ),
                     )
-                    if self._REUSE_FWD_ROWS:
+                    if self._REUSE_FWD_ROWS and not packed:
                         # the IDENTICAL expression to the forward's compact
                         # window gather -> XLA CSEs it across the step, so
                         # the optimizer's own table[uids] gather disappears
@@ -1278,10 +1422,29 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 # tail, every sentinel (always < total + u <= padded_rows -
                 # chunk pad) is a real address — the write kernel runs
                 # branch-free with one aggregated wait per chunk
-                tbl, st = optimizer.update(
-                    tbl, st, uids, ugrads, lr=lr, ids_sorted=not v3,
-                    ids_in_bounds=in_bounds, old_rows=old_rows,
-                )
+                if packed:
+                    # slow-but-correct fallback for optimizers without a
+                    # pair segscan: unpack the whole blob, update the
+                    # logical bf16 table, repack (two full passes)
+                    from torchrec_tpu.ops.tbe_pallas import (
+                        pack_pair_blob,
+                        unpack_pair_blob,
+                    )
+
+                    logical = unpack_pair_blob(tbl).astype(
+                        g.data_type.as_jnp()
+                    )
+                    logical, st = optimizer.update(
+                        logical, st, uids, ugrads, lr=lr,
+                        ids_sorted=not v3, ids_in_bounds=False,
+                        old_rows=old_rows,
+                    )
+                    tbl = pack_pair_blob(logical)
+                else:
+                    tbl, st = optimizer.update(
+                        tbl, st, uids, ugrads, lr=lr, ids_sorted=not v3,
+                        ids_in_bounds=in_bounds, old_rows=old_rows,
+                    )
             if small > 0 and use_cm:
                 # count-matmul fast path (C is CSE-shared with the forward)
                 if v3:
@@ -1330,10 +1493,33 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                     k: v[:small] if v.ndim and v.shape[0] == total else v
                     for k, v in st.items()
                 }
-                tbl_s, st_s = optimizer.dense_update(
-                    tbl[:small], st_s, acc, touched, lr=lr
-                )
-                tbl = jax.lax.dynamic_update_slice(tbl, tbl_s, (0, 0))
+                if packed:
+                    # unpack the small REGION (O(small)), update the
+                    # logical bf16 rows, repack; an odd small boundary
+                    # carries the straddling pair's large-row bits through
+                    from torchrec_tpu.ops.tbe_pallas import (
+                        pack_pair_blob,
+                        unpack_pair_blob,
+                    )
+
+                    ps = (small + 1) // 2
+                    region = unpack_pair_blob(tbl[:ps]).astype(
+                        g.data_type.as_jnp()
+                    )
+                    tbl_s, st_s = optimizer.dense_update(
+                        region[:small], st_s, acc, touched, lr=lr
+                    )
+                    merged = jnp.concatenate(
+                        [tbl_s, region[small:]], axis=0
+                    )
+                    tbl = jax.lax.dynamic_update_slice(
+                        tbl, pack_pair_blob(merged), (0, 0)
+                    )
+                else:
+                    tbl_s, st_s = optimizer.dense_update(
+                        tbl[:small], st_s, acc, touched, lr=lr
+                    )
+                    tbl = jax.lax.dynamic_update_slice(tbl, tbl_s, (0, 0))
                 st = {
                     k: jax.lax.dynamic_update_slice(
                         st[k], st_s[k], (0,) * st[k].ndim
@@ -1352,10 +1538,33 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                     k: v[:small] if v.ndim and v.shape[0] == total else v
                     for k, v in st.items()
                 }
-                tbl_s, st_s = optimizer.dense_update(
-                    tbl[:small], st_s, acc, touched, lr=lr
-                )
-                tbl = jax.lax.dynamic_update_slice(tbl, tbl_s, (0, 0))
+                if packed:
+                    # unpack the small REGION (O(small)), update the
+                    # logical bf16 rows, repack; an odd small boundary
+                    # carries the straddling pair's large-row bits through
+                    from torchrec_tpu.ops.tbe_pallas import (
+                        pack_pair_blob,
+                        unpack_pair_blob,
+                    )
+
+                    ps = (small + 1) // 2
+                    region = unpack_pair_blob(tbl[:ps]).astype(
+                        g.data_type.as_jnp()
+                    )
+                    tbl_s, st_s = optimizer.dense_update(
+                        region[:small], st_s, acc, touched, lr=lr
+                    )
+                    merged = jnp.concatenate(
+                        [tbl_s, region[small:]], axis=0
+                    )
+                    tbl = jax.lax.dynamic_update_slice(
+                        tbl, pack_pair_blob(merged), (0, 0)
+                    )
+                else:
+                    tbl_s, st_s = optimizer.dense_update(
+                        tbl[:small], st_s, acc, touched, lr=lr
+                    )
+                    tbl = jax.lax.dynamic_update_slice(tbl, tbl_s, (0, 0))
                 st = {
                     k: jax.lax.dynamic_update_slice(
                         st[k], st_s[k], (0,) * st[k].ndim

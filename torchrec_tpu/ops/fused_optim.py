@@ -189,11 +189,14 @@ class EmbeddingOptimizer:
 
     def segscan_update(
         self, table, state, rows_end, heads, ends, grads, old_rows,
-        lr=None, interpret=False,
+        lr=None, interpret=False, parity=None,
     ):
         """Fused sorted-stream update (see tbe_pallas.row_scatter_write_
         segscan for the argument contract; ``ends`` marks real-row run-end
-        positions). Only valid when :meth:`supports_segscan_update`
+        positions). bf16 tables use PAIR mode: ``parity`` is given,
+        ``rows_end`` carries pair ids, ``grads`` are half-layout and
+        ``old_rows`` are u32 pair words (tbe_pallas.row_scatter_write_
+        segscan_pair). Only valid when :meth:`supports_segscan_update`
         returns True."""
         raise NotImplementedError
 
@@ -251,20 +254,32 @@ class SGD(EmbeddingOptimizer):
         return (table - (lr * g).astype(table.dtype)), state
 
     def supports_segscan_update(self, table: jnp.ndarray) -> bool:
-        # fp32 lane-aligned tables only: the fused kernel computes and
-        # stores fp32 (no stochastic-rounding leg)
+        # lane-aligned fp32 (flat run-end kernel) or u32 pair-packed bf16
+        # storage (PAIR-granular kernel: fp32 in-kernel compute, bf16
+        # rounding at the store — stochastic when SR is on)
         return (
-            not self.stochastic_rounding
-            and table.ndim == 2
-            and table.dtype == jnp.float32
+            table.ndim == 2
+            and table.dtype in (jnp.float32, jnp.uint32)
             and table.shape[1] % 128 == 0
+        )
+
+    def _sr_seed(self, state):
+        if not self.stochastic_rounding:
+            return None, state
+        step = state["sr_step"]
+        return (
+            step.reshape(1).astype(jnp.uint32),
+            {**state, "sr_step": step + 1},
         )
 
     def segscan_update(
         self, table, state, rows_end, heads, ends, grads, old_rows,
-        lr=None, interpret=False,
+        lr=None, interpret=False, parity=None,
     ):
-        from torchrec_tpu.ops.tbe_pallas import row_scatter_write_segscan
+        from torchrec_tpu.ops.tbe_pallas import (
+            row_scatter_write_segscan,
+            row_scatter_write_segscan_pair,
+        )
 
         lr = self._lr(lr)
         scal = jnp.stack(
@@ -273,6 +288,15 @@ class SGD(EmbeddingOptimizer):
                 jnp.asarray(self.weight_decay, jnp.float32),
             ]
         )
+        if parity is not None:
+            # bf16 pair mode: rows_end carries PAIR ids, grads are in
+            # half-layout, old_rows are u32 pair words
+            sr_seed, state = self._sr_seed(state)
+            new_table = row_scatter_write_segscan_pair(
+                table, rows_end, heads, ends, parity, grads, old_rows,
+                scal, sr_seed, interpret=interpret,
+            )
+            return new_table, state
         new_table = row_scatter_write_segscan(
             table, rows_end, heads, ends, grads, old_rows, scal,
             interpret=interpret,
@@ -344,30 +368,38 @@ class RowWiseAdagrad(EmbeddingOptimizer):
         delta = jnp.where(
             touched[:, None], -lr * g / (jnp.sqrt(mom)[:, None] + self.eps), 0.0
         )
-        return table + delta.astype(table.dtype), {"momentum": mom}
+        sr_bits, state = self._sr_bits(state, delta.shape)
+        if sr_bits is not None:
+            new = stochastic_round_bf16(
+                table.astype(jnp.float32) + delta, sr_bits
+            ).astype(table.dtype)
+            new_table = jnp.where(touched[:, None], new, table)
+        else:
+            new_table = table + delta.astype(table.dtype)
+        return new_table, {**state, "momentum": mom}
 
     def supports_segscan_update(self, table: jnp.ndarray) -> bool:
-        # fp32 lane-aligned tables only (no stochastic-rounding leg)
+        # lane-aligned fp32 (flat kernel) or u32 pair-packed bf16 (pair
+        # kernel; the fp32 accumulator always stays exact)
         return (
-            not self.stochastic_rounding
-            and table.ndim == 2
-            and table.dtype == jnp.float32
+            table.ndim == 2
+            and table.dtype in (jnp.float32, jnp.uint32)
             and table.shape[1] % 128 == 0
         )
 
+    _sr_seed = SGD._sr_seed
+
     def segscan_update(
         self, table, state, rows_end, heads, ends, grads, old_rows,
-        lr=None, interpret=False,
+        lr=None, interpret=False, parity=None,
     ):
         from torchrec_tpu.ops.tbe_pallas import (
+            row_scatter_write_segscan_pair_rowwise,
             row_scatter_write_segscan_rowwise,
         )
 
         lr = self._lr(lr)
         mom = state["momentum"]
-        # accumulator at run-end rows (sentinel positions read garbage;
-        # the kernel's ends mask zeroes their outputs)
-        mom_rows = jnp.take(mom, jnp.minimum(rows_end, mom.shape[0] - 1))
         scal = jnp.stack(
             [
                 jnp.asarray(lr, jnp.float32),
@@ -375,6 +407,30 @@ class RowWiseAdagrad(EmbeddingOptimizer):
                 jnp.asarray(self.eps, jnp.float32),
             ]
         )
+        if parity is not None:
+            # bf16 pair mode: gather/scatter the accumulator through an
+            # even-padded [P, 2] pair view so both rows of each touched
+            # pair ride one row op
+            sr_seed, state = self._sr_seed(state)
+            r = mom.shape[0]
+            mom_p = (
+                jnp.concatenate([mom, jnp.zeros((1,), mom.dtype)])
+                if r % 2 else mom
+            ).reshape(-1, 2)
+            mom_pairs = jnp.take(
+                mom_p, jnp.minimum(rows_end, mom_p.shape[0] - 1), axis=0
+            )
+            new_table, m_new = row_scatter_write_segscan_pair_rowwise(
+                table, rows_end, heads, ends, parity, grads, old_rows,
+                mom_pairs, scal, sr_seed, interpret=interpret,
+            )
+            new_mom = mom_p.at[rows_end].set(
+                m_new, mode="drop", unique_indices=True
+            ).reshape(-1)[:r]
+            return new_table, {**state, "momentum": new_mom}
+        # accumulator at run-end rows (sentinel positions read garbage;
+        # the kernel's ends mask zeroes their outputs)
+        mom_rows = jnp.take(mom, jnp.minimum(rows_end, mom.shape[0] - 1))
         new_table, m_new = row_scatter_write_segscan_rowwise(
             table, rows_end, heads, ends, grads, old_rows, mom_rows, scal,
             interpret=interpret,

@@ -199,12 +199,20 @@ def row_scatter_add(
 
 
 def supports_row_scatter_add(table: jnp.ndarray) -> bool:
-    """True when the Pallas row-RMW kernel applies (TPU, lane-aligned)."""
+    """True when the Pallas row-RMW/write kernels apply (TPU, lane-aligned,
+    >=32-bit dtype — sub-32-bit rows are below the 512-byte DMA slice
+    granularity; bf16 tables take the pair-granular segscan path or the
+    XLA scatter fallback)."""
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover - no backend at trace time
         on_tpu = False
-    return on_tpu and table.ndim == 2 and table.shape[1] % 128 == 0
+    return (
+        on_tpu
+        and table.ndim == 2
+        and table.shape[1] % 128 == 0
+        and jnp.dtype(table.dtype).itemsize >= 4
+    )
 
 
 # --------------------------------------------------------------------------
@@ -541,6 +549,18 @@ def row_scatter_write(
     num_rows, d = table.shape
     if d % 128:
         raise ValueError(f"row width {d} must be a multiple of 128")
+    if jnp.dtype(table.dtype).itemsize < 4:
+        # Mosaic DMA granularity is 512 bytes (128 32-bit lanes): a 256-
+        # byte bf16 row cannot be sliced in ANY layout (dim-0 slices of a
+        # bf16 ref need 8-row alignment; 64-lane u32 views violate lane
+        # tiling). bf16 row writes go through the PAIR-granular segscan
+        # kernels (row_scatter_write_segscan* in half-pair mode); this
+        # generic kernel rejects sub-32-bit tables.
+        raise ValueError(
+            "row_scatter_write requires a >=32-bit table dtype; bf16 "
+            "tables use the pair-granular segscan kernels or the XLA "
+            "scatter fallback"
+        )
     u = rows.shape[0]
     # _chunk: interpret-mode test knob ONLY (see row_scatter_add)
     chunk = _chunk or _CHUNK
@@ -609,6 +629,30 @@ def row_scatter_write(
 # --------------------------------------------------------------------------
 
 
+def _segscan_vals(heads, vals, carry_ref, chunk: int):
+    """Value-input segmented inclusive prefix scan (see :func:`_segscan_v`
+    — this form takes the per-slot values as an ARRAY so callers can mask
+    or derive them in-kernel)."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    v = vals
+    b = 1.0 - heads
+    d = 1
+    while d < chunk:
+        v = v + b * jnp.concatenate(
+            [jnp.zeros((d, v.shape[1]), v.dtype), v[:-d]], axis=0
+        )
+        b = b * jnp.concatenate(
+            [jnp.ones((d, 1), b.dtype), b[:-d]], axis=0
+        )
+        d *= 2
+    v = v + b * carry_ref[...]
+    carry_ref[...] = v[chunk - 1 : chunk, :]
+    return v
+
+
 def _segscan_v(heads_ref, grads_ref, carry_ref, chunk: int):
     """Shared segmented inclusive prefix scan: v[i] = sum of grads over
     this run's slots <= i, with the cross-chunk carry updated in place.
@@ -635,6 +679,118 @@ def _segscan_v(heads_ref, grads_ref, carry_ref, chunk: int):
     v = v + b * carry_ref[...]
     carry_ref[...] = v[chunk - 1 : chunk, :]
     return v
+
+
+def _bf16_patterns(x, seed, salt: int, chunk: int):
+    """f32 -> bf16 bit patterns (u32 arrays, pattern in the LOW 16 bits).
+    ``seed`` None: round-to-nearest-even (astype semantics). ``seed``
+    given: stochastic rounding — the same add-random-low-bits-and-
+    truncate as fused_optim.stochastic_round_bf16, with bits from a
+    murmur3-finalizer hash of the global element counter (pure VPU ops:
+    works compiled AND in interpret mode, zero HBM traffic). ``salt``
+    decorrelates multiple pattern streams within one kernel."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    if seed is None:
+        r = (u + jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))) >> 16
+    else:
+        d = x.shape[1]
+        idx = (
+            jax.lax.broadcasted_iota(jnp.int32, x.shape, 0) * d
+            + jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            + (2 * pl.program_id(0) + salt) * (chunk * d)
+        ).astype(jnp.uint32)
+        # decorrelate steps by a golden-ratio stride before the finalizer
+        h = idx ^ (seed * jnp.uint32(0x9E3779B9))
+        h = h ^ (h >> 16)
+        h = h * jnp.uint32(0x85EBCA6B)
+        h = h ^ (h >> 13)
+        h = h * jnp.uint32(0xC2B2AE35)
+        h = h ^ (h >> 16)
+        r = (u + (h & jnp.uint32(0xFFFF))) >> 16
+    # non-finite passes through untouched (NaN payload bits preserved)
+    return jnp.where(jnp.isfinite(x), r, u >> 16)
+
+
+def _unpack_pair_half(w):
+    """u32 pair words [n, d2] -> f32 rows [n, 2*d2] in HALF-LAYOUT (col
+    j < d2 = original lane 2j from the LOW 16 bits — XLA bitcast packs
+    index 0 into the low bits on TPU — col d2+j = lane 2j+1)."""
+    lo = jax.lax.bitcast_convert_type(w << 16, jnp.float32)
+    hi = jax.lax.bitcast_convert_type(w & jnp.uint32(0xFFFF0000), jnp.float32)
+    return jnp.concatenate([lo, hi], axis=1)
+
+
+def _pack_pair_half(x, seed, salt: int, chunk: int):
+    """f32 rows [n, 2*d2] in HALF-LAYOUT -> u32 pair words [n, d2] with
+    bf16 rounding (see _bf16_patterns)."""
+    p = _bf16_patterns(x, seed, salt, chunk)
+    d2 = x.shape[1] // 2
+    return p[:, :d2] | (p[:, d2:] << 16)
+
+
+# -- pair-packed bf16 storage (module-layer format) --------------------------
+#
+# bf16 group blobs are STORED as u32 [R/2, D] "pair-packed" arrays (rows
+# 2p, 2p+1 share pair row p; u32 lane j of each half = bf16 lanes
+# 2j | 2j+1 << 16 — the linear byte image, numpy
+# ``blob.view(uint32).reshape(R//2, D)``). This is the same convention as
+# the packed int4/int2 quant storage (types.py "packed at a higher
+# layer"): XLA-level bf16<->u32 views are NOT free on TPU (any [.., 2]-
+# minor reshape re-tiles with 64x padding; tiled-layout reshapes copy the
+# whole table), so the packed form IS the format, with the converters
+# below at the boundaries.
+
+
+def pack_pairs_host(arr) -> "np.ndarray":
+    """HOST-side exact pack: 16-bit [R (even), D] -> u32 [R/2, D]."""
+    import numpy as np
+
+    a = np.ascontiguousarray(np.asarray(arr))
+    r, d = a.shape
+    return a.view(np.uint32).reshape(r // 2, d)
+
+
+def unpack_pairs_host(blob, dtype) -> "np.ndarray":
+    """HOST-side exact unpack: u32 [P, D] -> 16-bit dtype [2P, D]."""
+    import numpy as np
+
+    b = np.ascontiguousarray(np.asarray(blob))
+    p, d = b.shape
+    return b.view(np.dtype(dtype)).reshape(2 * p, d)
+
+
+def _half_inv_perm(d: int):
+    """Static perm taking HALF-LAYOUT columns back to logical lanes:
+    logical[:, 2j] = half[:, j], logical[:, 2j+1] = half[:, d/2 + j]."""
+    import numpy as np
+
+    inv = np.empty(d, np.int32)
+    inv[0::2] = np.arange(d // 2)
+    inv[1::2] = d // 2 + np.arange(d // 2)
+    return inv
+
+
+def unpack_pair_blob(blob: jnp.ndarray) -> jnp.ndarray:
+    """u32 pair-packed [P, D] -> f32 logical [2P, D] (XLA, poison-free:
+    only 2-D ops). Fallback-path converter — cost is a few full passes
+    over the blob; the fast paths consume pair words directly."""
+    p, d = blob.shape
+    d2 = d // 2
+    inv = jnp.asarray(_half_inv_perm(d))
+    e = jnp.take(_unpack_pair_half(blob[:, :d2]), inv, axis=1)
+    o = jnp.take(_unpack_pair_half(blob[:, d2:]), inv, axis=1)
+    return jnp.concatenate([e, o], axis=1).reshape(2 * p, d)
+
+
+def pack_pair_blob(x: jnp.ndarray) -> jnp.ndarray:
+    """16-bit (or f32, rounded RN-even) logical [2P, D] -> u32 pair-packed
+    [P, D] (XLA, poison-free)."""
+    r, d = x.shape
+    u16 = jax.lax.bitcast_convert_type(
+        x.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    w = u16[:, 0::2] | (u16[:, 1::2] << 16)
+    return w.reshape(r // 2, d)
 
 
 def _segscan_write(issue, sem_waits, chunk: int, rem: int, n_chunks: int):
@@ -745,10 +901,18 @@ def row_scatter_write_segscan(
       old_rows: [u, D] f32 — current table rows at slot positions (the
         forward's window gather; values at sentinel positions arbitrary).
       scal:     [2] f32 — (lr, weight_decay).
+
+    fp32 tables only — sub-32-bit rows are below the 512-byte DMA slice
+    granularity; bf16 tables take :func:`row_scatter_write_segscan_pair`.
     """
     num_rows, d = table.shape
     if d % 128:
         raise ValueError(f"row width {d} must be a multiple of 128")
+    if jnp.dtype(table.dtype).itemsize < 4:
+        raise ValueError(
+            "row_scatter_write_segscan requires a >=32-bit table dtype; "
+            "use row_scatter_write_segscan_pair for bf16 tables"
+        )
     u = rows_end.shape[0]
     chunk = _chunk or _CHUNK
     if chunk > _CHUNK:
@@ -886,12 +1050,18 @@ def row_scatter_write_segscan_rowwise(
 
     Extra args: ``mom_rows`` [u] f32 — the accumulator gathered at
     ``min(rows_end, R-1)`` (garbage at sentinel positions is masked to
-    zero in-kernel); ``scal`` [3] f32 — (lr, weight_decay, eps).
-    Returns ``(new_table, m_new [u, 1])``.
+    zero in-kernel); ``scal`` [3] f32 — (lr, weight_decay, eps);
+    Returns ``(new_table, m_new [u, 1])``. fp32 tables only (see
+    :func:`row_scatter_write_segscan_pair_rowwise` for bf16).
     """
     num_rows, d = table.shape
     if d % 128:
         raise ValueError(f"row width {d} must be a multiple of 128")
+    if jnp.dtype(table.dtype).itemsize < 4:
+        raise ValueError(
+            "row_scatter_write_segscan_rowwise requires a >=32-bit table "
+            "dtype; use row_scatter_write_segscan_pair_rowwise for bf16"
+        )
     u = rows_end.shape[0]
     chunk = _chunk or _CHUNK
     if chunk > _CHUNK:
@@ -954,6 +1124,396 @@ def row_scatter_write_segscan_rowwise(
         table,
     )
     return new_table, m_new[:u]
+
+
+# --------------------------------------------------------------------------
+# Pair-granular segscan kernels for bf16 tables.
+#
+# Mosaic's DMA slice granularity is 512 bytes (128 32-bit lanes): a single
+# 256-byte bf16 row cannot be addressed in ANY layout (dim-0 slices of a
+# bf16 ref need 8-row alignment; a 64-lane u32 view violates lane tiling).
+# So bf16 sparse writes operate on ROW PAIRS: the table is viewed as
+# u32[R/2, D] (pair p = rows 2p, 2p+1; u32 lane j of a half = bf16 lanes
+# 2j | 2j+1 << 16, little-endian), runs are keyed by PAIR id (the id-sorted
+# stream is pair-sorted for free), and the kernel computes BOTH rows of
+# every touched pair — an untouched sibling has a zero gradient sum and a
+# zero touched-count, so its half is rewritten with its exact current
+# bits. Per-slot f32 work happens in HALF-LAYOUT (column j < D/2 = lane
+# 2j, column D/2+j = lane 2j+1), which makes the final u32 pack a pure
+# lane-contiguous shift-or.
+# --------------------------------------------------------------------------
+
+
+def _row_scatter_write_segscan_pair_kernel(
+    scal_ref,   # SMEM [2] f32: (lr, weight_decay)
+    seed_ref,   # SMEM [1] u32: stochastic-rounding step counter
+    rows_ref,   # SMEM [CHUNK] pair-run-END targets (PAIR indices) — ALL
+                # in-bounds and distinct
+    heads_ref,  # VMEM [CHUNK, 1] f32: 1.0 at PAIR-run starts
+    ends_ref,   # VMEM [CHUNK, 1] f32: 1.0 at pair-run ENDS (real pairs)
+    par_ref,    # VMEM [CHUNK, 1] f32: 1.0 where the slot's row id is ODD
+    grads_ref,  # VMEM [CHUNK, D] f32 per-slot gradients in HALF-LAYOUT
+    old_ref,    # VMEM [CHUNK, D] u32 pair words at slot positions
+    table_in,   # ANY u32 [R/2, D] pair view (aliased)
+    table_out,  # ANY
+    vals_ref,   # VMEM scratch [CHUNK, D] u32: computed pair words
+    carry_e,    # VMEM scratch [1, D] f32
+    carry_o,    # VMEM scratch [1, D] f32
+    carry_c,    # VMEM scratch [1, 2] f32
+    sem,        # DMA [1]
+    *,
+    chunk: int,
+    rem: int = 0,
+    n_chunks: int = 1,
+    sr: bool = False,
+):
+    heads = heads_ref[...]
+    par = par_ref[...]
+    g = grads_ref[...]
+    ve = _segscan_vals(heads, g * (1.0 - par), carry_e, chunk)
+    vo = _segscan_vals(heads, g * par, carry_o, chunk)
+    cnt = _segscan_vals(
+        heads, jnp.concatenate([1.0 - par, par], axis=1), carry_c, chunk
+    )
+    lr = scal_ref[0]
+    wd = scal_ref[1]
+    d2 = g.shape[1] // 2
+    old_e = _unpack_pair_half(old_ref[:, :d2])
+    old_o = _unpack_pair_half(old_ref[:, d2:])
+    # untouched halves (zero slots of that parity in the run) must keep
+    # their EXACT bits: no decay, and both RN and SR rounding are exact on
+    # already-representable values
+    new_e = jnp.where(
+        cnt[:, 0:1] > 0.0, old_e * (1.0 - lr * wd) - lr * ve, old_e
+    )
+    new_o = jnp.where(
+        cnt[:, 1:2] > 0.0, old_o * (1.0 - lr * wd) - lr * vo, old_o
+    )
+    seed = seed_ref[0] if sr else None
+    vals_ref[...] = jnp.where(
+        ends_ref[...] > 0.0,
+        jnp.concatenate(
+            [
+                _pack_pair_half(new_e, seed, 0, chunk),
+                _pack_pair_half(new_o, seed, 1, chunk),
+            ],
+            axis=1,
+        ),
+        jnp.uint32(0),
+    )
+
+    def issue(i):
+        pltpu.make_async_copy(
+            vals_ref.at[pl.ds(i, 1), :],
+            table_out.at[pl.ds(rows_ref[i], 1), :],
+            sem.at[0],
+        ).start()
+
+    _segscan_write(issue, [(vals_ref, sem.at[0])], chunk, rem, n_chunks)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "_chunk"),
+    donate_argnums=(0,),
+)
+def row_scatter_write_segscan_pair(
+    table: jnp.ndarray,
+    pairs_end: jnp.ndarray,
+    heads: jnp.ndarray,
+    ends: jnp.ndarray,
+    parity: jnp.ndarray,
+    grads: jnp.ndarray,
+    old_pairs: jnp.ndarray,
+    scal: jnp.ndarray,
+    sr_seed: jnp.ndarray | None = None,
+    *,
+    interpret: bool = False,
+    _chunk: int = 0,
+) -> jnp.ndarray:
+    """Fused SGD backward tail for bf16 tables, PAIR-granular (see the
+    section comment above): for each run of equal PAIR ids, both rows of
+    the pair are recomputed (touched rows get ``(1 - lr*wd) * old -
+    lr * sum(grads)``, rounded to bf16 — stochastically when ``sr_seed``
+    is given; untouched siblings keep their exact bits) and the 512-byte
+    pair row is written in place.
+
+    Args (u = slot-window length, D = row width, multiple of 128):
+      table:     u32 [R/2, D] PAIR-PACKED storage of a bf16 [R, D] table
+        (pair row p = bf16 rows 2p || 2p+1; u32 lane j of each half =
+        that row's bf16 lanes 2j | 2j+1 << 16 — numpy
+        ``blob.view(uint32).reshape(R//2, D)``). XLA-level bf16<->u32
+        pair views are NOT free on TPU (re-tiling materializes the whole
+        table), so packed storage IS the table format for bf16 groups.
+      pairs_end: [u] int32 — the run's PAIR id (row >> 1) at its LAST
+        slot; distinct in-bounds scratch-tail PAIR sentinels elsewhere
+        (all < R // 2).
+      heads/ends: [u, 1] f32 — pair-run starts / real-pair run ends.
+      parity:    [u, 1] f32 — 1.0 where the slot's row id is odd.
+      grads:     [u, D] f32 — per-slot gradients in HALF-LAYOUT (col
+        j < D/2 = lane 2j, col D/2+j = lane 2j+1; zero rows for invalid
+        slots).
+      old_pairs: [u, D] u32 — pair words at slot positions (gather of
+        the u32 pair view at ``min(pair_id, R//2 - 1)``).
+      scal:      [2] f32 — (lr, weight_decay).
+      sr_seed:   [1] u32 or None — stochastic-rounding step counter.
+    """
+    n_pairs, d = table.shape
+    if d % 128:
+        raise ValueError(f"row width {d} must be a multiple of 128")
+    if table.dtype != jnp.uint32:
+        raise ValueError("pair kernel takes u32 pair-packed storage")
+    u = pairs_end.shape[0]
+    chunk = _chunk or _CHUNK
+    if chunk > _CHUNK:
+        raise ValueError(f"_chunk={chunk} > _CHUNK={_CHUNK} with in_bounds")
+    rem = u % chunk
+    n_chunks = (u + chunk - 1) // chunk
+    kernel = functools.partial(
+        _row_scatter_write_segscan_pair_kernel,
+        chunk=chunk, rem=rem, n_chunks=n_chunks, sr=sr_seed is not None,
+    )
+    if sr_seed is None:
+        sr_seed = jnp.zeros((1,), jnp.uint32)
+    pairs = table
+    out = pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((2,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (chunk, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (chunk, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(pairs.shape, jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((chunk, d), jnp.uint32),
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.VMEM((1, 2), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        input_output_aliases={8: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        scal.astype(jnp.float32),
+        sr_seed.astype(jnp.uint32).reshape(1),
+        pairs_end.astype(jnp.int32),
+        heads.astype(jnp.float32),
+        ends.astype(jnp.float32),
+        parity.astype(jnp.float32),
+        grads.astype(jnp.float32),
+        old_pairs,
+        pairs,
+    )
+    return out
+
+
+def _row_scatter_write_segscan_pair_rowwise_kernel(
+    scal_ref,   # SMEM [3] f32: (lr, weight_decay, eps)
+    seed_ref,   # SMEM [1] u32
+    rows_ref,   # SMEM [CHUNK] pair targets
+    heads_ref,  # VMEM [CHUNK, 1] f32
+    ends_ref,   # VMEM [CHUNK, 1] f32
+    par_ref,    # VMEM [CHUNK, 1] f32
+    grads_ref,  # VMEM [CHUNK, D] f32 HALF-LAYOUT
+    old_ref,    # VMEM [CHUNK, D] u32 pair words
+    mom_ref,    # VMEM [CHUNK, 2] f32: (even, odd) row accumulators at
+                # pair-end positions (garbage elsewhere)
+    table_in,   # ANY u32 pair view (aliased)
+    table_out,  # ANY
+    mvals_ref,  # VMEM OUTPUT [CHUNK, 2]: updated accumulators
+    vals_ref,   # VMEM scratch [CHUNK, D] u32
+    carry_e,    # VMEM scratch [1, D] f32
+    carry_o,    # VMEM scratch [1, D] f32
+    carry_c,    # VMEM scratch [1, 2] f32
+    sem,        # DMA [1]
+    *,
+    chunk: int,
+    rem: int = 0,
+    n_chunks: int = 1,
+    sr: bool = False,
+):
+    heads = heads_ref[...]
+    par = par_ref[...]
+    g = grads_ref[...]
+    ve = _segscan_vals(heads, g * (1.0 - par), carry_e, chunk)
+    vo = _segscan_vals(heads, g * par, carry_o, chunk)
+    cnt = _segscan_vals(
+        heads, jnp.concatenate([1.0 - par, par], axis=1), carry_c, chunk
+    )
+    lr = scal_ref[0]
+    wd = scal_ref[1]
+    eps = scal_ref[2]
+    d2 = g.shape[1] // 2
+    old_e = _unpack_pair_half(old_ref[:, :d2])
+    old_o = _unpack_pair_half(old_ref[:, d2:])
+    ends = ends_ref[...] > 0.0
+    te = cnt[:, 0:1] > 0.0
+    to = cnt[:, 1:2] > 0.0
+    ge = ve + wd * old_e
+    go = vo + wd * old_o
+    m_e = mom_ref[:, 0:1]
+    m_o = mom_ref[:, 1:2]
+    m_new_e = jnp.where(te, m_e + jnp.mean(ge * ge, axis=1, keepdims=True),
+                        m_e)
+    m_new_o = jnp.where(to, m_o + jnp.mean(go * go, axis=1, keepdims=True),
+                        m_o)
+    mvals_ref[...] = jnp.where(
+        ends, jnp.concatenate([m_new_e, m_new_o], axis=1), 0.0
+    )
+    new_e = jnp.where(
+        te, old_e - (lr * ge) / (jnp.sqrt(jnp.abs(m_new_e)) + eps), old_e
+    )
+    new_o = jnp.where(
+        to, old_o - (lr * go) / (jnp.sqrt(jnp.abs(m_new_o)) + eps), old_o
+    )
+    seed = seed_ref[0] if sr else None
+    vals_ref[...] = jnp.where(
+        ends,
+        jnp.concatenate(
+            [
+                _pack_pair_half(new_e, seed, 0, chunk),
+                _pack_pair_half(new_o, seed, 1, chunk),
+            ],
+            axis=1,
+        ),
+        jnp.uint32(0),
+    )
+
+    def issue(i):
+        pltpu.make_async_copy(
+            vals_ref.at[pl.ds(i, 1), :],
+            table_out.at[pl.ds(rows_ref[i], 1), :],
+            sem.at[0],
+        ).start()
+
+    _segscan_write(issue, [(vals_ref, sem.at[0])], chunk, rem, n_chunks)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "_chunk"),
+    donate_argnums=(0,),
+)
+def row_scatter_write_segscan_pair_rowwise(
+    table: jnp.ndarray,
+    pairs_end: jnp.ndarray,
+    heads: jnp.ndarray,
+    ends: jnp.ndarray,
+    parity: jnp.ndarray,
+    grads: jnp.ndarray,
+    old_pairs: jnp.ndarray,
+    mom_pairs: jnp.ndarray,
+    scal: jnp.ndarray,
+    sr_seed: jnp.ndarray | None = None,
+    *,
+    interpret: bool = False,
+    _chunk: int = 0,
+) -> tuple:
+    """Fused EXACT_ROWWISE_ADAGRAD backward tail for bf16 tables (the
+    RowWiseAdagrad sibling of :func:`row_scatter_write_segscan_pair` —
+    same pair-granular layout/contract). Extra args: ``mom_pairs``
+    [u, 2] f32 — (even, odd) row accumulators gathered at the pair ids;
+    ``scal`` [3] f32 — (lr, weight_decay, eps). Returns ``(new_table,
+    m_new [u, 2])`` — the caller scatters m_new to the accumulator's pair
+    view at real pair ends (untouched siblings return their unchanged
+    value)."""
+    n_pairs, d = table.shape
+    if d % 128:
+        raise ValueError(f"row width {d} must be a multiple of 128")
+    if table.dtype != jnp.uint32:
+        raise ValueError("pair kernel takes u32 pair-packed storage")
+    u = pairs_end.shape[0]
+    chunk = _chunk or _CHUNK
+    if chunk > _CHUNK:
+        raise ValueError(f"_chunk={chunk} > _CHUNK={_CHUNK} with in_bounds")
+    rem = u % chunk
+    n_chunks = (u + chunk - 1) // chunk
+    kernel = functools.partial(
+        _row_scatter_write_segscan_pair_rowwise_kernel,
+        chunk=chunk, rem=rem, n_chunks=n_chunks, sr=sr_seed is not None,
+    )
+    if sr_seed is None:
+        sr_seed = jnp.zeros((1,), jnp.uint32)
+    pairs = table
+    out, m_new = pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((3,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (chunk, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (chunk, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (chunk, 2), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (chunk, 2), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(pairs.shape, jnp.uint32),
+            jax.ShapeDtypeStruct((n_chunks * chunk, 2), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((chunk, d), jnp.uint32),
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.VMEM((1, 2), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        input_output_aliases={9: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        scal.astype(jnp.float32),
+        sr_seed.astype(jnp.uint32).reshape(1),
+        pairs_end.astype(jnp.int32),
+        heads.astype(jnp.float32),
+        ends.astype(jnp.float32),
+        parity.astype(jnp.float32),
+        grads.astype(jnp.float32),
+        old_pairs,
+        mom_pairs.astype(jnp.float32).reshape(u, 2),
+        pairs,
+    )
+    return out, m_new[:u]
 
 
 # --------------------------------------------------------------------------
