@@ -45,7 +45,7 @@ def set_scale(scale: int) -> None:
     SCALE = scale
 
 
-def build(weighted=False, two_features=False, bf16_sr=False):
+def build(weighted=False, two_features=False, bf16_sr=False, rowwise=False):
     """Variants (same total slots/table => comparable step cost):
       weighted      — per-sample weights through the whole stack
                       (reference TBE per_sample_weights,
@@ -55,6 +55,8 @@ def build(weighted=False, two_features=False, bf16_sr=False):
       bf16_sr       — bf16 tables + stochastic rounding (FBGEMM
                       low-precision fused-optimizer mode; in-kernel SR
                       on the fused segscan backward)
+      rowwise       — RowWiseAdagrad instead of SGD (EXACT_ROWWISE_
+                      ADAGRAD, the production recsys default)
     """
     from torchrec_tpu.modules import EmbeddingBagCollection, EmbeddingBagConfig
     from torchrec_tpu.modules.embedding_configs import DataType
@@ -82,7 +84,14 @@ def build(weighted=False, two_features=False, bf16_sr=False):
         is_weighted=weighted,
     )
     params = ebc.init(jax.random.key(0))
-    opt = SGD(learning_rate=LR, stochastic_rounding=bf16_sr)
+    if rowwise:
+        from torchrec_tpu.ops import RowWiseAdagrad
+
+        opt = RowWiseAdagrad(
+            learning_rate=LR, stochastic_rounding=bf16_sr
+        )
+    else:
+        opt = SGD(learning_rate=LR, stochastic_rounding=bf16_sr)
     states = ebc.init_optimizer(params, opt)
     return ebc, params, opt, states, rows
 
@@ -121,9 +130,12 @@ def make_epoch_batches(rows, seed=0, weighted=False, two_features=False):
     return jnp.asarray(all_values), all_weights, kjt_proto
 
 
-def run_scale(weighted=False, two_features=False, bf16_sr=False):
+def run_scale(weighted=False, two_features=False, bf16_sr=False,
+              rowwise=False):
     """One measured multi-epoch run at the current SCALE -> s/epoch."""
-    ebc, params, opt, states, rows = build(weighted, two_features, bf16_sr)
+    ebc, params, opt, states, rows = build(
+        weighted, two_features, bf16_sr, rowwise
+    )
     values_stack, weights_stack, kjt_proto = make_epoch_batches(
         rows, weighted=weighted, two_features=two_features
     )
@@ -208,6 +220,7 @@ def main(scales=None, variant=None):
             weighted=(variant == "weighted"),
             two_features=(variant == "multifeature"),
             bf16_sr=(variant == "bf16sr"),
+            rowwise=(variant == "rowwise"),
         )
         print(json.dumps({
             "metric": f"fused_ebc_train_s_per_epoch_mlperf_"
@@ -247,6 +260,10 @@ def main(scales=None, variant=None):
         out["vs_baseline_bf16sr"] = (
             BASELINE_S_PER_EPOCH / out["value_bf16sr"]
         )
+        out["value_rowwise"] = run_scale(rowwise=True)
+        out["vs_baseline_rowwise"] = (
+            BASELINE_S_PER_EPOCH / out["value_rowwise"]
+        )
     print(json.dumps(out))
 
 
@@ -255,6 +272,6 @@ if __name__ == "__main__":
 
     args = sys.argv[1:]
     variant = None
-    if args and args[-1] in ("weighted", "multifeature", "bf16sr"):
+    if args and args[-1] in ("weighted", "multifeature", "bf16sr", "rowwise"):
         variant = args.pop()
     main([int(a) for a in args] or None, variant=variant)

@@ -1377,6 +1377,7 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 tbl, st = optimizer.segscan_update(
                     tbl, st, rows_end, heads, ends, g_sorted, old_rows,
                     lr=lr, interpret=self._CM_FORCE_V3, parity=parity,
+                    sorted_ids=sids_u,
                 )
             elif small < total and ids_g.shape[0] > 0:
                 # large rows: sort/dedup + sparse scatter (zero-capacity

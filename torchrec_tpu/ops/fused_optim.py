@@ -189,7 +189,7 @@ class EmbeddingOptimizer:
 
     def segscan_update(
         self, table, state, rows_end, heads, ends, grads, old_rows,
-        lr=None, interpret=False, parity=None,
+        lr=None, interpret=False, parity=None, sorted_ids=None,
     ):
         """Fused sorted-stream update (see tbe_pallas.row_scatter_write_
         segscan for the argument contract; ``ends`` marks real-row run-end
@@ -274,8 +274,9 @@ class SGD(EmbeddingOptimizer):
 
     def segscan_update(
         self, table, state, rows_end, heads, ends, grads, old_rows,
-        lr=None, interpret=False, parity=None,
+        lr=None, interpret=False, parity=None, sorted_ids=None,
     ):
+        del sorted_ids  # stateless: only the rowwise family consumes it
         from torchrec_tpu.ops.tbe_pallas import (
             row_scatter_write_segscan,
             row_scatter_write_segscan_pair,
@@ -388,10 +389,17 @@ class RowWiseAdagrad(EmbeddingOptimizer):
         )
 
     _sr_seed = SGD._sr_seed
+    # A/B gate: monotonic-index accumulator passes (sorted-hint gather +
+    # sorted scatter-max) — valid because the accumulator never
+    # decreases, but measured SLOWER on v5e at the headline shapes
+    # (1.415 vs 1.354 ms/step): XLA's sorted-scatter-max lowering does
+    # not beat the unsorted unique set, and the duplicate slot positions
+    # make the max pass longer. Kept for re-evaluation on other shapes.
+    _MOM_SORTED_PASSES = False
 
     def segscan_update(
         self, table, state, rows_end, heads, ends, grads, old_rows,
-        lr=None, interpret=False, parity=None,
+        lr=None, interpret=False, parity=None, sorted_ids=None,
     ):
         from torchrec_tpu.ops.tbe_pallas import (
             row_scatter_write_segscan_pair_rowwise,
@@ -427,6 +435,27 @@ class RowWiseAdagrad(EmbeddingOptimizer):
             new_mom = mom_p.at[rows_end].set(
                 m_new, mode="drop", unique_indices=True
             ).reshape(-1)[:r]
+            return new_table, {**state, "momentum": new_mom}
+        if (
+            sorted_ids is not None
+            and self._MOM_SORTED_PASSES
+            and self.initial_accumulator_value >= 0
+        ):
+            # both accumulator passes ride MONOTONIC per-slot indices
+            # (the sorted stream's ids): the gather takes the honest
+            # indices_are_sorted fast path, and the write-back is a
+            # sorted scatter-MAX — the accumulator only grows, the
+            # kernel zeroes non-end outputs, and mom >= 0, so duplicate
+            # slot positions and zero values are no-ops
+            idx = jnp.minimum(sorted_ids, mom.shape[0] - 1)
+            mom_rows = jnp.take(mom, idx, indices_are_sorted=True)
+            new_table, m_new = row_scatter_write_segscan_rowwise(
+                table, rows_end, heads, ends, grads, old_rows, mom_rows,
+                scal, interpret=interpret,
+            )
+            new_mom = mom.at[idx].max(
+                m_new[:, 0], indices_are_sorted=True
+            )
             return new_table, {**state, "momentum": new_mom}
         # accumulator at run-end rows (sentinel positions read garbage;
         # the kernel's ends mask zeroes their outputs)
