@@ -50,12 +50,24 @@ def device_put_global(x, sharding: jax.sharding.NamedSharding):
     each rank before scattering, model_parallel.py:444) and each process
     contributes only its addressable shards.
     """
-    if sharding.is_fully_addressable:
-        return jax.device_put(x, sharding)
-    arr = np.asarray(x)
-    return jax.make_array_from_callback(
-        arr.shape, sharding, lambda idx: arr[idx]
-    )
+    try:
+        if sharding.is_fully_addressable:
+            return jax.device_put(x, sharding)
+        arr = np.asarray(x)
+        return jax.make_array_from_callback(
+            arr.shape, sharding, lambda idx: arr[idx]
+        )
+    except jax.errors.JaxRuntimeError:
+        # AOT topology mesh (jax.experimental.topologies): the
+        # compile-only client has no buffer storage (and may claim
+        # addressability). Return the sharded abstract value so
+        # init/state plumbing can feed jit(...).lower(...) for
+        # compile-only validation against real multi-chip topologies.
+        import jax.numpy as jnp
+
+        return jax.ShapeDtypeStruct(
+            jnp.shape(x), jnp.result_type(x), sharding=sharding
+        )
 
 
 @dataclasses.dataclass
