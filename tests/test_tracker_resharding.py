@@ -120,3 +120,112 @@ def test_reshard_moves_weights_and_state():
     a = np.asarray(old.apply(sp, kjt).values())
     b = np.asarray(new.apply(new_sp, kjt).values())
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_reshard_column_resplit_cw2_to_cw4():
+    """CW 2 blocks -> 4 blocks (and a 4 -> 2 merge back): weights move
+    through column-interval intersection; the rowwise accumulator merges
+    as the width-weighted mean (exact for mean-of-squares state)."""
+    from torchrec_tpu.distributed import column_wise
+
+    tables = [
+        EmbeddingBagConfig(name="a", num_embeddings=48, embedding_dim=512,
+                           feature_names=["fa"]),
+    ]
+    ebc = EmbeddingBagCollection(tables)
+    params = ebc.init(jax.random.key(1))
+    env = ShardingEnv.from_devices(jax.devices()[:WORLD])
+    plan2 = construct_module_sharding_plan(
+        tables, {"a": column_wise(ranks=[0, 3])}, env
+    )
+    plan4 = construct_module_sharding_plan(
+        tables, {"a": column_wise(ranks=[1, 2, 5, 6])}, env
+    )
+    old = ShardedEmbeddingBagCollection(ebc, plan2, env)
+    new = ShardedEmbeddingBagCollection(ebc, plan4, env)
+    sp = old.shard_params(params)
+    opt = RowWiseAdagrad(learning_rate=0.1)
+    states = old.init_optimizer(sp, opt)
+    # distinct per-(row, block) accumulators so the merge is observable
+    for c in old._classes:
+        m = states[c.key]["momentum"]
+        states[c.key] = {
+            "momentum": m + jnp.arange(m.size, dtype=jnp.float32).reshape(
+                m.shape
+            )
+        }
+
+    new_sp, new_states = reshard(old, new, sp, states)
+
+    w_old = old.unshard_params(sp)
+    w_new = new.unshard_params(new_sp)
+    np.testing.assert_allclose(w_old["a"], w_new["a"], rtol=1e-6)
+
+    # each new 8-col block inherits EXACTLY its parent 16-col block's
+    # accumulator (pure split: weights 8/8 of one parent)
+    def mom_by_block(sebc, sts):
+        out = {}
+        for c in sebc._classes:
+            m = np.asarray(jax.device_get(sts[c.key]["momentum"]))
+            for d in range(WORLD):
+                for name, col_start, row_lo, row_hi, brow in c.packing[d]:
+                    out[(col_start, c.width)] = m[
+                        d, brow: brow + (row_hi - row_lo)
+                    ]
+        return out
+
+    mo = mom_by_block(old, states)
+    mn = mom_by_block(new, new_states)
+    assert sorted(k[0] for k in mn) == [0, 128, 256, 384]
+    for (col, wid), v in mn.items():
+        parent = mo[(col - col % 256, 256)]
+        np.testing.assert_allclose(v, parent, rtol=1e-6, err_msg=str(col))
+
+    # forward identical under the new placement
+    rng = np.random.default_rng(3)
+    nk = make_numpy_kjt(rng, ["fa"], batch_size=16,
+                        num_embeddings={"fa": 48}, max_length=3)
+    kjt = to_kjt(nk, capacity=64)
+    a = np.asarray(old.apply(sp, kjt).values())
+    b = np.asarray(new.apply(new_sp, kjt).values())
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    # and merge BACK 4 -> 2: width-weighted mean of the two halves —
+    # here both halves hold the parent value, so the merge returns it
+    back_sp, back_states = reshard(new, old, new_sp, new_states)
+    np.testing.assert_allclose(
+        old.unshard_params(back_sp)["a"], w_old["a"], rtol=1e-6
+    )
+    mb = mom_by_block(old, back_states)
+    for k, v in mo.items():
+        np.testing.assert_allclose(mb[k], v, rtol=1e-6, err_msg=str(k))
+
+
+def test_reshard_schedule_is_interval_granular():
+    """Schedule building is O(shard runs), not O(table rows): a 45.8M-row
+    synthetic packing builds its schedule in well under a second."""
+    import time
+    from types import SimpleNamespace
+
+    from torchrec_tpu.distributed.resharding import _run_schedule
+
+    world, rows, width = 8, 45_833_188, 128
+    per = -(-rows // world)
+
+    def cls(order):
+        packing = {
+            d: [("big", 0, dd * per, min((dd + 1) * per, rows), 0)]
+            for d, dd in zip(range(world), order)
+        }
+        return SimpleNamespace(
+            packing=packing, width=width, local_rows=per, key="k",
+        )
+
+    old = [cls(list(range(world)))]
+    new = [cls(list(reversed(range(world))))]  # every shard moves
+    t0 = time.perf_counter()
+    plans = _run_schedule(old, new, world)
+    dt = time.perf_counter() - t0
+    runs = sum(len(v) for v in plans.values())
+    assert runs == world  # one interval per shard, not 45.8M rows
+    assert dt < 1.0, f"schedule took {dt:.3f}s"
