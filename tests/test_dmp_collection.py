@@ -167,3 +167,35 @@ def test_int8_rowwise_codec_roundtrip():
 def test_qcomms_rejects_int8_for_arithmetic_collectives():
     with pytest.raises(ValueError):
         QCommsConfig(forward_precision="int8")
+
+
+def test_input_dist_auto_threshold(monkeypatch):
+    """input_dist="auto" picks bucketized at/above AUTO_BUCKETIZED_WORLD
+    and replicated below; prepare_batch follows, so training through
+    prepare_batch is transparent to the choice."""
+    import optax
+
+    from torchrec_tpu.distributed.model_parallel import (
+        DistributedModelParallel,
+    )
+    from torchrec_tpu.ops import RowWiseAdagrad
+
+    model = make_model()
+    env = ShardingEnv.from_devices(jax.devices()[:8])
+    assert DistributedModelParallel(model, env).input_dist == "replicated"
+    monkeypatch.setattr(
+        DistributedModelParallel, "AUTO_BUCKETIZED_WORLD", 8
+    )
+    dmp = DistributedModelParallel(
+        model, env, a2a_capacity_factor=8.0
+    )
+    assert dmp.input_dist == "bucketized"
+    emb_opt = RowWiseAdagrad(learning_rate=0.1)
+    tx = optax.adagrad(0.01)
+    state = dmp.init_train_state(jax.random.key(0), emb_opt, tx)
+    step = dmp.make_train_step(
+        emb_optimizer=emb_opt, dense_tx=tx, example_state=state
+    )
+    batch = dmp.prepare_batch(make_batch(model, 32))
+    state, aux = step(state, batch)
+    assert np.isfinite(float(np.asarray(aux["loss"])))

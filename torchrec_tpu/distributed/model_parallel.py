@@ -102,6 +102,12 @@ def _assert_plan_consistent(plan) -> None:
 class DistributedModelParallel:
     """Sharded training facade for DLRM-family models."""
 
+    # world size at which input_dist="auto" switches to the bucketized
+    # (KJT-all-to-all) path: replicated input bytes grow O(world x ids).
+    # 16 = the first rung past the single-host v5e-8 (callers there keep
+    # the simpler replicated contract unless they opt in).
+    AUTO_BUCKETIZED_WORLD = 16
+
     def __init__(
         self,
         model: DLRM,
@@ -109,7 +115,7 @@ class DistributedModelParallel:
         plan: Optional[EmbeddingModuleShardingPlan] = None,
         planner=None,
         batch_size: int = 512,
-        input_dist: str = "replicated",
+        input_dist: str = "auto",
         a2a_capacity_factor: float = 2.0,
         fused_params=None,
     ):
@@ -117,8 +123,21 @@ class DistributedModelParallel:
         KJT (small-world / inference default); ``"bucketized"`` expects
         ``batch.sparse_features`` to be a ``StackedSparse`` of per-device
         streams (see :meth:`prepare_batch`) and runs the KJT-all-to-all
-        path — per-device sparse work is O(global ids / world), the
-        reference's RwSparseFeaturesDist + KJTAllToAll scaling property."""
+        path — per-device sparse work AND wire cost are O(global ids /
+        world), the reference's RwSparseFeaturesDist + KJTAllToAll
+        scaling property. ``"auto"`` (default) picks bucketized at
+        ``world_size >= AUTO_BUCKETIZED_WORLD`` (the replicated form's
+        O(world x ids) input bytes stop being noise there) and
+        replicated below; :meth:`prepare_batch` follows the choice, so
+        auto is transparent to callers that feed batches through it."""
+        if env is None:
+            env = ShardingEnv.from_devices()
+        if input_dist == "auto":
+            input_dist = (
+                "bucketized"
+                if env.world_size >= self.AUTO_BUCKETIZED_WORLD
+                else "replicated"
+            )
         if input_dist not in ("replicated", "bucketized"):
             raise ValueError(f"unknown input_dist {input_dist!r}")
         self.input_dist = input_dist
