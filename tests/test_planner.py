@@ -157,7 +157,11 @@ class TestProposers:
         first = next(GreedyProposer().propose(opts))
         for o in first:
             alternatives = [x for x in opts if x.name == o.name]
-            assert o.total_perf == min(a.total_perf for a in alternatives)
+            # per-table "best" = lowest CRITICAL-PATH (max per-shard)
+            # perf — shards run on different ranks in parallel
+            assert o.critical_perf == min(
+                a.critical_perf for a in alternatives
+            )
 
     def test_uniform_yields_single_type_plans(self):
         t = topo()
@@ -665,3 +669,133 @@ class TestCacheStats:
         assert EmbeddingOffloadScaleupProposer._allocate(
             [o_zipf, o_uni2], scale=0.4
         ) == [0.4, 0.4]
+
+
+class TestEstimatorRanking:
+    """The estimator's job is ORDERING candidates, not absolute accuracy
+    (VERDICT r3 #7: a uniformly-scaled-wrong estimator must still fail
+    these). Shapes follow the MLPerf-DLRM headline bench."""
+
+    def _headline_tables(self, scale=8):
+        # full-scale MLPerf tables (~96 GB fp32 + optimizer state) do not
+        # fit 8 v5e chips — the planner correctly raises; /8 fits
+        from bench import MLPERF_ROWS
+
+        return [
+            EmbeddingBagConfig(
+                name=f"t{i}", num_embeddings=max(r // scale, 4),
+                embedding_dim=128, feature_names=[f"f{i}"],
+            )
+            for i, r in enumerate(MLPERF_ROWS)
+        ]
+
+    def test_rw_beats_tw_for_headline_big_table(self):
+        """45.8M-row table at batch 64: RW's per-rank critical path must
+        undercut TW's single hot rank (the partitioner minimizes the
+        bottleneck, so this ordering decides real placements)."""
+        t = topo(world=8)
+        big = [
+            EmbeddingBagConfig(
+                name="big", num_embeddings=45_833_188, embedding_dim=128,
+                feature_names=["f"],
+            )
+        ]
+        by_type = {
+            o.sharding_type: o for o in estimated_options(big, t)
+        }
+        rw = by_type[ShardingType.ROW_WISE]
+        tw = by_type[ShardingType.TABLE_WISE]
+        rw_bottleneck = max(s.perf.total for s in rw.shards)
+        tw_bottleneck = max(s.perf.total for s in tw.shards)
+        assert rw_bottleneck < tw_bottleneck
+        # and the dense-gradient DP alternative is priced FAR worse
+        dp = by_type[ShardingType.DATA_PARALLEL]
+        assert dp.total_perf > 100 * rw.total_perf
+
+    def test_twrw_beats_flat_rw_on_two_host_topology(self):
+        """2-host hierarchical (DCN between hosts): TWRW's intra-host
+        reduce + single cross-host hop must be priced below flat RW's
+        world-wide reduce-scatter riding DCN."""
+        t = topo(world=8, local=4)
+        big = [
+            EmbeddingBagConfig(
+                name="big", num_embeddings=45_833_188, embedding_dim=128,
+                feature_names=["f"],
+            )
+        ]
+        by_type = {
+            o.sharding_type: o for o in estimated_options(big, t)
+        }
+        twrw = by_type[ShardingType.TABLE_ROW_WISE]
+        rw = by_type[ShardingType.ROW_WISE]
+        assert twrw.total_perf < rw.total_perf
+
+    def test_planner_places_headline_big_tables_row_wise(self):
+        """End-to-end: the planner's chosen plan row-shards the 45.8M-row
+        table (a TW placement would serialize 4.2M lookup-slot rows on
+        one rank) and table-wise-packs the tiny tables."""
+        planner = EmbeddingShardingPlanner(
+            topo(world=8), batch_size=65536
+        )
+        plan = planner.plan(self._headline_tables())
+        big = plan["t0"]  # 45.8M/8 rows
+        assert big.sharding_type in (
+            ShardingType.ROW_WISE, ShardingType.TABLE_ROW_WISE,
+        ), big.sharding_type
+        tiny = plan["t5"]  # 3 rows
+        assert tiny.sharding_type in (
+            ShardingType.TABLE_WISE, ShardingType.DATA_PARALLEL,
+        ), tiny.sharding_type
+
+
+class TestPlannerApi:
+    """Service facade (reference planner/api.py + model_arch.py +
+    provider.py): model introspection -> plan + report in one call, and
+    the fingerprinted plan-reuse flow."""
+
+    def _model(self):
+        from torchrec_tpu.models import DLRM
+
+        return DLRM(
+            embedding_bag_collection=EmbeddingBagCollection(tables(n=3)),
+            dense_in_features=13,
+            dense_arch_layer_sizes=(64, 128),
+            over_arch_layer_sizes=(64, 1),
+        )
+
+    def test_plan_for_model_one_call(self):
+        from torchrec_tpu.planner import plan_for_model
+
+        res = plan_for_model(self._model(), world_size=8, batch_size=256)
+        assert set(res.plan) == {"t0", "t1", "t2"}
+        assert res.plan_hash and res.arch_hash
+        assert "Planner Statistics" in res.report or res.report
+        assert res.num_plans > 0 and not res.reused
+        # the plan feeds the sharded module directly
+        env = ShardingEnv.from_devices(jax.devices()[:8])
+        ebc = EmbeddingBagCollection(tables(n=3))
+        sharded = ShardedEmbeddingBagCollection(ebc, res.plan, env)
+        assert sharded._classes
+
+    def test_arch_extraction_forms(self):
+        from torchrec_tpu.planner import extract_model_arch, model_arch_hash
+
+        tbls = tables(n=2)
+        a1 = extract_model_arch(self._model())
+        a2 = extract_model_arch(EmbeddingBagCollection(tbls))
+        a3 = extract_model_arch(tbls)
+        assert len(a1.tables) == 3 and len(a2.tables) == 2
+        assert model_arch_hash(a2) == model_arch_hash(a3)
+        assert a2.total_sparse_param_bytes > 0
+
+    def test_plan_reuse_roundtrip(self, tmp_path):
+        from torchrec_tpu.planner import plan_for_model
+
+        m = self._model()
+        r1 = plan_for_model(m, world_size=8, reuse_dir=str(tmp_path))
+        r2 = plan_for_model(m, world_size=8, reuse_dir=str(tmp_path))
+        assert not r1.reused and r2.reused
+        assert r2.plan_hash == r1.plan_hash
+        # a different topology fingerprints differently -> fresh plan
+        r3 = plan_for_model(m, world_size=4, reuse_dir=str(tmp_path))
+        assert not r3.reused

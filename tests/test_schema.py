@@ -96,6 +96,22 @@ def test_planner_schema():
     t = sig_params(Topology.__init__)
     for key in ["world_size", "generation"]:
         assert key in t, key
+    # service facade (reference planner/api.py analog)
+    from torchrec_tpu.planner import (
+        ModelArch,
+        ShardingPlanResult,
+        extract_model_arch,
+        plan_for_model,
+    )
+
+    q = sig_params(plan_for_model)
+    for key in ["model", "topology", "batch_size", "constraints",
+                "reuse_dir"]:
+        assert key in q, key
+    for field in ["plan", "plan_hash", "arch_hash", "report", "reused"]:
+        assert field in ShardingPlanResult.__dataclass_fields__, field
+    assert "tables" in ModelArch.__dataclass_fields__
+    del extract_model_arch
 
 
 def test_optimizer_schema():

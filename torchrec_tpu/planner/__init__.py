@@ -1,4 +1,11 @@
 """Sharding planner (reference torchrec/distributed/planner/__init__.py)."""
+from torchrec_tpu.planner.api import (
+    ModelArch,
+    ShardingPlanResult,
+    extract_model_arch,
+    model_arch_hash,
+    plan_for_model,
+)
 from torchrec_tpu.planner.cache_stats import EmbeddingOffloadStats
 from torchrec_tpu.planner.enumerators import EmbeddingEnumerator
 from torchrec_tpu.planner.partitioners import (
@@ -37,6 +44,11 @@ from torchrec_tpu.planner.types import (
 )
 
 __all__ = [
+    "ModelArch",
+    "ShardingPlanResult",
+    "extract_model_arch",
+    "model_arch_hash",
+    "plan_for_model",
     "EmbeddingOffloadScaleupProposer",
     "EmbeddingEnumerator",
     "EmbeddingOffloadStats",

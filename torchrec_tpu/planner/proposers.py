@@ -38,8 +38,10 @@ class GreedyProposer:
     def propose(
         self, options: Sequence[ShardingOption]
     ) -> Iterator[List[ShardingOption]]:
+        # order by CRITICAL-PATH (max per-shard) perf: shards run on
+        # different ranks in parallel (see ShardingOption.critical_perf)
         by_table = {
-            name: sorted(opts, key=lambda o: o.total_perf)
+            name: sorted(opts, key=lambda o: o.critical_perf)
             for name, opts in _group(options).items()
         }
         idx = {name: 0 for name in by_table}
@@ -54,7 +56,7 @@ class GreedyProposer:
             if not candidates:
                 return
             worst = max(
-                candidates, key=lambda n: by_table[n][idx[n]].total_perf
+                candidates, key=lambda n: by_table[n][idx[n]].critical_perf
             )
             idx[worst] += 1
 
@@ -77,7 +79,9 @@ class UniformProposer:
                 if not match:
                     ok = False
                     break
-                proposal.append(min(match, key=lambda o: o.total_perf))
+                proposal.append(
+                    min(match, key=lambda o: o.critical_perf)
+                )
             if ok:
                 yield proposal
 
@@ -124,7 +128,9 @@ class DynamicProgrammingProposer:
             ndp = [(float("inf"), None)] * (nb + 1)
             for o in by_table[name]:
                 cost = min((o.total_storage.hbm + unit - 1) // unit, nb)
-                perf = o.total_perf
+                # additive proxy for the plan's critical path: per-table
+                # parallel cost (see ShardingOption.critical_perf)
+                perf = o.critical_perf
                 for b in range(nb + 1 - cost):
                     if dp[b][1] is None:
                         continue

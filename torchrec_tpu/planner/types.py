@@ -159,6 +159,19 @@ class ShardingOption:
         return sum(s.perf.total for s in self.shards if s.perf)
 
     @property
+    def critical_perf(self) -> float:
+        """Parallel (critical-path) cost of this option: the MAX per-shard
+        perf. Proposal ordering must use this, not :attr:`total_perf` —
+        shards run on DIFFERENT ranks, so summing them over-prices
+        sharded placements by their shard count (an 8-way RW split of a
+        mega-table summed to ~8x one shard and lost to TABLE_WISE on
+        every proposal, inverting the reference planner's known-good
+        mega-table placements)."""
+        return max(
+            (s.perf.total for s in self.shards if s.perf), default=0.0
+        )
+
+    @property
     def total_storage(self) -> Storage:
         st = Storage()
         for s in self.shards:
