@@ -172,10 +172,15 @@ def run_scale(weighted=False, two_features=False, bf16_sr=False,
         return (params, states), probe
 
     # One jitted execution runs n_epochs epochs as a scan-of-scans: this
-    # backend has a large fixed per-execution dispatch cost (~40ms measured
-    # through the tunnel), so per-epoch timing must amortize it the same way
-    # a production input pipeline would (device-resident multi-step loops).
-    n_epochs = 20
+    # backend has a large fixed per-execution dispatch cost (~25 ms
+    # measured through the tunnel: the r3 "wall-vs-device gap" hunt found
+    # the device program itself runs back-to-back — leaf-op gaps total
+    # ~1.6 us/step and the whole 200-step while loop is 99% device-busy —
+    # so the residual wall gap is ENTIRELY per-execution dispatch+fetch
+    # overhead). Per-epoch timing must amortize it the way a production
+    # input pipeline would (device-resident multi-step loops): at 100
+    # epochs the dispatch share is < 30 us/step.
+    n_epochs = 100
 
     @jax.jit
     def run_epochs(params, states, values_stack):
