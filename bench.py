@@ -45,7 +45,7 @@ def set_scale(scale: int) -> None:
     SCALE = scale
 
 
-def build(weighted=False, two_features=False, bf16_sr=False, rowwise=False):
+def build(weighted=False, two_features=False, bf16_sr=False, rowwise=False, colo=False):
     """Variants (same total slots/table => comparable step cost):
       weighted      — per-sample weights through the whole stack
                       (reference TBE per_sample_weights,
@@ -57,6 +57,9 @@ def build(weighted=False, two_features=False, bf16_sr=False, rowwise=False):
                       on the fused segscan backward)
       rowwise       — RowWiseAdagrad instead of SGD (EXACT_ROWWISE_
                       ADAGRAD, the production recsys default)
+      rowwise_colo  — RowWiseAdagrad with colocate_rowwise_state: the
+                      accumulator rides the table-row DMAs (state-lane
+                      blob) instead of scalar gather/scatter passes
     """
     from torchrec_tpu.modules import EmbeddingBagCollection, EmbeddingBagConfig
     from torchrec_tpu.modules.embedding_configs import DataType
@@ -82,6 +85,7 @@ def build(weighted=False, two_features=False, bf16_sr=False, rowwise=False):
         tables,
         max_unique_gradient_rows=n_large * BATCH * IDS_PER_FEATURE + 64,
         is_weighted=weighted,
+        colocate_rowwise_state=colo,
     )
     params = ebc.init(jax.random.key(0))
     if rowwise:
@@ -131,10 +135,10 @@ def make_epoch_batches(rows, seed=0, weighted=False, two_features=False):
 
 
 def run_scale(weighted=False, two_features=False, bf16_sr=False,
-              rowwise=False):
+              rowwise=False, colo=False):
     """One measured multi-epoch run at the current SCALE -> s/epoch."""
     ebc, params, opt, states, rows = build(
-        weighted, two_features, bf16_sr, rowwise
+        weighted, two_features, bf16_sr, rowwise, colo
     )
     values_stack, weights_stack, kjt_proto = make_epoch_batches(
         rows, weighted=weighted, two_features=two_features
@@ -225,7 +229,8 @@ def main(scales=None, variant=None):
             weighted=(variant == "weighted"),
             two_features=(variant == "multifeature"),
             bf16_sr=(variant == "bf16sr"),
-            rowwise=(variant == "rowwise"),
+            rowwise=(variant in ("rowwise", "rowwise_colo")),
+            colo=(variant == "rowwise_colo"),
         )
         print(json.dumps({
             "metric": f"fused_ebc_train_s_per_epoch_mlperf_"
@@ -269,6 +274,10 @@ def main(scales=None, variant=None):
         out["vs_baseline_rowwise"] = (
             BASELINE_S_PER_EPOCH / out["value_rowwise"]
         )
+        out["value_rowwise_colo"] = run_scale(rowwise=True, colo=True)
+        out["vs_baseline_rowwise_colo"] = (
+            BASELINE_S_PER_EPOCH / out["value_rowwise_colo"]
+        )
     print(json.dumps(out))
 
 
@@ -277,6 +286,6 @@ if __name__ == "__main__":
 
     args = sys.argv[1:]
     variant = None
-    if args and args[-1] in ("weighted", "multifeature", "bf16sr", "rowwise"):
+    if args and args[-1] in ("weighted", "multifeature", "bf16sr", "rowwise", "rowwise_colo"):
         variant = args.pop()
     main([int(a) for a in args] or None, variant=variant)

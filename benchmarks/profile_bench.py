@@ -33,10 +33,11 @@ def run_traced(scale: int, variant: str = "") -> int:
 
     weighted = variant == "weighted"
     bf16_sr = variant == "bf16sr"
-    rowwise = variant == "rowwise"
+    rowwise = variant in ("rowwise", "rowwise_colo")
+    colo = variant == "rowwise_colo"
     two_features = variant == "multifeature"
     bench.set_scale(scale)
-    ebc, params, opt, states, rows = bench.build(weighted, two_features, bf16_sr, rowwise)
+    ebc, params, opt, states, rows = bench.build(weighted, two_features, bf16_sr, rowwise, colo)
     values_stack, weights_stack, kjt_proto = bench.make_epoch_batches(
         rows, weighted=weighted, two_features=two_features
     )
@@ -122,7 +123,7 @@ def report(steps: int, top_k: int) -> None:
 if __name__ == "__main__":
     args = sys.argv[1:]
     variant = ""
-    if args and args[-1] in ("weighted", "multifeature", "bf16sr", "rowwise"):
+    if args and args[-1] in ("weighted", "multifeature", "bf16sr", "rowwise", "rowwise_colo"):
         variant = args.pop()
     scale = int(args[0]) if len(args) > 0 else 128
     top_k = int(args[1]) if len(args) > 1 else 30

@@ -48,6 +48,7 @@ def test_ebc_schema():
 
     assert sig_params(EmbeddingBagCollection.__init__) == [
         "self", "tables", "is_weighted", "max_unique_gradient_rows",
+        "colocate_rowwise_state",
     ]
     for method in [
         "init", "apply", "apply_gradients", "init_optimizer",

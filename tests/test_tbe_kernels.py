@@ -636,3 +636,96 @@ def test_row_scatter_write_segscan_rowwise_oracle(U, n_runs, chunk, wd):
     touched_tail = sorted(int(r) - R for r in rows_end if r >= R)
     np.testing.assert_array_equal(new_t[R:][touched_tail], 0.0)
     np.testing.assert_array_equal(np.asarray(mv)[~real_end, 0], 0.0)
+
+
+@pytest.mark.parametrize("iav", [0.0, 0.5], ids=["iav0", "iav0.5"])
+def test_ebc_colocated_rowwise_state(iav):
+    """colocate_rowwise_state=True: the large-region accumulator rides a
+    128-lane state block on the blob (no scalar state passes in the fused
+    backward) and matches the plain state-dict form exactly — weights AND
+    effective accumulator, over multiple steps."""
+    from torchrec_tpu.modules import (
+        EmbeddingBagCollection,
+        EmbeddingBagConfig,
+    )
+    from torchrec_tpu.ops import RowWiseAdagrad
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+
+    old_impl = EmbeddingBagCollection._CM_IMPL
+    old_force = EmbeddingBagCollection._CM_FORCE_V3
+    try:
+        EmbeddingBagCollection._CM_IMPL = "v3"
+        EmbeddingBagCollection._CM_FORCE_V3 = True
+        rng = np.random.default_rng(9)
+        tables = [
+            EmbeddingBagConfig(name="s", num_embeddings=70,
+                               embedding_dim=128, feature_names=["fs"]),
+            EmbeddingBagConfig(name="l", num_embeddings=150_000,
+                               embedding_dim=128, feature_names=["fl"]),
+        ]
+        opt = RowWiseAdagrad(
+            learning_rate=0.2, weight_decay=0.01,
+            initial_accumulator_value=iav,
+        )
+        res = {}
+        for colo in (False, True):
+            ebc = EmbeddingBagCollection(
+                tables, max_unique_gradient_rows=300,
+                colocate_rowwise_state=colo,
+            )
+            params = ebc.init(jax.random.key(0))
+            g = ebc._groups[0]
+            assert (g.state_lanes == 128) == colo
+            states = ebc.init_optimizer(params, opt)
+            B = 8
+            for step in range(3):
+                # identical batches across the colo=False/True runs
+                lengths = res.setdefault(
+                    ("lens", step),
+                    rng.integers(1, 5, size=(2 * B,)).astype(np.int32),
+                )
+                vals = res.setdefault(
+                    ("vals", step),
+                    np.concatenate([
+                        rng.integers(0, 70, size=int(lengths[:B].sum())),
+                        rng.integers(
+                            0, 150_000, size=int(lengths[B:].sum())
+                        ),
+                    ]).astype(np.int32),
+                )
+                cot = res.setdefault(
+                    ("cot", step),
+                    rng.normal(size=(B, 256)).astype(np.float32),
+                )
+                kjt = KeyedJaggedTensor.from_lengths(
+                    ["fs", "fl"], jnp.asarray(vals), jnp.asarray(lengths)
+                )
+                params, states = ebc.apply_gradients(
+                    params, states, opt, kjt, jnp.asarray(cot)
+                )
+            tot = g.total_rows
+            blob = np.asarray(params[g.key])
+            if colo:
+                # flat small region + interleaved large pairs: logical
+                # large row r at physical base small + 2*(r - small)
+                # (base: weights; base+1 lane 0: accumulator delta)
+                sm = g.small_rows
+                weights = np.concatenate(
+                    [blob[:sm], blob[sm : sm + 2 * (tot - sm) : 2]]
+                )
+                mom = np.asarray(states[g.key]["momentum"]).copy()
+                mom[sm:] = blob[sm + 1 : sm + 2 * (tot - sm) : 2, 0] + iav
+            else:
+                weights = blob[:tot, :128]
+                mom = np.asarray(states[g.key]["momentum"])
+            res[("w", colo)] = weights
+            res[("m", colo)] = mom
+        np.testing.assert_allclose(
+            res[("w", True)], res[("w", False)], rtol=2e-6, atol=2e-7
+        )
+        np.testing.assert_allclose(
+            res[("m", True)], res[("m", False)], rtol=2e-6, atol=2e-7
+        )
+    finally:
+        EmbeddingBagCollection._CM_IMPL = old_impl
+        EmbeddingBagCollection._CM_FORCE_V3 = old_force

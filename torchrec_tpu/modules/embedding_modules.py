@@ -99,6 +99,16 @@ class TableGroup:
     # never READ (all lookups/updates address logical rows; state_dict
     # export slices [:total_rows]) — never treat it as a zeros source.
     scratch_rows: int = 0
+    # colocated rowwise-optimizer state (EBC colocate_rowwise_state):
+    # nonzero means flat-small + INTERLEAVED-large storage — the blob is
+    # [small + 2*(padded - small), dim]: small rows stay flat (the dense
+    # path reads/writes them unchanged), each LARGE logical row r lives
+    # at physical pair (base: weights, base+1: state) with base =
+    # small + 2*(r - small); the accumulator (stored as a delta from
+    # initial_accumulator_value) sits in lane 0 of the state row — the
+    # rest padding, since Mosaic DMA slicing permits nothing narrower
+    # than a 128-lane row. Logical views de-interleave the large region.
+    state_lanes: int = 0
 
     @property
     def total_rows(self) -> int:
@@ -171,6 +181,16 @@ class _EmbeddingCollectionBase:
             # free past the sentinel range (pad == round_up(u, c) - u), so
             # parking targets and pad targets never collide.
             scratch = 0
+            lanes = (
+                128
+                if (
+                    getattr(self, "_colocate_rowwise_state", False)
+                    and dt == DataType.FP32
+                    and dim == 128
+                    and small_rows < off
+                )
+                else 0
+            )
             pack = self._PACK_BF16 and dt == DataType.BF16
             if scratch_window is not None and small_rows < off:
                 from torchrec_tpu.ops.tbe_pallas import _CHUNK as _wc
@@ -192,6 +212,7 @@ class _EmbeddingCollectionBase:
                 row_offsets=tuple(offsets),
                 small_rows=small_rows,
                 scratch_rows=scratch,
+                state_lanes=lanes,
             )
             gi = len(self._groups)
             self._groups.append(g)
@@ -256,17 +277,41 @@ class _EmbeddingCollectionBase:
                     cell.append(unpack_pair_blob(blob))
                 elif g.data_type != DataType.FP32:
                     cell.append(blob.astype(jnp.float32))
+                elif g.state_lanes:
+                    cell.append(
+                        self._colo_logical(blob, g.small_rows, g.dim)
+                    )
                 else:
                     cell.append(blob)
             return cell[0]
 
         return get
 
+    @staticmethod
+    def _colo_pair_gather(blob, base, dim: int):
+        """Colocated blob: fetch (weights, state) pairs at PHYSICAL
+        pair-base rows ``base`` as [u, 2*dim] — columns [:dim] =
+        weights, [dim] = accumulator delta. Two single-row gathers
+        (XLA's row-gather fast path; a (2, dim)-slice gather lowers to
+        a slow sequential form on TPU)."""
+        w = jnp.take(blob, base, axis=0, indices_are_sorted=True)
+        st = jnp.take(blob, base + 1, axis=0, indices_are_sorted=True)
+        return jnp.concatenate([w, st], axis=1)
+
+    @staticmethod
+    def _colo_logical(blob, small: int, dim: int):
+        """Colocated blob -> logical [rows, dim] weight view (export /
+        fallback paths; a strided-copy of the large region)."""
+        return jnp.concatenate([blob[:small], blob[small::2]])
+
     def _small_f32(self, gi: int, params: "Params") -> jnp.ndarray:
         """Logical-f32 rows covering the SMALL region (possibly one spare
         row past it for pair-packed groups with an odd small boundary) —
         keeps the per-step small-path unpack O(small), not O(table)."""
         g = self._groups[gi]
+        if g.state_lanes:
+            # the colocated layout keeps the small region FLAT
+            return params[g.key][: g.small_rows]
         if not self._pack_group(g):
             return self._table_f32(gi, params)()
         from torchrec_tpu.ops.tbe_pallas import unpack_pair_blob
@@ -310,6 +355,16 @@ class _EmbeddingCollectionBase:
                 from torchrec_tpu.ops.tbe_pallas import pack_pair_blob
 
                 blob = pack_pair_blob(blob)
+            if g.state_lanes:
+                # flat small region + interleaved zero state rows for
+                # the large region (see TableGroup.state_lanes)
+                lg = blob[g.small_rows:]
+                blob = jnp.concatenate([
+                    blob[: g.small_rows],
+                    jnp.concatenate(
+                        [lg, jnp.zeros_like(lg)], axis=1
+                    ).reshape(2 * lg.shape[0], g.dim),
+                ])
             params[g.key] = blob
         return params
 
@@ -329,6 +384,8 @@ class _EmbeddingCollectionBase:
                     blob = unpack_pair_blob(blob).astype(
                         g.data_type.as_jnp()
                     )
+                if g.state_lanes:
+                    blob = self._colo_logical(blob, g.small_rows, g.dim)
                 return blob[off : off + rows]
         raise KeyError(table_name)
 
@@ -364,6 +421,16 @@ class _EmbeddingCollectionBase:
                 from torchrec_tpu.ops.tbe_pallas import pack_pair_blob
 
                 blob = pack_pair_blob(blob)
+            if g.state_lanes:
+                # flat small region + interleaved zero state rows for
+                # the large region (see TableGroup.state_lanes)
+                lg = blob[g.small_rows:]
+                blob = jnp.concatenate([
+                    blob[: g.small_rows],
+                    jnp.concatenate(
+                        [lg, jnp.zeros_like(lg)], axis=1
+                    ).reshape(2 * lg.shape[0], g.dim),
+                ])
             params[g.key] = blob
         return params
 
@@ -381,7 +448,12 @@ class _EmbeddingCollectionBase:
                 # the bf16 stochastic-rounding dtype check)
                 jnp.zeros((g.total_rows, g.dim), g.data_type.as_jnp())
                 if self._pack_group(g)
-                else params[g.key][: g.total_rows]
+                else (
+                    # colocated layouts size state off a logical dummy
+                    jnp.zeros((g.total_rows, g.dim), g.data_type.as_jnp())
+                    if g.state_lanes
+                    else params[g.key][: g.total_rows]
+                )
             )
             for g in self._groups
         }
@@ -430,6 +502,7 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
         tables: Sequence[EmbeddingBagConfig],
         is_weighted: bool = False,
         max_unique_gradient_rows: Optional[int] = None,
+        colocate_rowwise_state: bool = False,
     ):
         """``max_unique_gradient_rows``: optional perf hint — an upper bound
         on large-table value SLOTS per step (sum over large tables of
@@ -437,7 +510,18 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
         The backward sorts ids and then runs ALL row-width work on this
         bound instead of the full padded stream. UNCHECKED: if exceeded,
         excess slots' gradients are dropped (like the reference trusting
-        ParameterConstraints.pooling_factors)."""
+        ParameterConstraints.pooling_factors).
+
+        ``colocate_rowwise_state``: fp32 groups with a large region carry
+        a 128-lane state block on the blob; a rowwise optimizer's
+        accumulator for LARGE-region rows rides the table-row DMAs (no
+        scalar state passes in the fused backward — FBGEMM's momentum1
+        co-location, at 512 B/row of HBM since lane tiling forbids
+        narrower slices). Small-region rows keep using the state-dict
+        accumulator (the dense path); large-region entries of that dict
+        are unused. Requires an optimizer with
+        ``supports_colocated_state`` (RowWiseAdagrad, fp32, no SR)."""
+        self._colocate_rowwise_state = colocate_rowwise_state
         super().__init__(tables, scratch_window=max_unique_gradient_rows)
         self._is_weighted = is_weighted
         self._max_unique = max_unique_gradient_rows
@@ -832,9 +916,10 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
         if self._max_feats_per_table != 1:
             return False
         g = self._groups[gi]
-        if self._pack_group(g):
-            # the fused kernels read raw blob rows; pair-packed groups
-            # take the per-table matmul path on the unpacked small region
+        if self._pack_group(g) or g.state_lanes:
+            # the fused kernels read raw blob rows; pair-packed and
+            # state-lane groups take the per-table matmul path on the
+            # sliced/unpacked small region
             return False
         n_gf = len(self._group_features[gi])
         return n_gf * b * g.dim * 4 <= 4 * 2**20
@@ -1040,6 +1125,16 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                         w_pair[:, d2v:], w_pair[:, :d2v],
                     )
                     rows = _unpack_pair_half(half)
+                elif g.state_lanes:
+                    # pair gather at physical base rows (the identical
+                    # expression in the backward CSEs with it); pooling
+                    # reads the weight half only
+                    base = small + 2 * (
+                        jnp.clip(sids, small, total - 1) - small
+                    )
+                    rows = self._colo_pair_gather(
+                        params[g.key], base, g.dim
+                    )[:, : g.dim]
                 else:
                     rows = jnp.take(
                         table_f32(), jnp.minimum(sids, total - 1), axis=0,
@@ -1296,8 +1391,15 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
             # v3's position-layout ids need the branch-free scratch-tail
             # write kernel; the fused segscan path needs it too
             packed = self._pack_group(g)
+            colo = g.state_lanes > 0
             in_bounds = g.scratch_rows > 0 and tbl.shape[0] == (
-                g.padded_rows // 2 if packed else g.padded_rows
+                g.padded_rows // 2
+                if packed
+                else (
+                    2 * g.padded_rows - g.small_rows
+                    if colo
+                    else g.padded_rows
+                )
             )
             use_scan = (
                 v3
@@ -1305,8 +1407,23 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 and self._FUSED_BWD_SEGSCAN
                 and ids_g.shape[0] > 0
                 and min(self._max_unique, ids_g.shape[0]) > 0
-                and optimizer.supports_segscan_update(tbl)
+                and (
+                    getattr(optimizer, "supports_colocated_state", False)
+                    and not optimizer.stochastic_rounding
+                    if colo
+                    else optimizer.supports_segscan_update(tbl)
+                )
             )
+            if colo and small < total and not use_scan and (
+                ids_g.shape[0] > 0
+            ):
+                raise ValueError(
+                    "colocate_rowwise_state requires the fused segscan "
+                    "path for large-region updates: v3 count-matmul "
+                    "gates on, _FUSED_BWD_SEGSCAN=True, and an optimizer "
+                    "with supports_colocated_state (RowWiseAdagrad, "
+                    "fp32, no stochastic rounding)"
+                )
             if small < total and ids_g.shape[0] > 0 and use_scan:
                 # fused backward tail: the run segment-sum, optimizer math,
                 # and scattered write happen INSIDE one Pallas pass
@@ -1366,6 +1483,16 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                         tbl, jnp.minimum(sids_u >> 1, tbl.shape[0] - 1),
                         axis=0, indices_are_sorted=True,
                     )
+                elif colo:
+                    parity = None
+                    # IDENTICAL expression to the forward's pair gather
+                    # -> XLA CSEs it across the step; the kernel takes
+                    # PHYSICAL pair-base targets
+                    base = small + 2 * (
+                        jnp.clip(sids_u, small, total - 1) - small
+                    )
+                    old_rows = self._colo_pair_gather(tbl, base, g.dim)
+                    rows_end = small + 2 * (rows_end - small)
                 else:
                     parity = None
                     # IDENTICAL expression to the forward's compact window
@@ -1374,11 +1501,19 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                         tbl, jnp.minimum(sids_u, total - 1), axis=0,
                         indices_are_sorted=True,
                     )
-                tbl, st = optimizer.segscan_update(
-                    tbl, st, rows_end, heads, ends, g_sorted, old_rows,
-                    lr=lr, interpret=self._CM_FORCE_V3, parity=parity,
-                    sorted_ids=sids_u,
-                )
+                if colo:
+                    # old_rows is the FULL-width gather (weights + state
+                    # lanes); the accumulator update rides the row DMA
+                    tbl, st = optimizer.segscan_update_colocated(
+                        tbl, st, rows_end, heads, ends, g_sorted,
+                        old_rows, lr=lr, interpret=self._CM_FORCE_V3,
+                    )
+                else:
+                    tbl, st = optimizer.segscan_update(
+                        tbl, st, rows_end, heads, ends, g_sorted,
+                        old_rows, lr=lr, interpret=self._CM_FORCE_V3,
+                        parity=parity, sorted_ids=sids_u,
+                    )
             elif small < total and ids_g.shape[0] > 0:
                 # large rows: sort/dedup + sparse scatter (zero-capacity
                 # batches have no slots -> nothing to update)
@@ -1517,6 +1652,8 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                         tbl, pack_pair_blob(merged), (0, 0)
                     )
                 else:
+                    # NOTE colocated layouts keep the small region FLAT,
+                    # so the plain path below covers them too
                     tbl_s, st_s = optimizer.dense_update(
                         tbl[:small], st_s, acc, touched, lr=lr
                     )
@@ -1562,6 +1699,8 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                         tbl, pack_pair_blob(merged), (0, 0)
                     )
                 else:
+                    # NOTE colocated layouts keep the small region FLAT,
+                    # so the plain path below covers them too
                     tbl_s, st_s = optimizer.dense_update(
                         tbl[:small], st_s, acc, touched, lr=lr
                     )

@@ -181,6 +181,10 @@ class EmbeddingOptimizer:
     def _lr(self, lr):
         return self.learning_rate if lr is None else lr
 
+    # see RowWiseAdagrad: EBC colocate_rowwise_state rides the table's
+    # state-lane block; optimizers without a colocated kernel reject it
+    supports_colocated_state = False
+
     def supports_segscan_update(self, table: jnp.ndarray) -> bool:
         """True when :meth:`segscan_update` implements this optimizer for
         ``table`` (fused run-sum + update + write, ops/tbe_pallas.py::
@@ -254,13 +258,13 @@ class SGD(EmbeddingOptimizer):
         return (table - (lr * g).astype(table.dtype)), state
 
     def supports_segscan_update(self, table: jnp.ndarray) -> bool:
-        # lane-aligned fp32 (flat run-end kernel) or u32 pair-packed bf16
+        # 128-lane fp32 (flat run-end kernel) or u32 pair-packed bf16
         # storage (PAIR-granular kernel: fp32 in-kernel compute, bf16
         # rounding at the store — stochastic when SR is on)
         return (
             table.ndim == 2
             and table.dtype in (jnp.float32, jnp.uint32)
-            and table.shape[1] % 128 == 0
+            and table.shape[1] == 128
         )
 
     def _sr_seed(self, state):
@@ -380,12 +384,12 @@ class RowWiseAdagrad(EmbeddingOptimizer):
         return new_table, {**state, "momentum": mom}
 
     def supports_segscan_update(self, table: jnp.ndarray) -> bool:
-        # lane-aligned fp32 (flat kernel) or u32 pair-packed bf16 (pair
+        # 128-lane fp32 (flat kernel) or u32 pair-packed bf16 (pair
         # kernel; the fp32 accumulator always stays exact)
         return (
             table.ndim == 2
             and table.dtype in (jnp.float32, jnp.uint32)
-            and table.shape[1] % 128 == 0
+            and table.shape[1] == 128
         )
 
     _sr_seed = SGD._sr_seed
@@ -396,6 +400,45 @@ class RowWiseAdagrad(EmbeddingOptimizer):
     # not beat the unsorted unique set, and the duplicate slot positions
     # make the max pass longer. Kept for re-evaluation on other shapes.
     _MOM_SORTED_PASSES = False
+
+    # EBC colocate_rowwise_state support: the large-region accumulator
+    # rides a 128-lane state block in the table blob (column D, stored
+    # as a delta from initial_accumulator_value), so the fused backward
+    # has NO scalar state passes (tbe_pallas.
+    # row_scatter_write_segscan_rowwise_colocated).
+    supports_colocated_state = True
+
+    def segscan_update_colocated(
+        self, table, state, rows_end, heads, ends, grads, old_rows,
+        lr=None, interpret=False,
+    ):
+        """Fused tail on a state-lane blob ``[R, D + 128]``: weights AND
+        accumulator update in one pass; the state pytree passes through
+        unchanged (its ``momentum`` entry covers only the small region —
+        the module's dense path; large-region rows live in the blob)."""
+        from torchrec_tpu.ops.tbe_pallas import (
+            row_scatter_write_segscan_rowwise_colocated,
+        )
+
+        if self.stochastic_rounding:
+            raise ValueError(
+                "colocated state is fp32-only (no stochastic rounding)"
+            )
+        scal = jnp.stack(
+            [
+                jnp.asarray(self._lr(lr), jnp.float32),
+                jnp.asarray(self.weight_decay, jnp.float32),
+                jnp.asarray(self.eps, jnp.float32),
+                jnp.asarray(
+                    self.initial_accumulator_value, jnp.float32
+                ),
+            ]
+        )
+        new_table = row_scatter_write_segscan_rowwise_colocated(
+            table, rows_end, heads, ends, grads, old_rows, scal,
+            interpret=interpret,
+        )
+        return new_table, state
 
     def segscan_update(
         self, table, state, rows_end, heads, ends, grads, old_rows,

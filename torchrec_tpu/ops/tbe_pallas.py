@@ -154,8 +154,12 @@ def row_scatter_add(
     """
     num_rows, d = table.shape
     u = rows.shape[0]
-    if d % 128:
-        raise ValueError(f"row width {d} must be a multiple of 128")
+    if d != 128:
+        raise ValueError(
+            f"row width {d}: Mosaic DMA slicing only supports 128-lane "
+            "rows (see the slice-rule note) — wider dims use the XLA "
+            "fallback or a restructured storage layout"
+        )
     # pad U to a chunk multiple with OOB sentinels (skipped in-kernel).
     # _chunk: interpret-mode test knob ONLY (emulated-DMA count scales with
     # the padded U); real lowering needs the T(1024) SMEM-tiled _CHUNK.
@@ -199,10 +203,11 @@ def row_scatter_add(
 
 
 def supports_row_scatter_add(table: jnp.ndarray) -> bool:
-    """True when the Pallas row-RMW/write kernels apply (TPU, lane-aligned,
-    >=32-bit dtype — sub-32-bit rows are below the 512-byte DMA slice
-    granularity; bf16 tables take the pair-granular segscan path or the
-    XLA scatter fallback)."""
+    """True when the Pallas row-RMW/write kernels apply (TPU, EXACTLY
+    128 lanes, >=32-bit dtype). Mosaic's DMA slicing only compiles
+    full-minor [n, 128] slices (see the slice-rule note above), so both
+    sub-32-bit rows AND dims > 128 take other paths — bf16 the
+    pair-granular segscan, everything else the XLA scatter fallback."""
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover - no backend at trace time
@@ -210,7 +215,7 @@ def supports_row_scatter_add(table: jnp.ndarray) -> bool:
     return (
         on_tpu
         and table.ndim == 2
-        and table.shape[1] % 128 == 0
+        and table.shape[1] == 128
         and jnp.dtype(table.dtype).itemsize >= 4
     )
 
@@ -354,8 +359,12 @@ def fused_sorted_sgd_apply(
     Cost is O(U) VMEM accumulation + 2 DMAs per UNIQUE row.
     """
     num_rows, d = table.shape
-    if d % 128:
-        raise ValueError(f"row width {d} must be a multiple of 128")
+    if d != 128:
+        raise ValueError(
+            f"row width {d}: Mosaic DMA slicing only supports 128-lane "
+            "rows (see the slice-rule note) — wider dims use the XLA "
+            "fallback or a restructured storage layout"
+        )
     u = sorted_ids.shape[0]
     s = pooled_grad.shape[0]
     padded = jnp.concatenate(
@@ -409,6 +418,38 @@ def fused_sorted_sgd_apply(
 # form).
 # --------------------------------------------------------------------------
 
+
+# MOSAIC DMA SLICE RULE (probed on v5e, r4): the only row-granular
+# slices that compile are FULL-MINOR slices of 128-lane refs — [n, 128]
+# at any dynamic dim-0 offset/size. [1, 256] fails ("aligned to tiling
+# (8)") in EVERY memory space, as do lane-offset [1, 128] windows of
+# wider refs and slices of memref_reshape results. Hence every row
+# kernel here requires EXACTLY 128 lanes; wider logical rows must change
+# STORAGE layout (the interleaved colocated blob and the bf16 pair
+# blob are both instances: extra data rides extra 128-lane ROWS, moved
+# by multi-row [k, 128] slices). dim > 128 tables currently take the
+# XLA fallback paths (supports_* gates below).
+
+
+def _row_copy(src_ref, i, dst_ref, r, sem, d: int):
+    """Issue the DMA copying one row (d == 128 only — see the slice-rule
+    note above)."""
+    assert d == 128, "row kernels require 128-lane rows"
+    pltpu.make_async_copy(
+        src_ref.at[pl.ds(i, 1), :],
+        dst_ref.at[pl.ds(r, 1), :],
+        sem,
+    ).start()
+
+
+def _rows_wait(ref, sem, n, d: int):
+    """Aggregated byte-count wait for the issued copies: a dummy
+    self-copy of the same total bytes (never started)."""
+    pltpu.make_async_copy(
+        ref.at[pl.ds(0, n), :], ref.at[pl.ds(0, n), :], sem
+    ).wait()
+
+
 def _row_scatter_write_bf_kernel(
     rows_ref,   # SMEM [CHUNK] target rows — ALL in-bounds and distinct
     vals_ref,   # VMEM [CHUNK, D] replacement rows
@@ -433,22 +474,17 @@ def _row_scatter_write_bf_kernel(
     tail in-kernel instead of padding the inputs, whose 10.5 MB values
     concatenate cost ~4.7 ns/row (12.7 vs 8.0) at the headline shapes."""
 
+    d = vals_ref.shape[1]
+
     def issue(i):
-        pltpu.make_async_copy(
-            vals_ref.at[pl.ds(i, 1), :],
-            table_out.at[pl.ds(rows_ref[i], 1), :],
-            sem.at[0],
-        ).start()
+        _row_copy(vals_ref, i, table_out, rows_ref[i], sem.at[0], d)
 
     def run(n):
         for i in range(n):
             issue(i)
-        # aggregated wait: a copy object of the issued byte count, never
-        # started — .wait() just decrements the semaphore by that many bytes
-        pltpu.make_async_copy(
-            vals_ref.at[pl.ds(0, n), :], vals_ref.at[pl.ds(0, n), :],
-            sem.at[0],
-        ).wait()
+        # aggregated wait: copy objects of the issued byte count, never
+        # started — .wait() just decrements the semaphore by those bytes
+        _rows_wait(vals_ref, sem.at[0], n, d)
 
     if rem == 0:
         run(chunk)
@@ -547,8 +583,12 @@ def row_scatter_write(
     sentinel-parking convention, not a requirement of this kernel.
     """
     num_rows, d = table.shape
-    if d % 128:
-        raise ValueError(f"row width {d} must be a multiple of 128")
+    if d != 128:
+        raise ValueError(
+            f"row width {d}: Mosaic DMA slicing only supports 128-lane "
+            "rows (see the slice-rule note) — wider dims use the XLA "
+            "fallback or a restructured storage layout"
+        )
     if jnp.dtype(table.dtype).itemsize < 4:
         # Mosaic DMA granularity is 512 bytes (128 32-bit lanes): a 256-
         # byte bf16 row cannot be sliced in ANY layout (dim-0 slices of a
@@ -793,16 +833,19 @@ def pack_pair_blob(x: jnp.ndarray) -> jnp.ndarray:
     return w.reshape(r // 2, d)
 
 
-def _segscan_write(issue, sem_waits, chunk: int, rem: int, n_chunks: int):
+def _segscan_write(
+    issue, sem_waits, chunk: int, rem: int, n_chunks: int,
+    rows_per_issue: int = 1,
+):
     """Shared branch-free write tail: issue per-row DMAs, one aggregated
-    wait per (semaphore, row-size) via a same-size dummy self-copy."""
+    wait per (semaphore, row-size) via same-size dummy self-copies.
+    ``rows_per_issue``: scratch rows each issue() moves (2 for the
+    interleaved colocated kernel's [2, D] pair DMAs)."""
     def run(n):
         for i in range(n):
             issue(i)
         for ref, sem in sem_waits:
-            pltpu.make_async_copy(
-                ref.at[pl.ds(0, n)], ref.at[pl.ds(0, n)], sem
-            ).wait()
+            _rows_wait(ref, sem, n * rows_per_issue, ref.shape[1])
 
     if rem == 0:
         run(chunk)
@@ -851,11 +894,10 @@ def _row_scatter_write_segscan_kernel(
     )
 
     def issue(i):
-        pltpu.make_async_copy(
-            vals_ref.at[pl.ds(i, 1), :],
-            table_out.at[pl.ds(rows_ref[i], 1), :],
-            sem.at[0],
-        ).start()
+        _row_copy(
+            vals_ref, i, table_out, rows_ref[i], sem.at[0],
+            vals_ref.shape[1],
+        )
 
     _segscan_write(issue, [(vals_ref, sem.at[0])], chunk, rem, n_chunks)
 
@@ -906,8 +948,12 @@ def row_scatter_write_segscan(
     granularity; bf16 tables take :func:`row_scatter_write_segscan_pair`.
     """
     num_rows, d = table.shape
-    if d % 128:
-        raise ValueError(f"row width {d} must be a multiple of 128")
+    if d != 128:
+        raise ValueError(
+            f"row width {d}: Mosaic DMA slicing only supports 128-lane "
+            "rows (see the slice-rule note) — wider dims use the XLA "
+            "fallback or a restructured storage layout"
+        )
     if jnp.dtype(table.dtype).itemsize < 4:
         raise ValueError(
             "row_scatter_write_segscan requires a >=32-bit table dtype; "
@@ -1008,11 +1054,10 @@ def _row_scatter_write_segscan_rowwise_kernel(
     )
 
     def issue(i):
-        pltpu.make_async_copy(
-            vals_ref.at[pl.ds(i, 1), :],
-            table_out.at[pl.ds(rows_ref[i], 1), :],
-            sem.at[0],
-        ).start()
+        _row_copy(
+            vals_ref, i, table_out, rows_ref[i], sem.at[0],
+            vals_ref.shape[1],
+        )
 
     _segscan_write(issue, [(vals_ref, sem.at[0])], chunk, rem, n_chunks)
 
@@ -1055,8 +1100,12 @@ def row_scatter_write_segscan_rowwise(
     :func:`row_scatter_write_segscan_pair_rowwise` for bf16).
     """
     num_rows, d = table.shape
-    if d % 128:
-        raise ValueError(f"row width {d} must be a multiple of 128")
+    if d != 128:
+        raise ValueError(
+            f"row width {d}: Mosaic DMA slicing only supports 128-lane "
+            "rows (see the slice-rule note) — wider dims use the XLA "
+            "fallback or a restructured storage layout"
+        )
     if jnp.dtype(table.dtype).itemsize < 4:
         raise ValueError(
             "row_scatter_write_segscan_rowwise requires a >=32-bit table "
@@ -1124,6 +1173,163 @@ def row_scatter_write_segscan_rowwise(
         table,
     )
     return new_table, m_new[:u]
+
+
+def _row_scatter_write_segscan_rowwise_colo_kernel(
+    scal_ref,   # SMEM [4] f32: (lr, weight_decay, eps, initial_acc)
+    rows_ref,   # SMEM [CHUNK] run-END targets — ALL in-bounds and distinct
+    heads_ref,  # VMEM [CHUNK, 1] f32
+    ends_ref,   # VMEM [CHUNK, 1] f32
+    grads_ref,  # VMEM [CHUNK, D] f32 per-slot gradient rows
+    old_ref,    # VMEM [CHUNK, 2*D] f32: interleaved (weight row, state
+                # row) pairs value-reshaped to one row per slot —
+                # [:, :D] = weights, [:, D] = accumulator delta
+    table_in,   # ANY [2R, D] (aliased) — INTERLEAVED storage: logical
+                # row r = physical rows (2r: weights, 2r+1: state)
+    table_out,  # ANY
+    vals_ref,   # VMEM scratch [2*CHUNK, D]: interleaved replacement pairs
+    carry_ref,  # VMEM scratch [1, D]
+    sem,        # DMA [1]
+    *,
+    chunk: int,
+    d: int,
+    rem: int = 0,
+    n_chunks: int = 1,
+):
+    v = _segscan_v(heads_ref, grads_ref, carry_ref, chunk)
+    lr = scal_ref[0]
+    wd = scal_ref[1]
+    eps = scal_ref[2]
+    iav = scal_ref[3]
+    old = old_ref[:, :d]
+    # stored accumulator is the DELTA from initial_accumulator_value
+    # (blob state rows init to zero before the optimizer exists)
+    m_eff = old_ref[:, d:d + 1] + iav
+    ends = ends_ref[...] > 0.0
+    g = v + wd * old
+    m_new = m_eff + jnp.mean(g * g, axis=1, keepdims=True)
+    new = old - (lr * g) / (jnp.sqrt(jnp.abs(m_new)) + eps)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, d), 1)
+    state_row = jnp.where(
+        lane == 0, jnp.broadcast_to(m_new - iav, (chunk, d)), 0.0
+    )
+    inter = jnp.where(
+        ends, jnp.concatenate([new, state_row], axis=1), 0.0
+    )
+    # value-reshape interleaves: scratch rows (2i, 2i+1) = (new_i, state_i)
+    vals_ref[...] = inter.reshape(2 * chunk, d)
+
+    def issue(i):
+        # ONE [2, D] DMA writes the (weights, state) pair at the
+        # PHYSICAL pair-base row rows_ref[i] (caller maps logical large
+        # rows r -> small + 2*(r - small) in its flat-small +
+        # interleaved-large layout)
+        pltpu.make_async_copy(
+            vals_ref.at[pl.ds(2 * i, 2), :],
+            table_out.at[pl.ds(rows_ref[i], 2), :],
+            sem.at[0],
+        ).start()
+
+    _segscan_write(
+        issue, [(vals_ref, sem.at[0])], chunk, rem, n_chunks,
+        rows_per_issue=2,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "_chunk"),
+    donate_argnums=(0,),
+)
+def row_scatter_write_segscan_rowwise_colocated(
+    table: jnp.ndarray,
+    rows_end: jnp.ndarray,
+    heads: jnp.ndarray,
+    ends: jnp.ndarray,
+    grads: jnp.ndarray,
+    old_rows: jnp.ndarray,
+    scal: jnp.ndarray,
+    *,
+    interpret: bool = False,
+    _chunk: int = 0,
+) -> jnp.ndarray:
+    """Fused EXACT_ROWWISE_ADAGRAD backward tail with the accumulator
+    CO-LOCATED in interleaved (weight row, state row) pairs: each
+    touched row lives at a PHYSICAL pair-base row (``pairs_end`` carries
+    those directly; the EBC layout keeps the dense-path small region
+    flat and interleaves only large rows at ``small + 2*(r - small)``),
+    with the accumulator — stored as a delta from
+    ``initial_accumulator_value`` — in lane 0 of the state row. The pair
+    writes as ONE ``[2, D]`` DMA, so the updated accumulator rides the
+    weight write and the [u]-scalar gather + scatter passes (XLA
+    issue-rate bound, ~0.26 ms at the headline shapes) disappear —
+    FBGEMM's momentum1 co-location, traded on TPU for 512 B/row of HBM
+    since Mosaic's DMA slicing permits nothing narrower (only
+    full-minor [n, 128] slices compile).
+
+    Same run-END layout / ``ends`` mask / scratch-tail contract as
+    :func:`row_scatter_write_segscan`, with ``rows_end`` in PHYSICAL
+    pair-base rows (sentinels too); ``old_rows`` is ``[u, 2*D]`` (the
+    forward's pair gather — CSE-shared; ``[:, :D]`` weights, ``[:, D]``
+    accumulator delta); ``grads`` is ``[u, D]``; ``scal`` is ``[4]``
+    (lr, weight_decay, eps, initial_accumulator_value).
+    """
+    num_rows2, d = table.shape
+    if d != 128:
+        raise ValueError(
+            f"colocated table rows must be 128-lane, got {table.shape}"
+        )
+    if jnp.dtype(table.dtype).itemsize < 4:
+        raise ValueError("colocated kernel is fp32-only")
+    u = rows_end.shape[0]
+    chunk = _chunk or _CHUNK
+    if chunk > _CHUNK:
+        raise ValueError(f"_chunk={chunk} > _CHUNK={_CHUNK} with in_bounds")
+    rem = u % chunk
+    n_chunks = (u + chunk - 1) // chunk
+    kernel = functools.partial(
+        _row_scatter_write_segscan_rowwise_colo_kernel,
+        chunk=chunk, d=d, rem=rem, n_chunks=n_chunks,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((4,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (chunk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (chunk, d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (chunk, 2 * d), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2 * chunk, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        input_output_aliases={6: 0},
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(
+        scal.astype(jnp.float32),
+        rows_end.astype(jnp.int32),
+        heads.astype(jnp.float32),
+        ends.astype(jnp.float32),
+        grads.astype(jnp.float32),
+        old_rows.astype(jnp.float32),
+        table,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1203,11 +1409,10 @@ def _row_scatter_write_segscan_pair_kernel(
     )
 
     def issue(i):
-        pltpu.make_async_copy(
-            vals_ref.at[pl.ds(i, 1), :],
-            table_out.at[pl.ds(rows_ref[i], 1), :],
-            sem.at[0],
-        ).start()
+        _row_copy(
+            vals_ref, i, table_out, rows_ref[i], sem.at[0],
+            vals_ref.shape[1],
+        )
 
     _segscan_write(issue, [(vals_ref, sem.at[0])], chunk, rem, n_chunks)
 
@@ -1259,8 +1464,12 @@ def row_scatter_write_segscan_pair(
       sr_seed:   [1] u32 or None — stochastic-rounding step counter.
     """
     n_pairs, d = table.shape
-    if d % 128:
-        raise ValueError(f"row width {d} must be a multiple of 128")
+    if d != 128:
+        raise ValueError(
+            f"row width {d}: Mosaic DMA slicing only supports 128-lane "
+            "rows (see the slice-rule note) — wider dims use the XLA "
+            "fallback or a restructured storage layout"
+        )
     if table.dtype != jnp.uint32:
         raise ValueError("pair kernel takes u32 pair-packed storage")
     u = pairs_end.shape[0]
@@ -1399,11 +1608,10 @@ def _row_scatter_write_segscan_pair_rowwise_kernel(
     )
 
     def issue(i):
-        pltpu.make_async_copy(
-            vals_ref.at[pl.ds(i, 1), :],
-            table_out.at[pl.ds(rows_ref[i], 1), :],
-            sem.at[0],
-        ).start()
+        _row_copy(
+            vals_ref, i, table_out, rows_ref[i], sem.at[0],
+            vals_ref.shape[1],
+        )
 
     _segscan_write(issue, [(vals_ref, sem.at[0])], chunk, rem, n_chunks)
 
@@ -1437,8 +1645,12 @@ def row_scatter_write_segscan_pair_rowwise(
     view at real pair ends (untouched siblings return their unchanged
     value)."""
     n_pairs, d = table.shape
-    if d % 128:
-        raise ValueError(f"row width {d} must be a multiple of 128")
+    if d != 128:
+        raise ValueError(
+            f"row width {d}: Mosaic DMA slicing only supports 128-lane "
+            "rows (see the slice-rule note) — wider dims use the XLA "
+            "fallback or a restructured storage layout"
+        )
     if table.dtype != jnp.uint32:
         raise ValueError("pair kernel takes u32 pair-packed storage")
     u = pairs_end.shape[0]
