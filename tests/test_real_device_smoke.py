@@ -245,3 +245,55 @@ def test_bf16_pair_segscan_compiled(tpu):
     np.testing.assert_array_equal(
         got[touched + 1], base[touched + 1]
     )
+
+
+def test_colocated_rowwise_ebc_step_compiled(tpu):
+    """Compiled colocated-state EBC train step (flat-small +
+    interleaved-large storage; ONE [2, 128] DMA per touched pair)."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchrec_tpu.modules import (
+        EmbeddingBagCollection,
+        EmbeddingBagConfig,
+    )
+    from torchrec_tpu.ops import RowWiseAdagrad
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+
+    rng = np.random.default_rng(2)
+    tables = [
+        EmbeddingBagConfig(name="s", num_embeddings=60, embedding_dim=128,
+                           feature_names=["fs"]),
+        EmbeddingBagConfig(name="l", num_embeddings=120_000,
+                           embedding_dim=128, feature_names=["fl"]),
+    ]
+    opt = RowWiseAdagrad(learning_rate=0.1, initial_accumulator_value=0.5)
+    outs = {}
+    for colo in (False, True):
+        ebc = EmbeddingBagCollection(
+            tables, max_unique_gradient_rows=256,
+            colocate_rowwise_state=colo,
+        )
+        params = ebc.init(jax.random.key(0))
+        states = ebc.init_optimizer(params, opt)
+        B = 8
+        lengths = rng.integers(1, 5, size=(2 * B,)).astype(np.int32) \
+            if ("lens" not in outs) else outs["lens"]
+        outs["lens"] = lengths
+        vals = outs.setdefault("vals", np.concatenate([
+            rng.integers(0, 60, size=int(lengths[:B].sum())),
+            rng.integers(0, 120_000, size=int(lengths[B:].sum())),
+        ]).astype(np.int32))
+        kjt = KeyedJaggedTensor.from_lengths(
+            ["fs", "fl"], jnp.asarray(vals), jnp.asarray(lengths)
+        )
+        cot = jnp.asarray(outs.setdefault(
+            "cot", rng.normal(size=(B, 256)).astype(np.float32)
+        ))
+        p2, _ = jax.jit(
+            lambda p, s, kj, c, _e=ebc: _e.apply_gradients(p, s, opt, kj, c)
+        )(params, states, kjt, cot)
+        outs[colo] = np.asarray(ebc.split_params(p2)["l"])
+    np.testing.assert_allclose(
+        outs[True], outs[False], rtol=2e-6, atol=2e-7
+    )

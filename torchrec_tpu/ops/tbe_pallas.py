@@ -609,12 +609,14 @@ def row_scatter_write(
         # chunk would park pad targets outside the reserved sentinel range.
         raise ValueError(f"_chunk={chunk} > _CHUNK={_CHUNK} with in_bounds")
     if in_bounds:
-        # No input padding: the branch-free kernel handles a partial tail
-        # chunk with a static rem unroll on the last grid step. Padding here
-        # costs a full 10.5 MB values concatenate per call (~4.7 ns/row,
-        # 12.7 vs 8.0 measured at the headline shapes).
-        rem = u % chunk
-        n_chunks = (u + chunk - 1) // chunk
+        # No input padding at production sizes: the branch-free kernel
+        # handles a partial tail chunk with a static rem unroll on the
+        # last grid step (padding here costs a full 10.5 MB values
+        # concatenate per call — ~4.7 ns/row, 12.7 vs 8.0 measured at
+        # the headline shapes). Sub-chunk windows DO pad (tiny arrays,
+        # XLA SMEM layout mismatch otherwise — see _pad_window).
+        rows, values, rem = _pad_window(u, chunk, rows, values)
+        n_chunks = max((u + chunk - 1) // chunk, 1)
         kernel = functools.partial(
             _row_scatter_write_bf_kernel, chunk=chunk, group=_GROUP,
             rem=rem, n_chunks=n_chunks,
@@ -667,6 +669,24 @@ def row_scatter_write(
 # id at each run's last slot, distinct scratch-tail sentinels elsewhere —
 # the same branch-free parking contract as row_scatter_write(in_bounds).
 # --------------------------------------------------------------------------
+
+
+def _pad_window(u: int, chunk: int, rows, *blocks):
+    """Pad a sub-chunk slot window up to one full chunk. XLA lays out
+    int32 SMEM scalars shorter than a chunk with T(128) tiling, which
+    fails Mosaic's T(1024) operand check on device — and the kernels'
+    static ``rem`` unroll never issues the padding anyway (pad targets
+    are unread, pad block rows are computed but not written). Returns
+    (padded_rows, padded_blocks..., rem) with rem = u."""
+    if u >= chunk:
+        return (rows, *blocks, u % chunk)
+    pad = chunk - u
+    rows = jnp.pad(rows, (0, pad))
+    blocks = tuple(
+        jnp.pad(b, ((0, pad),) + ((0, 0),) * (b.ndim - 1))
+        for b in blocks
+    )
+    return (rows, *blocks, u)
 
 
 def _segscan_vals(heads, vals, carry_ref, chunk: int):
@@ -963,8 +983,10 @@ def row_scatter_write_segscan(
     chunk = _chunk or _CHUNK
     if chunk > _CHUNK:
         raise ValueError(f"_chunk={chunk} > _CHUNK={_CHUNK} with in_bounds")
-    rem = u % chunk
-    n_chunks = (u + chunk - 1) // chunk
+    rows_end, heads, ends, grads, old_rows, rem = _pad_window(
+        u, chunk, rows_end, heads, ends, grads, old_rows
+    )
+    n_chunks = max((u + chunk - 1) // chunk, 1)
     kernel = functools.partial(
         _row_scatter_write_segscan_kernel,
         chunk=chunk, rem=rem, n_chunks=n_chunks,
@@ -1115,8 +1137,13 @@ def row_scatter_write_segscan_rowwise(
     chunk = _chunk or _CHUNK
     if chunk > _CHUNK:
         raise ValueError(f"_chunk={chunk} > _CHUNK={_CHUNK} with in_bounds")
-    rem = u % chunk
-    n_chunks = (u + chunk - 1) // chunk
+    (
+        rows_end, heads, ends, grads, old_rows, mom_rows, rem
+    ) = _pad_window(
+        u, chunk, rows_end, heads, ends, grads, old_rows,
+        mom_rows.reshape(u),
+    )
+    n_chunks = max((u + chunk - 1) // chunk, 1)
     kernel = functools.partial(
         _row_scatter_write_segscan_rowwise_kernel,
         chunk=chunk, rem=rem, n_chunks=n_chunks,
@@ -1169,7 +1196,7 @@ def row_scatter_write_segscan_rowwise(
         ends.astype(jnp.float32),
         grads.astype(jnp.float32),
         old_rows.astype(jnp.float32),
-        mom_rows.astype(jnp.float32).reshape(u, 1),
+        mom_rows.astype(jnp.float32).reshape(-1, 1),
         table,
     )
     return new_table, m_new[:u]
@@ -1285,8 +1312,10 @@ def row_scatter_write_segscan_rowwise_colocated(
     chunk = _chunk or _CHUNK
     if chunk > _CHUNK:
         raise ValueError(f"_chunk={chunk} > _CHUNK={_CHUNK} with in_bounds")
-    rem = u % chunk
-    n_chunks = (u + chunk - 1) // chunk
+    rows_end, heads, ends, grads, old_rows, rem = _pad_window(
+        u, chunk, rows_end, heads, ends, grads, old_rows
+    )
+    n_chunks = max((u + chunk - 1) // chunk, 1)
     kernel = functools.partial(
         _row_scatter_write_segscan_rowwise_colo_kernel,
         chunk=chunk, d=d, rem=rem, n_chunks=n_chunks,
@@ -1476,8 +1505,10 @@ def row_scatter_write_segscan_pair(
     chunk = _chunk or _CHUNK
     if chunk > _CHUNK:
         raise ValueError(f"_chunk={chunk} > _CHUNK={_CHUNK} with in_bounds")
-    rem = u % chunk
-    n_chunks = (u + chunk - 1) // chunk
+    pairs_end, heads, ends, parity, grads, old_pairs, rem = _pad_window(
+        u, chunk, pairs_end, heads, ends, parity, grads, old_pairs
+    )
+    n_chunks = max((u + chunk - 1) // chunk, 1)
     kernel = functools.partial(
         _row_scatter_write_segscan_pair_kernel,
         chunk=chunk, rem=rem, n_chunks=n_chunks, sr=sr_seed is not None,
@@ -1657,8 +1688,13 @@ def row_scatter_write_segscan_pair_rowwise(
     chunk = _chunk or _CHUNK
     if chunk > _CHUNK:
         raise ValueError(f"_chunk={chunk} > _CHUNK={_CHUNK} with in_bounds")
-    rem = u % chunk
-    n_chunks = (u + chunk - 1) // chunk
+    (
+        pairs_end, heads, ends, parity, grads, old_pairs, mom_pairs, rem
+    ) = _pad_window(
+        u, chunk, pairs_end, heads, ends, parity, grads, old_pairs,
+        mom_pairs.astype(jnp.float32).reshape(u, 2),
+    )
+    n_chunks = max((u + chunk - 1) // chunk, 1)
     kernel = functools.partial(
         _row_scatter_write_segscan_pair_rowwise_kernel,
         chunk=chunk, rem=rem, n_chunks=n_chunks, sr=sr_seed is not None,
@@ -1722,7 +1758,7 @@ def row_scatter_write_segscan_pair_rowwise(
         parity.astype(jnp.float32),
         grads.astype(jnp.float32),
         old_pairs,
-        mom_pairs.astype(jnp.float32).reshape(u, 2),
+        mom_pairs,
         pairs,
     )
     return out, m_new[:u]
