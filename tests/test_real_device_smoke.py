@@ -297,3 +297,52 @@ def test_colocated_rowwise_ebc_step_compiled(tpu):
     np.testing.assert_allclose(
         outs[True], outs[False], rtol=2e-6, atol=2e-7
     )
+
+
+def test_tile_row_dim256_ebc_step_compiled(tpu):
+    """Compiled dim-256 EBC train step: TILE-ROW storage ([R*2, 128]
+    blobs, [2, 128] row DMAs) — wide rows cannot be DMA-sliced, so this
+    path once crashed at compile time on hardware."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchrec_tpu.modules import (
+        EmbeddingBagCollection,
+        EmbeddingBagConfig,
+    )
+    from torchrec_tpu.ops import RowWiseAdagrad
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+
+    rng = np.random.default_rng(4)
+    tables = [
+        EmbeddingBagConfig(name="s", num_embeddings=60, embedding_dim=256,
+                           feature_names=["fs"]),
+        EmbeddingBagConfig(name="l", num_embeddings=90_000,
+                           embedding_dim=256, feature_names=["fl"]),
+    ]
+    ebc = EmbeddingBagCollection(tables, max_unique_gradient_rows=256)
+    assert ebc._groups[0].row_tiles == 2
+    params = ebc.init(jax.random.key(0))
+    opt = RowWiseAdagrad(learning_rate=0.1)
+    states = ebc.init_optimizer(params, opt)
+    B = 8
+    lengths = rng.integers(1, 5, size=(2 * B,)).astype(np.int32)
+    vals = np.concatenate([
+        rng.integers(0, 60, size=int(lengths[:B].sum())),
+        rng.integers(0, 90_000, size=int(lengths[B:].sum())),
+    ]).astype(np.int32)
+    kjt = KeyedJaggedTensor.from_lengths(
+        ["fs", "fl"], jnp.asarray(vals), jnp.asarray(lengths)
+    )
+    cot = jnp.asarray(rng.normal(size=(B, 512)).astype(np.float32))
+    base = {k: np.asarray(v) for k, v in ebc.split_params(params).items()}
+    p2, _ = jax.jit(
+        lambda p, s, kj, c: ebc.apply_gradients(p, s, opt, kj, c)
+    )(params, states, kjt, cot)
+    got = ebc.split_params(p2)
+    # touched rows moved; untouched rows exact
+    l2 = np.asarray(got["l"])
+    touched = np.unique(vals[int(lengths[:B].sum()):])
+    assert (l2[touched] != base["l"][touched]).any()
+    untouched = np.setdiff1d(np.arange(90_000), touched)[:500]
+    np.testing.assert_array_equal(l2[untouched], base["l"][untouched])

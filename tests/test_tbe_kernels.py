@@ -237,10 +237,13 @@ def test_row_scatter_write_segscan_oracle(U, n_runs, chunk, wd):
     np.testing.assert_array_equal(out[R:][touched_tail], 0.0)
 
 
+@pytest.mark.parametrize("dim", [128, 256], ids=["d128", "d256tile"])
 @pytest.mark.parametrize("opt_name", ["sgd", "rowwise_adagrad"])
-def test_ebc_segscan_gate_equivalence(opt_name):
+def test_ebc_segscan_gate_equivalence(opt_name, dim):
     """Forced-v3 EBC apply_gradients: fused segscan path vs the dedup +
-    write path (gate off) — identical updates up to summation order."""
+    write path (gate off) — identical updates up to summation order.
+    dim 256 exercises the TILE-ROW storage ([R*2, 128] blobs, [2, 128]
+    row DMAs — wide rows cannot be DMA-sliced directly)."""
     from torchrec_tpu.modules import (
         EmbeddingBagCollection,
         EmbeddingBagConfig,
@@ -255,10 +258,9 @@ def test_ebc_segscan_gate_equivalence(opt_name):
         EmbeddingBagCollection._CM_IMPL = "v3"
         EmbeddingBagCollection._CM_FORCE_V3 = True
         rng = np.random.default_rng(7)
-        # dim must be lane-aligned (128): the segscan gate requires it
         tables = [
             EmbeddingBagConfig(
-                name=f"t{i}", num_embeddings=r, embedding_dim=128,
+                name=f"t{i}", num_embeddings=r, embedding_dim=dim,
                 feature_names=[f"f{i}"],
             )
             for i, r in enumerate([60, 250_000, 90_000])
@@ -282,7 +284,7 @@ def test_ebc_segscan_gate_equivalence(opt_name):
             [f"f{i}" for i in range(3)], jnp.asarray(vals),
             jnp.asarray(lengths),
         )
-        cot = jnp.asarray(rng.normal(size=(B, 3 * 128)).astype(np.float32))
+        cot = jnp.asarray(rng.normal(size=(B, 3 * dim)).astype(np.float32))
         res = {}
         took_fused = {}
         import torchrec_tpu.ops.tbe_pallas as _tp

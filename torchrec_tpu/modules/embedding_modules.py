@@ -109,6 +109,13 @@ class TableGroup:
     # rest padding, since Mosaic DMA slicing permits nothing narrower
     # than a 128-lane row. Logical views de-interleave the large region.
     state_lanes: int = 0
+    # TILE-ROW storage for wide fp32 tables (dim > 128, dim % 128 == 0,
+    # large region present): the blob is [padded * row_tiles, 128] with
+    # logical row r at physical rows r*nt .. r*nt + nt - 1 — the only
+    # DMA-sliceable layout for wide rows (Mosaic permits only full-minor
+    # [n, 128] slices); the fused backward writes each row as one
+    # [nt, 128] DMA. row_tiles == 1 is the plain [padded, dim] blob.
+    row_tiles: int = 1
 
     @property
     def total_rows(self) -> int:
@@ -191,6 +198,17 @@ class _EmbeddingCollectionBase:
                 )
                 else 0
             )
+            tiles = (
+                dim // 128
+                if (
+                    dt == DataType.FP32
+                    and dim > 128
+                    and dim % 128 == 0
+                    and small_rows < off
+                    and lanes == 0
+                )
+                else 1
+            )
             pack = self._PACK_BF16 and dt == DataType.BF16
             if scratch_window is not None and small_rows < off:
                 from torchrec_tpu.ops.tbe_pallas import _CHUNK as _wc
@@ -213,6 +231,7 @@ class _EmbeddingCollectionBase:
                 small_rows=small_rows,
                 scratch_rows=scratch,
                 state_lanes=lanes,
+                row_tiles=tiles,
             )
             gi = len(self._groups)
             self._groups.append(g)
@@ -281,6 +300,8 @@ class _EmbeddingCollectionBase:
                     cell.append(
                         self._colo_logical(blob, g.small_rows, g.dim)
                     )
+                elif g.row_tiles > 1:
+                    cell.append(blob.reshape(-1, g.dim))
                 else:
                     cell.append(blob)
             return cell[0]
@@ -299,6 +320,20 @@ class _EmbeddingCollectionBase:
         return jnp.concatenate([w, st], axis=1)
 
     @staticmethod
+    def _tile_row_gather(blob, ids, nt: int):
+        """Tile-row blob [R*nt, 128]: fetch logical rows as [u, nt*128]
+        via nt single-row gathers (XLA's row-gather fast path)."""
+        return jnp.concatenate(
+            [
+                jnp.take(
+                    blob, ids * nt + t, axis=0, indices_are_sorted=True
+                )
+                for t in range(nt)
+            ],
+            axis=1,
+        )
+
+    @staticmethod
     def _colo_logical(blob, small: int, dim: int):
         """Colocated blob -> logical [rows, dim] weight view (export /
         fallback paths; a strided-copy of the large region)."""
@@ -312,6 +347,10 @@ class _EmbeddingCollectionBase:
         if g.state_lanes:
             # the colocated layout keeps the small region FLAT
             return params[g.key][: g.small_rows]
+        if g.row_tiles > 1:
+            return params[g.key][
+                : g.small_rows * g.row_tiles
+            ].reshape(g.small_rows, g.dim)
         if not self._pack_group(g):
             return self._table_f32(gi, params)()
         from torchrec_tpu.ops.tbe_pallas import unpack_pair_blob
@@ -365,6 +404,8 @@ class _EmbeddingCollectionBase:
                         [lg, jnp.zeros_like(lg)], axis=1
                     ).reshape(2 * lg.shape[0], g.dim),
                 ])
+            if g.row_tiles > 1:
+                blob = blob.reshape(-1, 128)
             params[g.key] = blob
         return params
 
@@ -386,6 +427,8 @@ class _EmbeddingCollectionBase:
                     )
                 if g.state_lanes:
                     blob = self._colo_logical(blob, g.small_rows, g.dim)
+                if g.row_tiles > 1:
+                    blob = blob.reshape(-1, g.dim)
                 return blob[off : off + rows]
         raise KeyError(table_name)
 
@@ -431,6 +474,8 @@ class _EmbeddingCollectionBase:
                         [lg, jnp.zeros_like(lg)], axis=1
                     ).reshape(2 * lg.shape[0], g.dim),
                 ])
+            if g.row_tiles > 1:
+                blob = blob.reshape(-1, 128)
             params[g.key] = blob
         return params
 
@@ -449,9 +494,9 @@ class _EmbeddingCollectionBase:
                 jnp.zeros((g.total_rows, g.dim), g.data_type.as_jnp())
                 if self._pack_group(g)
                 else (
-                    # colocated layouts size state off a logical dummy
+                    # restructured layouts size state off a logical dummy
                     jnp.zeros((g.total_rows, g.dim), g.data_type.as_jnp())
-                    if g.state_lanes
+                    if g.state_lanes or g.row_tiles > 1
                     else params[g.key][: g.total_rows]
                 )
             )
@@ -916,10 +961,10 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
         if self._max_feats_per_table != 1:
             return False
         g = self._groups[gi]
-        if self._pack_group(g) or g.state_lanes:
-            # the fused kernels read raw blob rows; pair-packed and
-            # state-lane groups take the per-table matmul path on the
-            # sliced/unpacked small region
+        if self._pack_group(g) or g.state_lanes or g.row_tiles > 1:
+            # the fused kernels read raw blob rows; restructured layouts
+            # (pair-packed / colocated / tile-row) take the per-table
+            # matmul path on the sliced/unpacked small region
             return False
         n_gf = len(self._group_features[gi])
         return n_gf * b * g.dim * 4 <= 4 * 2**20
@@ -1135,6 +1180,12 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                     rows = self._colo_pair_gather(
                         params[g.key], base, g.dim
                     )[:, : g.dim]
+                elif g.row_tiles > 1:
+                    rows = self._tile_row_gather(
+                        params[g.key],
+                        jnp.minimum(sids, total - 1),
+                        g.row_tiles,
+                    )
                 else:
                     rows = jnp.take(
                         table_f32(), jnp.minimum(sids, total - 1), axis=0,
@@ -1398,7 +1449,7 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 else (
                     2 * g.padded_rows - g.small_rows
                     if colo
-                    else g.padded_rows
+                    else g.padded_rows * g.row_tiles
                 )
             )
             use_scan = (
@@ -1493,6 +1544,14 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                     )
                     old_rows = self._colo_pair_gather(tbl, base, g.dim)
                     rows_end = small + 2 * (rows_end - small)
+                elif g.row_tiles > 1:
+                    parity = None
+                    # IDENTICAL expression to the forward's tile-row
+                    # gather -> XLA CSEs it; the kernel scales targets
+                    # by the (inferred) tile count itself
+                    old_rows = self._tile_row_gather(
+                        tbl, jnp.minimum(sids_u, total - 1), g.row_tiles
+                    )
                 else:
                     parity = None
                     # IDENTICAL expression to the forward's compact window
@@ -1530,7 +1589,9 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                             else jax.lax.dynamic_slice(sw, (n_small,), (u,))
                         ),
                     )
-                    if self._REUSE_FWD_ROWS and not packed:
+                    if self._REUSE_FWD_ROWS and not packed and (
+                        g.row_tiles == 1
+                    ):
                         # the IDENTICAL expression to the forward's compact
                         # window gather -> XLA CSEs it across the step, so
                         # the optimizer's own table[uids] gather disappears
@@ -1576,6 +1637,18 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                         old_rows=old_rows,
                     )
                     tbl = pack_pair_blob(logical)
+                elif g.row_tiles > 1:
+                    # tile-row fallback: reshape to logical, update via
+                    # the XLA scatter, reshape back (relayout copies —
+                    # correct-but-slow; the segscan path above is the
+                    # fast form)
+                    logical = tbl.reshape(-1, g.dim)
+                    logical, st = optimizer.update(
+                        logical, st, uids, ugrads, lr=lr,
+                        ids_sorted=not v3, ids_in_bounds=False,
+                        old_rows=old_rows,
+                    )
+                    tbl = logical.reshape(-1, 128)
                 else:
                     tbl, st = optimizer.update(
                         tbl, st, uids, ugrads, lr=lr, ids_sorted=not v3,
@@ -1651,6 +1724,15 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                     tbl = jax.lax.dynamic_update_slice(
                         tbl, pack_pair_blob(merged), (0, 0)
                     )
+                elif g.row_tiles > 1:
+                    nt = g.row_tiles
+                    region = tbl[: small * nt].reshape(small, g.dim)
+                    tbl_s, st_s = optimizer.dense_update(
+                        region, st_s, acc, touched, lr=lr
+                    )
+                    tbl = jax.lax.dynamic_update_slice(
+                        tbl, tbl_s.reshape(small * nt, 128), (0, 0)
+                    )
                 else:
                     # NOTE colocated layouts keep the small region FLAT,
                     # so the plain path below covers them too
@@ -1697,6 +1779,15 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                     )
                     tbl = jax.lax.dynamic_update_slice(
                         tbl, pack_pair_blob(merged), (0, 0)
+                    )
+                elif g.row_tiles > 1:
+                    nt = g.row_tiles
+                    region = tbl[: small * nt].reshape(small, g.dim)
+                    tbl_s, st_s = optimizer.dense_update(
+                        region, st_s, acc, touched, lr=lr
+                    )
+                    tbl = jax.lax.dynamic_update_slice(
+                        tbl, tbl_s.reshape(small * nt, 128), (0, 0)
                     )
                 else:
                     # NOTE colocated layouts keep the small region FLAT,

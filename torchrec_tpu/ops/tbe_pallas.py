@@ -890,13 +890,15 @@ def _row_scatter_write_segscan_kernel(
     old_ref,    # VMEM [CHUNK, D] f32 table rows at slot positions
     table_in,   # ANY (aliased)
     table_out,  # ANY
-    vals_ref,   # VMEM scratch [CHUNK, D]: computed replacement rows
+    vals_ref,   # VMEM scratch [CHUNK * NT, 128]: replacement rows in
+                # tile-row form (logical row i at scratch rows i*nt..)
     carry_ref,  # VMEM scratch [1, D]: boundary-crossing run prefix sum
     sem,        # DMA [1]
     *,
     chunk: int,
     rem: int = 0,
     n_chunks: int = 1,
+    nt: int = 1,
 ):
     v = _segscan_v(heads_ref, grads_ref, carry_ref, chunk)
     lr = scal_ref[0]
@@ -907,19 +909,27 @@ def _row_scatter_write_segscan_kernel(
     # (ends mask, via where — a multiply would keep NaN garbage: NaN*0=NaN)
     # so the tail stays finite instead of accumulating garbage copies of
     # old rows (NaN-free checkpoints / whole-tensor inspection).
-    vals_ref[...] = jnp.where(
+    new32 = jnp.where(
         ends_ref[...] > 0.0,
         old_ref[...] * (1.0 - lr * wd) - lr * v,
         0.0,
     )
+    # D = nt*128 lanes split into nt 128-lane TILE ROWS (the only DMA-
+    # sliceable granularity — see the Mosaic slice-rule note); nt == 1
+    # is the plain [chunk, 128] form
+    vals_ref[...] = new32.reshape(chunk * nt, 128)
 
     def issue(i):
-        _row_copy(
-            vals_ref, i, table_out, rows_ref[i], sem.at[0],
-            vals_ref.shape[1],
-        )
+        pltpu.make_async_copy(
+            vals_ref.at[pl.ds(i * nt, nt), :],
+            table_out.at[pl.ds(rows_ref[i] * nt, nt), :],
+            sem.at[0],
+        ).start()
 
-    _segscan_write(issue, [(vals_ref, sem.at[0])], chunk, rem, n_chunks)
+    _segscan_write(
+        issue, [(vals_ref, sem.at[0])], chunk, rem, n_chunks,
+        rows_per_issue=nt,
+    )
 
 
 @functools.partial(
@@ -964,15 +974,20 @@ def row_scatter_write_segscan(
         forward's window gather; values at sentinel positions arbitrary).
       scal:     [2] f32 — (lr, weight_decay).
 
-    fp32 tables only — sub-32-bit rows are below the 512-byte DMA slice
-    granularity; bf16 tables take :func:`row_scatter_write_segscan_pair`.
+    D > 128 uses TILE-ROW storage: ``table`` is ``[R * nt, 128]`` with
+    logical row r at physical rows ``r*nt .. r*nt + nt - 1`` (nt =
+    D // 128 inferred from ``grads``) — Mosaic DMA slicing only permits
+    full-minor [n, 128] slices, so wide rows move as one [nt, 128] DMA
+    of consecutive tile rows. fp32 tables only — bf16 takes
+    :func:`row_scatter_write_segscan_pair`.
     """
-    num_rows, d = table.shape
-    if d != 128:
+    num_rows, dt = table.shape
+    d = grads.shape[1]
+    nt = d // 128
+    if dt != 128 or d % 128 or nt < 1:
         raise ValueError(
-            f"row width {d}: Mosaic DMA slicing only supports 128-lane "
-            "rows (see the slice-rule note) — wider dims use the XLA "
-            "fallback or a restructured storage layout"
+            f"table must be tile-row [R*nt, 128] with grads [u, nt*128]; "
+            f"got table {table.shape}, grads {grads.shape}"
         )
     if jnp.dtype(table.dtype).itemsize < 4:
         raise ValueError(
@@ -989,7 +1004,7 @@ def row_scatter_write_segscan(
     n_chunks = max((u + chunk - 1) // chunk, 1)
     kernel = functools.partial(
         _row_scatter_write_segscan_kernel,
-        chunk=chunk, rem=rem, n_chunks=n_chunks,
+        chunk=chunk, rem=rem, n_chunks=n_chunks, nt=nt,
     )
     return pl.pallas_call(
         kernel,
@@ -1014,7 +1029,7 @@ def row_scatter_write_segscan(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(table.shape, table.dtype),
         scratch_shapes=[
-            pltpu.VMEM((chunk, d), jnp.float32),
+            pltpu.VMEM((chunk * nt, 128), jnp.float32),
             pltpu.VMEM((1, d), jnp.float32),
             pltpu.SemaphoreType.DMA((1,)),
         ],
@@ -1046,13 +1061,14 @@ def _row_scatter_write_segscan_rowwise_kernel(
                 # (scalars cannot be DMA-scattered — minor-dim tiling is
                 # 128 — so the caller scatters them with XLA's cheap
                 # scalar-target set)
-    vals_ref,   # VMEM scratch [CHUNK, D]
+    vals_ref,   # VMEM scratch [CHUNK * NT, 128] (tile-row form)
     carry_ref,  # VMEM scratch [1, D]
     sem,        # DMA [1]
     *,
     chunk: int,
     rem: int = 0,
     n_chunks: int = 1,
+    nt: int = 1,
 ):
     v = _segscan_v(heads_ref, grads_ref, carry_ref, chunk)
     lr = scal_ref[0]
@@ -1069,19 +1085,24 @@ def _row_scatter_write_segscan_rowwise_kernel(
     g = v + wd * old_ref[...]
     m_new = mom_ref[...] + jnp.mean(g * g, axis=1, keepdims=True)
     mvals_ref[...] = jnp.where(ends, m_new, 0.0)
-    vals_ref[...] = jnp.where(
+    new32 = jnp.where(
         ends,
         old_ref[...] - (lr * g) / (jnp.sqrt(jnp.abs(m_new)) + eps),
         0.0,
     )
+    vals_ref[...] = new32.reshape(chunk * nt, 128)
 
     def issue(i):
-        _row_copy(
-            vals_ref, i, table_out, rows_ref[i], sem.at[0],
-            vals_ref.shape[1],
-        )
+        pltpu.make_async_copy(
+            vals_ref.at[pl.ds(i * nt, nt), :],
+            table_out.at[pl.ds(rows_ref[i] * nt, nt), :],
+            sem.at[0],
+        ).start()
 
-    _segscan_write(issue, [(vals_ref, sem.at[0])], chunk, rem, n_chunks)
+    _segscan_write(
+        issue, [(vals_ref, sem.at[0])], chunk, rem, n_chunks,
+        rows_per_issue=nt,
+    )
 
 
 @functools.partial(
@@ -1119,14 +1140,16 @@ def row_scatter_write_segscan_rowwise(
     ``min(rows_end, R-1)`` (garbage at sentinel positions is masked to
     zero in-kernel); ``scal`` [3] f32 — (lr, weight_decay, eps);
     Returns ``(new_table, m_new [u, 1])``. fp32 tables only (see
-    :func:`row_scatter_write_segscan_pair_rowwise` for bf16).
+    :func:`row_scatter_write_segscan_pair_rowwise` for bf16); D > 128
+    uses tile-row storage (see :func:`row_scatter_write_segscan`).
     """
-    num_rows, d = table.shape
-    if d != 128:
+    num_rows, dt = table.shape
+    d = grads.shape[1]
+    nt = d // 128
+    if dt != 128 or d % 128 or nt < 1:
         raise ValueError(
-            f"row width {d}: Mosaic DMA slicing only supports 128-lane "
-            "rows (see the slice-rule note) — wider dims use the XLA "
-            "fallback or a restructured storage layout"
+            f"table must be tile-row [R*nt, 128] with grads [u, nt*128]; "
+            f"got table {table.shape}, grads {grads.shape}"
         )
     if jnp.dtype(table.dtype).itemsize < 4:
         raise ValueError(
@@ -1146,7 +1169,7 @@ def row_scatter_write_segscan_rowwise(
     n_chunks = max((u + chunk - 1) // chunk, 1)
     kernel = functools.partial(
         _row_scatter_write_segscan_rowwise_kernel,
-        chunk=chunk, rem=rem, n_chunks=n_chunks,
+        chunk=chunk, rem=rem, n_chunks=n_chunks, nt=nt,
     )
     new_table, m_new = pl.pallas_call(
         kernel,
@@ -1182,7 +1205,7 @@ def row_scatter_write_segscan_rowwise(
             jax.ShapeDtypeStruct((n_chunks * chunk, 1), jnp.float32),
         ),
         scratch_shapes=[
-            pltpu.VMEM((chunk, d), jnp.float32),
+            pltpu.VMEM((chunk * nt, 128), jnp.float32),
             pltpu.VMEM((1, d), jnp.float32),
             pltpu.SemaphoreType.DMA((1,)),
         ],
