@@ -201,7 +201,8 @@ class _EmbeddingCollectionBase:
             tiles = (
                 dim // 128
                 if (
-                    dt == DataType.FP32
+                    self._TILE_WIDE
+                    and dt == DataType.FP32
                     and dim > 128
                     and dim % 128 == 0
                     and small_rows < off
@@ -274,6 +275,10 @@ class _EmbeddingCollectionBase:
     # EBC-only: EC keeps logical bf16 (its consumers may differentiate
     # through apply, and integer leaves take no AD cotangent).
     _PACK_BF16 = False
+    # tile-row storage for wide fp32 groups (TableGroup.row_tiles) —
+    # EBC-only, like packing: EC reads blobs directly in its sequence
+    # lookup and keeps the plain [padded, dim] layout
+    _TILE_WIDE = False
 
     def _pack_group(self, g: TableGroup) -> bool:
         return self._PACK_BF16 and g.data_type == DataType.BF16
@@ -541,6 +546,7 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
     """
 
     _PACK_BF16 = True
+    _TILE_WIDE = True
 
     def __init__(
         self,
