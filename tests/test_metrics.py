@@ -459,7 +459,7 @@ class TestWindowStates:
         p = rng.uniform(0.01, 0.99, (4, 6, 16)).astype(np.float32)  # [rank, batch, B]
         l = (rng.uniform(size=(4, 6, 16)) < 0.4).astype(np.float32)
 
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
 
         @jax.jit

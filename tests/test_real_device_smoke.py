@@ -155,7 +155,7 @@ def test_ragged_exchange_degenerate_compiled(tpu):
     including a capacity clamp and the reverse (sequence output) leg."""
     import jax
     import jax.numpy as jnp
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
     from torchrec_tpu.distributed.input_dist import exchange, reverse_exchange

@@ -731,3 +731,63 @@ def test_ebc_colocated_rowwise_state(iav):
     finally:
         EmbeddingBagCollection._CM_IMPL = old_impl
         EmbeddingBagCollection._CM_FORCE_V3 = old_force
+
+
+def test_empty_slot_window_is_noop_for_all_in_bounds_kernels():
+    """u == 0 (static empty window) must leave the table untouched.
+    Regression (advisor r4): _pad_window padded an empty window to one
+    full chunk with rem=0, which the branch-free kernels read as a full
+    chunk — CHUNK DMAs all aimed at padded row 0, clobbering it."""
+    from torchrec_tpu.ops import tbe_pallas as tp
+
+    rng = np.random.default_rng(7)
+    R, D = 64, 128
+    table_np = rng.normal(size=(R, D)).astype(np.float32)
+    table = jnp.asarray(table_np)
+    e_i = jnp.zeros((0,), jnp.int32)
+    e_c = jnp.zeros((0, 1), jnp.float32)
+    e_g = jnp.zeros((0, D), jnp.float32)
+
+    # row_scatter_write donates the table; snapshot first, then re-make
+    out = tp.row_scatter_write(
+        table, e_i, e_g, in_bounds=True, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(out), table_np)
+    table = jnp.asarray(table_np)
+
+    out = tp.row_scatter_write_segscan(
+        table, e_i, e_c, e_c, e_g, e_g, jnp.asarray([0.1, 0.0]),
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out), table_np)
+
+    out, m = tp.row_scatter_write_segscan_rowwise(
+        jnp.asarray(table_np), e_i, e_c, e_c, e_g, e_g,
+        jnp.zeros((0,), jnp.float32),
+        jnp.asarray([0.1, 0.0, 1e-8]), interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out), table_np)
+    assert m.shape == (0, 1)
+
+    out = tp.row_scatter_write_segscan_rowwise_colocated(
+        jnp.asarray(table_np), e_i, e_c, e_c, e_g,
+        jnp.zeros((0, 2 * D), jnp.float32),
+        jnp.asarray([0.1, 0.0, 1e-8, 0.0]), interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out), table_np)
+
+    ptable_np = rng.integers(0, 2**32, size=(R // 2, D), dtype=np.uint32)
+    e_u = jnp.zeros((0, D), jnp.uint32)
+    out = tp.row_scatter_write_segscan_pair(
+        jnp.asarray(ptable_np), e_i, e_c, e_c, e_c, e_g, e_u,
+        jnp.asarray([0.1, 0.0]), interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out), ptable_np)
+
+    out, m = tp.row_scatter_write_segscan_pair_rowwise(
+        jnp.asarray(ptable_np), e_i, e_c, e_c, e_c, e_g, e_u,
+        jnp.zeros((0, 2), jnp.float32), jnp.asarray([0.1, 0.0, 1e-8]),
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out), ptable_np)
+    assert m.shape == (0, 2)

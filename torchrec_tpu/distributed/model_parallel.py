@@ -99,6 +99,48 @@ def _assert_plan_consistent(plan) -> None:
         )
 
 
+class _StepFn:
+    """Callable wrapper around the jitted SPMD step that makes
+    ``input_dist`` transparent at the call site: a bucketized DMP fed a
+    raw-KJT batch auto-prepares it host-side (prepare_batch), and a
+    replicated DMP fed a prepared StackedSparse batch raises an
+    actionable error instead of a pytree-structure traceback. Exposes
+    ``.lower`` (AOT workflows call ``step.lower(...).compile()``)."""
+
+    def __init__(self, jit_fn, dmp):
+        self._jit_fn = jit_fn
+        self._dmp = dmp
+
+    def _dispatch_batch(self, batch):
+        from torchrec_tpu.distributed.input_dist import StackedSparse
+
+        sf = batch.sparse_features
+        prepared = isinstance(sf, StackedSparse)
+        if self._dmp.input_dist == "bucketized" and not prepared:
+            # transparent auto-prepare (single-process hosts feed the
+            # global batch; multi-process callers should prepare
+            # explicitly with process_local=True)
+            return self._dmp.prepare_batch(batch)
+        if self._dmp.input_dist == "replicated" and prepared:
+            raise TypeError(
+                "this DistributedModelParallel runs "
+                "input_dist='replicated' but the batch was already "
+                "prepared into per-device streams (StackedSparse) — "
+                "pass the raw KJT batch, or construct the DMP with "
+                "input_dist='bucketized'"
+            )
+        return batch
+
+    def __call__(self, state, batch):
+        return self._jit_fn(state, self._dispatch_batch(batch))
+
+    def lower(self, *args, **kwargs):
+        return self._jit_fn.lower(*args, **kwargs)
+
+    def __getattr__(self, name):
+        return getattr(self._jit_fn, name)
+
+
 class DistributedModelParallel:
     """Sharded training facade for DLRM-family models."""
 
@@ -335,6 +377,15 @@ class DistributedModelParallel:
           * batch.dense_features/labels batch-sharded over the shard axis,
           * batch.sparse_features (KJT) replicated,
           * aux.loss replicated scalar, aux.logits/labels batch-sharded.
+
+        ``input_dist`` transparency: when this DMP resolved to
+        ``bucketized`` (explicitly or via ``"auto"`` at large world
+        sizes) and the batch still carries a raw KJT, the step
+        auto-prepares it host-side (``prepare_batch``) before
+        dispatching — callers never see the StackedSparse contract
+        unless they opt into preparing batches in their input pipeline
+        (which skips the per-step host work). A replicated DMP fed an
+        already-prepared batch raises a TypeError naming the fix.
         """
         from jax import shard_map
 
@@ -453,7 +504,7 @@ class DistributedModelParallel:
             out_specs=(state_specs, aux_specs),
             check_vma=False,
         )
-        return jax.jit(fn, donate_argnums=(0,))
+        return _StepFn(jax.jit(fn, donate_argnums=(0,)), self)
 
     def make_eval_step(
         self,
@@ -533,7 +584,7 @@ class DistributedModelParallel:
             out_specs=aux_specs,
             check_vma=False,
         )
-        return jax.jit(fn)
+        return _StepFn(jax.jit(fn), self)
 
     def _state_specs(self, example_state, emb_optimizer, dense_tx):
         axis = self.env.shard_axis
@@ -750,4 +801,4 @@ class DMPCollection(DistributedModelParallel):
             )
             return fn(state, batch)
 
-        return jax.jit(step, donate_argnums=(0,))
+        return _StepFn(jax.jit(step, donate_argnums=(0,)), self)

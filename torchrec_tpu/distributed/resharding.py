@@ -194,7 +194,15 @@ def reshard(
                     ),
                 )
             for k, s in row_state_sum.items():
-                merged = s / jnp.maximum(row_state_w[k], 1.0)
+                # broadcast the per-row weight over any state tail dims
+                # explicitly: row_state_w[k] is (N,) while s is (N,)+tail,
+                # so bare division would only line up for tail-less state
+                # (and could silently form an (N, N) outer division if a
+                # tail dim happened to equal N)
+                wts = jnp.maximum(row_state_w[k], 1.0).reshape(
+                    (-1,) + (1,) * (s.ndim - 1)
+                )
+                merged = s / wts
                 tail_nd = merged.ndim - 1
                 dst[k] = jax.device_put(
                     merged.reshape(

@@ -50,24 +50,28 @@ def device_put_global(x, sharding: jax.sharding.NamedSharding):
     each rank before scattering, model_parallel.py:444) and each process
     contributes only its addressable shards.
     """
-    try:
-        if sharding.is_fully_addressable:
-            return jax.device_put(x, sharding)
-        arr = np.asarray(x)
-        return jax.make_array_from_callback(
-            arr.shape, sharding, lambda idx: arr[idx]
-        )
-    except jax.errors.JaxRuntimeError:
-        # AOT topology mesh (jax.experimental.topologies): the
-        # compile-only client has no buffer storage (and may claim
-        # addressability). Return the sharded abstract value so
-        # init/state plumbing can feed jit(...).lower(...) for
-        # compile-only validation against real multi-chip topologies.
+    # AOT topology mesh (jax.experimental.topologies): the compile-only
+    # client has no buffer storage (and may claim addressability). Detect
+    # it EXPLICITLY — a broad except around device_put would silently
+    # convert genuine runtime failures (e.g. init-time OOM on real
+    # devices) into abstract values, deferring the error to a confusing
+    # downstream jit-call failure. Return the sharded abstract value so
+    # init/state plumbing can feed jit(...).lower(...) for compile-only
+    # validation against real multi-chip topologies.
+    dev = next(iter(sharding.device_set))
+    client = getattr(dev, "client", None)
+    if getattr(client, "runtime_type", None) == "compile_only_runtime":
         import jax.numpy as jnp
 
         return jax.ShapeDtypeStruct(
             jnp.shape(x), jnp.result_type(x), sharding=sharding
         )
+    if sharding.is_fully_addressable:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
 
 
 @dataclasses.dataclass

@@ -602,6 +602,12 @@ def row_scatter_write(
             "scatter fallback"
         )
     u = rows.shape[0]
+    if u == 0:
+        # static empty window: no-op. Without this, _pad_window would pad
+        # to one full chunk with rem=0, which the branch-free kernel reads
+        # as "full chunk" — CHUNK unconditional DMAs all targeting padded
+        # row 0, clobbering it (advisor r4 finding).
+        return table
     # _chunk: interpret-mode test knob ONLY (see row_scatter_add)
     chunk = _chunk or _CHUNK
     if in_bounds and chunk > _CHUNK:
@@ -677,7 +683,10 @@ def _pad_window(u: int, chunk: int, rows, *blocks):
     fails Mosaic's T(1024) operand check on device — and the kernels'
     static ``rem`` unroll never issues the padding anyway (pad targets
     are unread, pad block rows are computed but not written). Returns
-    (padded_rows, padded_blocks..., rem) with rem = u."""
+    (padded_rows, padded_blocks..., rem) with rem = u. Callers MUST
+    early-return on u == 0 first: rem would come back 0, which the
+    kernels read as "full last chunk" and would issue CHUNK DMAs all
+    aimed at padded row 0."""
     if u >= chunk:
         return (rows, *blocks, u % chunk)
     pad = chunk - u
@@ -995,6 +1004,8 @@ def row_scatter_write_segscan(
             "use row_scatter_write_segscan_pair for bf16 tables"
         )
     u = rows_end.shape[0]
+    if u == 0:  # static empty window — see row_scatter_write's u==0 note
+        return table
     chunk = _chunk or _CHUNK
     if chunk > _CHUNK:
         raise ValueError(f"_chunk={chunk} > _CHUNK={_CHUNK} with in_bounds")
@@ -1157,6 +1168,8 @@ def row_scatter_write_segscan_rowwise(
             "dtype; use row_scatter_write_segscan_pair_rowwise for bf16"
         )
     u = rows_end.shape[0]
+    if u == 0:  # static empty window — see row_scatter_write's u==0 note
+        return table, jnp.zeros((0, 1), jnp.float32)
     chunk = _chunk or _CHUNK
     if chunk > _CHUNK:
         raise ValueError(f"_chunk={chunk} > _CHUNK={_CHUNK} with in_bounds")
@@ -1332,6 +1345,8 @@ def row_scatter_write_segscan_rowwise_colocated(
     if jnp.dtype(table.dtype).itemsize < 4:
         raise ValueError("colocated kernel is fp32-only")
     u = rows_end.shape[0]
+    if u == 0:  # static empty window — see row_scatter_write's u==0 note
+        return table
     chunk = _chunk or _CHUNK
     if chunk > _CHUNK:
         raise ValueError(f"_chunk={chunk} > _CHUNK={_CHUNK} with in_bounds")
@@ -1525,6 +1540,8 @@ def row_scatter_write_segscan_pair(
     if table.dtype != jnp.uint32:
         raise ValueError("pair kernel takes u32 pair-packed storage")
     u = pairs_end.shape[0]
+    if u == 0:  # static empty window — see row_scatter_write's u==0 note
+        return table
     chunk = _chunk or _CHUNK
     if chunk > _CHUNK:
         raise ValueError(f"_chunk={chunk} > _CHUNK={_CHUNK} with in_bounds")
@@ -1708,6 +1725,8 @@ def row_scatter_write_segscan_pair_rowwise(
     if table.dtype != jnp.uint32:
         raise ValueError("pair kernel takes u32 pair-packed storage")
     u = pairs_end.shape[0]
+    if u == 0:  # static empty window — see row_scatter_write's u==0 note
+        return table, jnp.zeros((0, 2), jnp.float32)
     chunk = _chunk or _CHUNK
     if chunk > _CHUNK:
         raise ValueError(f"_chunk={chunk} > _CHUNK={_CHUNK} with in_bounds")
