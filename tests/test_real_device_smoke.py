@@ -346,3 +346,94 @@ def test_tile_row_dim256_ebc_step_compiled(tpu):
     assert (l2[touched] != base["l"][touched]).any()
     untouched = np.setdiff1d(np.arange(90_000), touched)[:500]
     np.testing.assert_array_equal(l2[untouched], base["l"][untouched])
+
+
+def test_sharded_fast_tier_step_compiled(tpu):
+    """The SHARDED EBC train step on a 1-chip mesh with a dim-256
+    (tile-row) and a bf16 (pair-packed) table through the fused segscan
+    tier — exactly the config class that compiles in interpret mode and
+    crashes / silently falls back on hardware (VERDICT r4 #2 done-
+    criterion ii). Oracle: the unsharded module on the same step."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchrec_tpu.distributed import (
+        ShardedEmbeddingBagCollection,
+        ShardingEnv,
+        construct_module_sharding_plan,
+        data_parallel,
+        table_wise,
+    )
+    from torchrec_tpu.modules import (
+        EmbeddingBagCollection,
+        EmbeddingBagConfig,
+    )
+    from torchrec_tpu.ops import SGD
+    from torchrec_tpu.types import DataType
+
+    rng = np.random.default_rng(5)
+    for dim, dt, tol in ((256, DataType.FP32, 1e-5), (128, DataType.BF16, 3e-2)):
+        tables = [
+            EmbeddingBagConfig(
+                name="small", num_embeddings=96, embedding_dim=dim,
+                feature_names=["fs"], data_type=dt,
+            ),
+            EmbeddingBagConfig(
+                name="big", num_embeddings=50000, embedding_dim=dim,
+                feature_names=["fb"], data_type=dt,
+            ),
+        ]
+        ebc_ref = EmbeddingBagCollection(tables)
+        ebc = EmbeddingBagCollection(tables, max_unique_gradient_rows=2048)
+        params = ebc_ref.init(jax.random.key(0))
+        env = ShardingEnv.from_devices(jax.devices()[:1])
+        plan = construct_module_sharding_plan(
+            tables, {"small": data_parallel(), "big": table_wise(0)}, env
+        )
+        sebc = ShardedEmbeddingBagCollection(ebc, plan, env)
+        # the class under test must actually be on the fast tier
+        assert any(c.scratch_rows > 0 for c in sebc._classes)
+        if dt == DataType.BF16:
+            assert any(c.packed for c in sebc._classes)
+        else:
+            assert any(c.row_tiles == 2 for c in sebc._classes)
+        sparams = sebc.shard_params(params)
+        opt = SGD(learning_rate=0.1)
+        sstates = sebc.init_optimizer(sparams, opt)
+
+        from torchrec_tpu.sparse import KeyedJaggedTensor
+
+        b = 16
+        lens = np.full((2, b), 8, np.int32)
+        vals = np.concatenate([
+            rng.integers(0, 96, size=8 * b),
+            rng.integers(0, 50000, size=8 * b),
+        ]).astype(np.int32)
+        kjt = KeyedJaggedTensor(
+            keys=["fs", "fb"], values=jnp.asarray(vals),
+            lengths=jnp.asarray(lens),
+        )
+        total_dim = 2 * dim
+        cot = jnp.asarray(
+            rng.normal(size=(b, total_dim)).astype(np.float32)
+        )
+        got_kt = sebc.apply(sparams, kjt)
+        exp_kt = ebc_ref.apply(params, kjt)
+        np.testing.assert_allclose(
+            np.asarray(got_kt.values()), np.asarray(exp_kt.values()),
+            rtol=tol, atol=tol,
+        )
+        ref_states = ebc_ref.init_optimizer(params, opt)
+        ref_params, _ = ebc_ref.apply_gradients(
+            params, ref_states, opt, kjt, cot
+        )
+        new_sparams, _ = sebc.apply_gradients(
+            sparams, sstates, opt, kjt, cot
+        )
+        got_tables = sebc.unshard_params(new_sparams)
+        for t in tables:
+            np.testing.assert_allclose(
+                got_tables[t.name],
+                np.asarray(ebc_ref.table_slice(ref_params, t.name)),
+                rtol=tol, atol=tol, err_msg=f"{t.name} dim={dim} dt={dt}",
+            )

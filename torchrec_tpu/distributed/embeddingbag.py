@@ -69,6 +69,12 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
     shard_map themselves.
     """
 
+    # interpret-mode test knob ONLY (CPU-mesh oracle tests shrink the
+    # segscan kernels' unrolled DMA chunk — the production chunk unrolls
+    # a 1024-issue loop into the traced graph, minutes of compile under
+    # an 8-device shard_map)
+    _SEGSCAN_TEST_CHUNK = 0
+
     def __init__(
         self,
         ebc: EmbeddingBagCollection,
@@ -97,6 +103,12 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
         self._qcomms = qcomms
         self._a2a_factor = a2a_capacity_factor
         self._exchange_mode = exchange_mode
+        # fused Pallas kernel tier (segscan backward, tile-row / pair-
+        # packed storage) follows the module's max_unique_gradient_rows
+        # contract — one kernel stack for every sharding type, like the
+        # reference's per-shard BatchedFusedEmbeddingBag
+        # (batched_embedding_kernel.py:3725)
+        self._max_unique = getattr(ebc, "_max_unique", None)
         self._all_tables = list(ebc._tables)
         tables = {t.name: t for t in ebc._tables}
         f_count = len(ebc._feature_names)
@@ -114,8 +126,13 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
         self._dp_feature_ids: List[int] = []
         if dp_names:
             dp_tables = [tables[n] for n in dp_names]
+            # inherit the fast window: the DP collection then runs the
+            # single-chip count-matmul machinery (small tables are best
+            # placed DATA_PARALLEL — replicated lookup + psum'd dense
+            # accumulator, the reference's dp_sharding.py)
             self._dp_ebc = EmbeddingBagCollection(
-                dp_tables, is_weighted=ebc.is_weighted()
+                dp_tables, is_weighted=ebc.is_weighted(),
+                max_unique_gradient_rows=self._max_unique,
             )
             dp_feats = set(self._dp_ebc.feature_names())
             self._dp_feature_ids = [
@@ -128,7 +145,8 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
         for i, ti in enumerate(ebc._feature_table):
             feat_of_table.setdefault(ebc._tables[ti].name, []).append(i)
         self._classes = build_width_classes(
-            tables, plan, ebc._feature_names, feat_of_table, env.world_size
+            tables, plan, ebc._feature_names, feat_of_table, env.world_size,
+            fast_window=self._max_unique,
         )
 
         # output column offsets per logical feature
@@ -172,6 +190,62 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
         slot_batch = seg % jnp.int32(b)
         return kjt, b, f, seg, slot_feature, slot_batch
 
+    @staticmethod
+    def _class_gather(
+        c: _WidthClass,
+        blob: jnp.ndarray,
+        ids: jnp.ndarray,
+        ids_sorted: bool = False,
+    ) -> jnp.ndarray:
+        """Gather logical rows ``[n, width]`` f32 from the class's storage
+        form at (clipped) local ids. PACKED classes return HALF-LAYOUT
+        columns (tbe_pallas._unpack_pair_half) — callers de-permute their
+        POOLED outputs once via :meth:`_depermute_pooled`."""
+        if c.packed:
+            from torchrec_tpu.ops.tbe_pallas import _unpack_pair_half
+
+            d2 = c.width // 2
+            pair = jnp.take(
+                blob, jnp.minimum(ids >> 1, blob.shape[0] - 1), axis=0,
+                indices_are_sorted=ids_sorted,
+            )
+            half = jnp.where(
+                (ids & 1)[:, None].astype(bool), pair[:, d2:], pair[:, :d2]
+            )
+            return _unpack_pair_half(half)
+        if c.row_tiles > 1:
+            nt = c.row_tiles
+            idc = jnp.minimum(ids, c.local_rows - 1)
+            return jnp.concatenate(
+                [
+                    jnp.take(
+                        blob, idc * nt + t, axis=0,
+                        indices_are_sorted=ids_sorted,
+                    )
+                    for t in range(nt)
+                ],
+                axis=1,
+            )
+        table = (
+            blob.astype(jnp.float32)
+            if c.data_type != DataType.FP32
+            else blob
+        )
+        return jnp.take(
+            table, jnp.minimum(ids, c.local_rows - 1), axis=0,
+            indices_are_sorted=ids_sorted,
+        )
+
+    @staticmethod
+    def _depermute_pooled(c: _WidthClass, pooled: jnp.ndarray) -> jnp.ndarray:
+        """Half-layout -> logical lanes for packed classes (applied to
+        the SMALL pooled output, not the row stream)."""
+        if not c.packed:
+            return pooled
+        from torchrec_tpu.ops.tbe_pallas import _half_inv_perm
+
+        return jnp.take(pooled, jnp.asarray(_half_inv_perm(c.width)), axis=1)
+
     def _class_pooled_local(
         self,
         c: _WidthClass,
@@ -189,23 +263,74 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
         id_hi = jnp.asarray(c.id_hi)[d]
         blob_off = jnp.asarray(c.blob_off)[d]
         vf_pos = jnp.asarray(c.vf_pos)  # [F+1, MB]
-        table = blob.astype(jnp.float32) if c.data_type != DataType.FP32 else blob
-        pooled = jnp.zeros((oob, c.width), jnp.float32)
+        all_ids, all_seg, all_valid = [], [], []
         for blk in range(c.max_blocks):
             lo = jnp.take(id_lo[:, blk], slot_feature)
             hi = jnp.take(id_hi[:, blk], slot_feature)
             off = jnp.take(blob_off[:, blk], slot_feature)
             pos = jnp.take(vf_pos[:, blk], slot_feature)
             valid = (pos >= 0) & (values >= lo) & (values < hi)
-            local_id = jnp.clip(values - lo + off, 0, c.local_rows - 1)
-            seg_blk = jnp.where(valid, pos * b + slot_batch, oob)
-            rows = jnp.take(table, local_id, axis=0)
+            all_ids.append(jnp.clip(values - lo + off, 0, c.local_rows - 1))
+            all_seg.append(jnp.where(valid, pos * b + slot_batch, oob))
+            all_valid.append(valid)
+        if self._fast_forward(c):
+            wcat = (
+                jnp.tile(weights, c.max_blocks)
+                if weights is not None else None
+            )
+            return self._class_pooled_fast(
+                c, blob,
+                jnp.concatenate(all_ids), jnp.concatenate(all_seg),
+                jnp.concatenate(all_valid), wcat, oob,
+            )
+        pooled = jnp.zeros((oob, c.width), jnp.float32)
+        for blk in range(c.max_blocks):
+            rows = self._class_gather(c, blob, all_ids[blk])
             if weights is not None:
                 rows = rows * weights[:, None].astype(rows.dtype)
             pooled = pooled + jax.ops.segment_sum(
-                rows, seg_blk, num_segments=oob
+                rows, all_seg[blk], num_segments=oob
             )
-        return pooled
+        return self._depermute_pooled(c, pooled)
+
+    def _fast_forward(self, c: _WidthClass) -> bool:
+        """Compact sorted-window forward gate: fast-tier storage AND no
+        small-table region in the class (small tables belong in
+        DATA_PARALLEL placement, where the count-matmul machinery pools
+        them; a small region inside a width class keeps the full-stream
+        gather forward — correct, just not windowed)."""
+        return c.scratch_rows > 0 and c.small_rows_max == 0
+
+    def _class_pooled_fast(
+        self, c: _WidthClass, blob, ids, seg, valid, wcat, oob: int
+    ) -> jnp.ndarray:
+        """Windowed forward for fast-tier classes: ONE id-sort of the
+        local slot stream (the IDENTICAL expression in the segscan
+        backward makes XLA CSE it across the train step), gather only the
+        leading ``max_unique`` window of owned slots, one sorted
+        segment-sum. The row gather is also the backward's ``old_rows``
+        (CSE), so the update's own gather disappears — the single-chip
+        compact-forward structure (modules/embedding_modules.py apply,
+        v3 path) under sharding."""
+        from torchrec_tpu.ops.lookup import sorted_window
+
+        n = ids.shape[0]
+        u = min(self._max_unique, n)
+        R = c.local_rows
+        sk, ss, sw = sorted_window(ids, seg, valid, R, oob, None, wcat)
+        # no small region: the window starts at the stream head
+        sids_u = sk[:u]
+        sseg_u = ss[:u]
+        sw_u = None if sw is None else sw[:u]
+        in_range = sids_u < R
+        rows = self._class_gather(c, blob, sids_u, ids_sorted=True)
+        if sw_u is not None:
+            rows = rows * sw_u[:, None].astype(rows.dtype)
+        rows = jnp.where(in_range[:, None], rows, 0.0)
+        pooled = jax.ops.segment_sum(
+            rows, jnp.where(in_range, sseg_u, oob), num_segments=oob
+        )
+        return self._depermute_pooled(c, pooled)
 
     def _mean_scale(
         self, c: _WidthClass, lengths: jnp.ndarray, b: int
@@ -416,11 +541,12 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
                 )
         return out
 
-    def sparse_grads_local(
+    def _backward_streams(
         self, kjt: KeyedJaggedTensor, out_grad: jnp.ndarray
-    ) -> Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]:
-        """Transpose of apply_local: batch-sharded [B_local, total_dim]
-        cotangent -> per-class local (unique_ids, unique_grads)."""
+    ) -> Dict[str, Tuple]:
+        """Shared backward prefix (inside shard_map): gather the pooled
+        cotangent and build each class's local slot stream. Returns
+        ``{class key: (ids, seg, valid, weights_cat, pg_flat)}``."""
         axis = self._env.shard_axis
         w = self._env.world_size
         d = jax.lax.axis_index(axis)
@@ -449,7 +575,7 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
                 out_grad
             )  # [B, total_dim]
 
-        grads: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+        streams: Dict[str, Tuple] = {}
         for c in self._classes:
             oob = c.num_vf * b
             # [num_vf, B, width] mean-scaled pooled-grad for this class
@@ -474,6 +600,28 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
                 all_ids.append(local_id)
                 all_seg.append(jnp.where(valid, pos * b + slot_batch, oob))
                 all_valid.append(valid)
+            streams[c.key] = (
+                jnp.concatenate(all_ids),
+                jnp.concatenate(all_seg),
+                jnp.concatenate(all_valid),
+                (
+                    jnp.tile(weights, c.max_blocks)
+                    if weights is not None
+                    else None
+                ),
+                pg_flat,
+            )
+        return streams
+
+    def sparse_grads_local(
+        self, kjt: KeyedJaggedTensor, out_grad: jnp.ndarray
+    ) -> Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]:
+        """Transpose of apply_local: batch-sharded [B_local, total_dim]
+        cotangent -> per-class local (unique_ids, unique_grads)."""
+        streams = self._backward_streams(kjt, out_grad)
+        grads: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+        for c in self._classes:
+            ids, seg, valid, wcat, pg_flat = streams[c.key]
             # int-only streams into the sorted dedup: gradient rows are
             # gathered from the SMALL pg_flat in sorted order and run-summed
             # sorted (the slot-order [N, D] materialization + unsorted
@@ -481,17 +629,8 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
             # layout skips the rank-compaction scatter (optimizer gets
             # ids_sorted=False)
             uids, ugrads = dedup_rows_from_pooled(
-                jnp.concatenate(all_ids),
-                jnp.concatenate(all_seg),
-                pg_flat,
-                jnp.concatenate(all_valid),
-                c.local_rows,
-                weights=(
-                    jnp.tile(weights, c.max_blocks)
-                    if weights is not None
-                    else None
-                ),
-                compact=False,
+                ids, seg, pg_flat, valid, c.local_rows,
+                weights=wcat, compact=False,
             )
             grads[c.key] = (uids, ugrads)
         return grads
@@ -517,6 +656,220 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
             pg = pg * scale[:, :, None]
         return pg
 
+    def _class_fast_update(
+        self,
+        c: _WidthClass,
+        blob: jnp.ndarray,  # [phys storage rows, minor] local 2-D view
+        state: Dict[str, jnp.ndarray],
+        optimizer: EmbeddingOptimizer,
+        ids: jnp.ndarray,
+        seg: jnp.ndarray,
+        valid: jnp.ndarray,
+        weights: Optional[jnp.ndarray],
+        pg_flat: jnp.ndarray,
+        d: jnp.ndarray,
+        lr,
+    ) -> Optional[Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]]:
+        """Fused backward for one width class (the sharded port of the
+        single-chip segscan tail, modules/embedding_modules.py
+        apply_gradients): ONE sort of the local slot stream; the sorted
+        prefix (small-table region, packed first per device) feeds a
+        dense-accumulator update, the windowed large region feeds the
+        fused Pallas segscan kernel (run segment-sum + optimizer + row
+        write in one pass, sentinels parked in the blob's scratch tail).
+        Returns None when the class/optimizer lacks fast-tier support —
+        the caller then takes the generic dedup + scatter path."""
+        from torchrec_tpu.modules.embedding_modules import _on_tpu
+        from torchrec_tpu.ops.lookup import sorted_window
+
+        n = ids.shape[0]
+        if c.scratch_rows == 0 or n == 0 or self._max_unique is None:
+            return None
+        if not optimizer.supports_segscan_update(blob):
+            return None
+        interpret = not _on_tpu()
+        u = min(self._max_unique, n)
+        R = c.local_rows
+        s = pg_flat.shape[0]
+        width = c.width
+        small_b = jnp.asarray(np.asarray(c.small_rows_dev, np.int32))[d]
+        small_max = c.small_rows_max
+
+        sk, ss, sw = sorted_window(
+            ids, seg, valid, R, s, None, weights
+        )  # full-length sorted stream (small ids first, sentinels last)
+        padded = jnp.concatenate(
+            [pg_flat, jnp.zeros((1, width), pg_flat.dtype)]
+        )
+
+        # ---- small-table region: sorted dense accumulator ----
+        if small_max > 0:
+            seg_all = jnp.where(sk < R, jnp.minimum(ss, s), s)
+            g_all = jnp.take(padded, seg_all, axis=0)
+            if sw is not None:
+                g_all = g_all * sw[:, None].astype(g_all.dtype)
+            tgt = jnp.where(sk < small_b, sk, small_max)  # non-decreasing
+            acc = jax.ops.segment_sum(
+                g_all, tgt, num_segments=small_max + 1,
+                indices_are_sorted=True,
+            )[:small_max]
+            touched = (
+                jax.ops.segment_sum(
+                    (sk < small_b).astype(jnp.int32), tgt,
+                    num_segments=small_max + 1, indices_are_sorted=True,
+                )[:small_max]
+                > 0
+            )
+
+        # ---- large region: run-END segscan window ----
+        if small_max == 0:
+            # STATIC head slice — the IDENTICAL expression to the fast
+            # forward's window, so XLA CSEs the sort AND the row gather
+            # below across the step (old_rows comes for free)
+            sids_u, sseg_u = sk[:u], ss[:u]
+            sw_u = None if sw is None else sw[:u]
+            in_range = sids_u < R
+        else:
+            n_small = jnp.sum(
+                (valid & (ids < small_b)).astype(jnp.int32)
+            )
+            sids_u = jax.lax.dynamic_slice(sk, (n_small,), (u,))
+            sseg_u = jax.lax.dynamic_slice(ss, (n_small,), (u,))
+            sw_u = (
+                None if sw is None
+                else jax.lax.dynamic_slice(sw, (n_small,), (u,))
+            )
+            in_range = (sids_u >= small_b) & (sids_u < R)
+        seg_m = jnp.where(in_range, jnp.minimum(sseg_u, s), s)
+        if c.packed:
+            # pair kernels take HALF-LAYOUT grads; permute the TINY
+            # pooled-grad buffer before the expand gather
+            padded_g = jnp.concatenate(
+                [padded[:, 0::2], padded[:, 1::2]], axis=1
+            )
+        else:
+            padded_g = padded
+        g_u = jnp.take(padded_g, seg_m, axis=0)
+        if sw_u is not None:
+            g_u = g_u * sw_u[:, None].astype(g_u.dtype)
+        if c.packed:
+            pp_R = R // 2  # R is 8-aligned, so even
+            key_m = jnp.where(in_range, sids_u >> 1, pp_R)
+            invalid_key = pp_R
+        else:
+            key_m = jnp.where(in_range, sids_u, R)
+            invalid_key = R
+        diff = key_m[1:] != key_m[:-1]
+        heads = jnp.concatenate(
+            [jnp.ones((1,), jnp.float32), diff.astype(jnp.float32)]
+        )[:, None]
+        is_end = jnp.concatenate([diff, jnp.ones((1,), jnp.bool_)])
+        pos = jnp.arange(u, dtype=jnp.int32)
+        real_end = is_end & in_range
+        rows_end = jnp.where(real_end, key_m, invalid_key + pos)
+        ends = real_end.astype(jnp.float32)[:, None]
+        if c.packed:
+            parity = (sids_u & 1).astype(jnp.float32)[:, None]
+            old_rows = jnp.take(
+                blob, jnp.minimum(sids_u >> 1, blob.shape[0] - 1),
+                axis=0, indices_are_sorted=True,
+            )
+        elif c.row_tiles > 1:
+            parity = None
+            old_rows = self._class_gather(
+                c, blob, jnp.minimum(sids_u, R - 1), ids_sorted=True
+            )
+        else:
+            parity = None
+            old_rows = jnp.take(
+                blob, jnp.minimum(sids_u, R - 1), axis=0,
+                indices_are_sorted=True,
+            )
+        blob, state = optimizer.segscan_update(
+            blob, state, rows_end, heads, ends, g_u, old_rows,
+            lr=lr, interpret=interpret, parity=parity, sorted_ids=sids_u,
+            _chunk=self._SEGSCAN_TEST_CHUNK,
+        )
+
+        # ---- small-table dense update on the prefix ----
+        if small_max > 0:
+            st_s = {
+                k: v[:small_max]
+                if (v.ndim and v.shape[0] == R)
+                else v
+                for k, v in state.items()
+            }
+            if c.packed:
+                from torchrec_tpu.ops.tbe_pallas import (
+                    pack_pair_blob,
+                    unpack_pair_blob,
+                )
+
+                ps = small_max // 2  # small boundary is 8-aligned
+                region = unpack_pair_blob(blob[:ps]).astype(jnp.bfloat16)
+                tbl_s, st_s = optimizer.dense_update(
+                    region, st_s, acc, touched, lr=lr
+                )
+                blob = jax.lax.dynamic_update_slice(
+                    blob, pack_pair_blob(tbl_s), (0, 0)
+                )
+            elif c.row_tiles > 1:
+                nt = c.row_tiles
+                region = blob[: small_max * nt].reshape(small_max, width)
+                tbl_s, st_s = optimizer.dense_update(
+                    region, st_s, acc, touched, lr=lr
+                )
+                blob = jax.lax.dynamic_update_slice(
+                    blob, tbl_s.reshape(small_max * nt, 128), (0, 0)
+                )
+            else:
+                tbl_s, st_s = optimizer.dense_update(
+                    blob[:small_max], st_s, acc, touched, lr=lr
+                )
+                blob = jax.lax.dynamic_update_slice(blob, tbl_s, (0, 0))
+            state = {
+                k: jax.lax.dynamic_update_slice(
+                    state[k], st_s[k], (0,) * state[k].ndim
+                )
+                for k in state
+            }
+        return blob, state
+
+    def _class_generic_update(
+        self,
+        c: _WidthClass,
+        blob: jnp.ndarray,
+        state: Dict[str, jnp.ndarray],
+        optimizer: EmbeddingOptimizer,
+        uids: jnp.ndarray,
+        ugrads: jnp.ndarray,
+        lr,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Position-layout dedup update with storage-aware fallbacks for
+        optimizers without a segscan kernel (mirrors the single-chip
+        packed/tile-row fallback paths)."""
+        if c.packed:
+            from torchrec_tpu.ops.tbe_pallas import (
+                pack_pair_blob,
+                unpack_pair_blob,
+            )
+
+            logical = unpack_pair_blob(blob).astype(jnp.bfloat16)
+            logical, state = optimizer.update(
+                logical, state, uids, ugrads, lr=lr, ids_sorted=False,
+            )
+            return pack_pair_blob(logical), state
+        if c.row_tiles > 1:
+            logical = blob.reshape(-1, c.width)
+            logical, state = optimizer.update(
+                logical, state, uids, ugrads, lr=lr, ids_sorted=False,
+            )
+            return logical.reshape(-1, 128), state
+        return optimizer.update(
+            blob, state, uids, ugrads, lr=lr,
+            ids_sorted=False,  # position-layout dedup
+        )
+
     def apply_gradients_local(
         self,
         params: Params,
@@ -527,24 +880,31 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
         lr=None,
     ) -> Tuple[Params, Dict[str, Dict[str, jnp.ndarray]]]:
         """Fused sparse update on local blobs (inside shard_map)."""
-        grads = self.sparse_grads_local(kjt, out_grad)
+        d = jax.lax.axis_index(self._env.shard_axis)
+        streams = self._backward_streams(kjt, out_grad)
         new_params = dict(params)
         new_states = dict(opt_states)
         for c in self._classes:
-            uids, ugrads = grads[c.key]
+            ids, seg, valid, wcat, pg_flat = streams[c.key]
             blob = params[c.key]
-            lead = blob.shape[0]  # 1 inside shard_map
             state = {
                 k: v.reshape(v.shape[1:]) for k, v in opt_states[c.key].items()
             }
-            new_blob, new_state = optimizer.update(
-                blob.reshape(blob.shape[-2], blob.shape[-1]),
-                state,
-                uids,
-                ugrads,
-                lr=lr,
-                ids_sorted=False,  # position-layout dedup
+            blob2 = blob.reshape(blob.shape[-2], blob.shape[-1])
+            fast = self._class_fast_update(
+                c, blob2, state, optimizer, ids, seg, valid, wcat,
+                pg_flat, d, lr,
             )
+            if fast is None:
+                uids, ugrads = dedup_rows_from_pooled(
+                    ids, seg, pg_flat, valid, c.local_rows,
+                    weights=wcat, compact=False,
+                )
+                new_blob, new_state = self._class_generic_update(
+                    c, blob2, state, optimizer, uids, ugrads, lr
+                )
+            else:
+                new_blob, new_state = fast
             new_params[c.key] = new_blob[None]
             new_states[c.key] = {k: v[None] for k, v in new_state.items()}
         if self._dp_ebc is not None:
@@ -581,7 +941,7 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
             dp_states = {
                 g.key: opt_states[f"dp_{g.key}"] for g in self._dp_ebc.groups
             }
-            dg = self._dp_ebc.dense_grads(kjt_local, kt_grad)
+            dg = self._dp_ebc.dense_accumulators(kjt_local, kt_grad)
             for g in self._dp_ebc.groups:
                 # combine updates across devices: psum the dense accumulator
                 # then a replicated update (reference DENSE + DDP allreduce)
@@ -593,8 +953,9 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
                     )
                     > 0
                 )
-                new_t, new_s = optimizer.dense_update(
-                    dp_params[g.key], dp_states[g.key], acc, touched, lr=lr
+                new_t, new_s = self._dp_ebc.group_dense_update(
+                    g, dp_params[g.key], dp_states[g.key], optimizer,
+                    acc, touched, lr=lr,
                 )
                 new_params[f"dp_{g.key}"] = new_t
                 new_states[f"dp_{g.key}"] = new_s
@@ -687,20 +1048,20 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
             dropped = dropped + drp
             blob = params[c.key]
             blob = blob.reshape(blob.shape[-2], blob.shape[-1])
-            table = (
-                blob.astype(jnp.float32)
-                if c.data_type != DataType.FP32
-                else blob
-            )
-            rows = jnp.take(
-                table, jnp.clip(rows_l, 0, c.local_rows - 1), axis=0
+            rows = self._class_gather(
+                c, blob, jnp.clip(rows_l, 0, c.local_rows - 1)
             )
             if w_recv is not None:
                 rows = rows * w_recv[:, None].astype(rows.dtype)
             rows = jnp.where(rvalid[:, None], rows, 0.0)
             oobg = c.num_vf * b_global
-            pooled = jax.ops.segment_sum(
-                rows, jnp.where(rvalid, pool_seg, oobg), num_segments=oobg
+            pooled = self._depermute_pooled(
+                c,
+                jax.ops.segment_sum(
+                    rows,
+                    jnp.where(rvalid, pool_seg, oobg),
+                    num_segments=oobg,
+                ),
             ).reshape(c.num_vf, b_global, c.width)
             scale = self._mean_scale(c, lengths_g, b_global)
             if scale is not None:
@@ -779,28 +1140,26 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
                 c, full_grad, b_global, vbe, lengths_g
             )
             pg_flat = pg.reshape(c.num_vf * b_global, c.width)
-            uids, ugrads = dedup_rows_from_pooled(
-                rows_l,
-                pool_seg,
-                pg_flat,
-                rvalid,
-                c.local_rows,
-                weights=w_recv,
-                compact=False,
-            )
             blob = params[c.key]
             state = {
                 k: v.reshape(v.shape[1:])
                 for k, v in opt_states[c.key].items()
             }
-            new_blob, new_state = optimizer.update(
-                blob.reshape(blob.shape[-2], blob.shape[-1]),
-                state,
-                uids,
-                ugrads,
-                lr=lr,
-                ids_sorted=False,  # position-layout dedup
+            blob2 = blob.reshape(blob.shape[-2], blob.shape[-1])
+            fast = self._class_fast_update(
+                c, blob2, state, optimizer, rows_l, pool_seg, rvalid,
+                w_recv, pg_flat, d, lr,
             )
+            if fast is None:
+                uids, ugrads = dedup_rows_from_pooled(
+                    rows_l, pool_seg, pg_flat, rvalid, c.local_rows,
+                    weights=w_recv, compact=False,
+                )
+                new_blob, new_state = self._class_generic_update(
+                    c, blob2, state, optimizer, uids, ugrads, lr
+                )
+            else:
+                new_blob, new_state = fast
             new_params[c.key] = new_blob[None]
             new_states[c.key] = {k: v[None] for k, v in new_state.items()}
         if self._dp_ebc is not None:
@@ -840,15 +1199,16 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
             dp_states = {
                 g.key: opt_states[f"dp_{g.key}"] for g in self._dp_ebc.groups
             }
-            dg = self._dp_ebc.dense_grads(kjt_local, kt_grad)
+            dg = self._dp_ebc.dense_accumulators(kjt_local, kt_grad)
             for g in self._dp_ebc.groups:
                 acc, touched = dg[g.key]
                 acc = jax.lax.psum(acc, axis)
                 touched = (
                     jax.lax.psum(touched.astype(jnp.int32), axis) > 0
                 )
-                new_t, new_s = optimizer.dense_update(
-                    dp_params[g.key], dp_states[g.key], acc, touched, lr=lr
+                new_t, new_s = self._dp_ebc.group_dense_update(
+                    g, dp_params[g.key], dp_states[g.key], optimizer,
+                    acc, touched, lr=lr,
                 )
                 new_params[f"dp_{g.key}"] = new_t
                 new_states[f"dp_{g.key}"] = new_s

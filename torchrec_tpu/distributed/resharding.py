@@ -116,7 +116,11 @@ def reshard(
             if tnci != nci:
                 continue
             oc = old_sharded._classes[oci]
-            blob = params[oc.key].astype(jnp.float32).reshape(
+            from torchrec_tpu.distributed._layout import (
+                class_logical_blob_jnp,
+            )
+
+            blob = class_logical_blob_jnp(oc, params[oc.key]).reshape(
                 -1, oc.width
             )
             states = opt_states[oc.key] if opt_states is not None else {}
@@ -176,9 +180,11 @@ def reshard(
         dst_sharding = new_sharded._sharding(
             new_sharded.env.shard_axis, None, None
         )
+        from torchrec_tpu.distributed._layout import class_from_logical_jnp
+
         new_params[nc.key] = jax.device_put(
-            out.reshape(w, nc.local_rows, nc.width).astype(
-                nc.data_type.as_jnp()
+            class_from_logical_jnp(
+                nc, out.reshape(w, nc.local_rows, nc.width)
             ),
             dst_sharding,
         )

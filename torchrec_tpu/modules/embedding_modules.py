@@ -1151,71 +1151,84 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                     gi, ids_g, seg_g, in_group, weights, b,
                     slot_feature, slot_batch,
                 )
-                sids = jax.lax.dynamic_slice(sk, (n_small,), (u,))
-                sseg = jax.lax.dynamic_slice(ss, (n_small,), (u,))
-                in_range = (sids >= small) & (sids < total)
-                if packed:
-                    # pair-packed blob: ONE pair-row gather (the identical
-                    # expression in the backward CSEs it), select the
-                    # slot's half by id parity, unpack to HALF-LAYOUT f32;
-                    # the pooled block is de-permuted to logical lanes
-                    # after the (layout-blind) segment-sum
-                    from torchrec_tpu.ops.tbe_pallas import (
-                        _half_inv_perm,
-                        _unpack_pair_half,
+                if small == total:
+                    # ALL-small group (e.g. the sharded collections' DP
+                    # small-table pack): every slot pools through the
+                    # count matmul below — the large-window gather would
+                    # fetch u garbage rows from a sentinel-only window
+                    fused = self._use_small_fused(gi, b)
+                    C = self._count_matrix_v3(
+                        gi, sk, ss, b, sw, scol, pad_rows=fused
                     )
-
-                    pv = params[g.key]
-                    d2v = g.dim // 2
-                    w_pair = jnp.take(
-                        pv, jnp.minimum(sids >> 1, pv.shape[0] - 1),
-                        axis=0, indices_are_sorted=True,
-                    )
-                    half = jnp.where(
-                        (sids & 1)[:, None].astype(bool),
-                        w_pair[:, d2v:], w_pair[:, :d2v],
-                    )
-                    rows = _unpack_pair_half(half)
-                elif g.state_lanes:
-                    # pair gather at physical base rows (the identical
-                    # expression in the backward CSEs with it); pooling
-                    # reads the weight half only
-                    base = small + 2 * (
-                        jnp.clip(sids, small, total - 1) - small
-                    )
-                    rows = self._colo_pair_gather(
-                        params[g.key], base, g.dim
-                    )[:, : g.dim]
-                elif g.row_tiles > 1:
-                    rows = self._tile_row_gather(
-                        params[g.key],
-                        jnp.minimum(sids, total - 1),
-                        g.row_tiles,
-                    )
+                    pooled = jnp.zeros((n_gf * b, g.dim), jnp.float32)
+                    # falls through to the shared count-matmul pooling +
+                    # per-feature routing below
                 else:
-                    rows = jnp.take(
-                        table_f32(), jnp.minimum(sids, total - 1), axis=0,
-                        indices_are_sorted=True,
+                    sids = jax.lax.dynamic_slice(sk, (n_small,), (u,))
+                    sseg = jax.lax.dynamic_slice(ss, (n_small,), (u,))
+                    in_range = (sids >= small) & (sids < total)
+                    if packed:
+                        # pair-packed blob: ONE pair-row gather (the identical
+                        # expression in the backward CSEs it), select the
+                        # slot's half by id parity, unpack to HALF-LAYOUT f32;
+                        # the pooled block is de-permuted to logical lanes
+                        # after the (layout-blind) segment-sum
+                        from torchrec_tpu.ops.tbe_pallas import (
+                            _half_inv_perm,
+                            _unpack_pair_half,
+                        )
+
+                        pv = params[g.key]
+                        d2v = g.dim // 2
+                        w_pair = jnp.take(
+                            pv, jnp.minimum(sids >> 1, pv.shape[0] - 1),
+                            axis=0, indices_are_sorted=True,
+                        )
+                        half = jnp.where(
+                            (sids & 1)[:, None].astype(bool),
+                            w_pair[:, d2v:], w_pair[:, :d2v],
+                        )
+                        rows = _unpack_pair_half(half)
+                    elif g.state_lanes:
+                        # pair gather at physical base rows (the identical
+                        # expression in the backward CSEs with it); pooling
+                        # reads the weight half only
+                        base = small + 2 * (
+                            jnp.clip(sids, small, total - 1) - small
+                        )
+                        rows = self._colo_pair_gather(
+                            params[g.key], base, g.dim
+                        )[:, : g.dim]
+                    elif g.row_tiles > 1:
+                        rows = self._tile_row_gather(
+                            params[g.key],
+                            jnp.minimum(sids, total - 1),
+                            g.row_tiles,
+                        )
+                    else:
+                        rows = jnp.take(
+                            table_f32(), jnp.minimum(sids, total - 1), axis=0,
+                            indices_are_sorted=True,
+                        )
+                    if sw is not None:
+                        sw_u = jax.lax.dynamic_slice(sw, (n_small,), (u,))
+                        rows = rows * sw_u[:, None].astype(rows.dtype)
+                    rows = jnp.where(in_range[:, None], rows, 0.0)
+                    pooled = jax.ops.segment_sum(
+                        rows,
+                        jnp.where(in_range, sseg, n_gf * b),
+                        num_segments=n_gf * b,
                     )
-                if sw is not None:
-                    sw_u = jax.lax.dynamic_slice(sw, (n_small,), (u,))
-                    rows = rows * sw_u[:, None].astype(rows.dtype)
-                rows = jnp.where(in_range[:, None], rows, 0.0)
-                pooled = jax.ops.segment_sum(
-                    rows,
-                    jnp.where(in_range, sseg, n_gf * b),
-                    num_segments=n_gf * b,
-                )
-                if packed:
-                    pooled = jnp.take(
-                        pooled,
-                        jnp.asarray(_half_inv_perm(g.dim)),
-                        axis=1,
+                    if packed:
+                        pooled = jnp.take(
+                            pooled,
+                            jnp.asarray(_half_inv_perm(g.dim)),
+                            axis=1,
+                        )
+                    fused = self._use_small_fused(gi, b)
+                    C = self._count_matrix_v3(
+                        gi, sk, ss, b, sw, scol, pad_rows=fused
                     )
-                fused = self._use_small_fused(gi, b)
-                C = self._count_matrix_v3(
-                    gi, sk, ss, b, sw, scol, pad_rows=fused
-                )
             elif use_cm and self._max_unique is not None:
                 # COMPACT forward for the large-table slots: rank-compact
                 # the stream to the slot bound (the identical compaction the
@@ -1407,6 +1420,136 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 kjt, kt_grad
             )
         }
+
+    def group_dense_update(
+        self,
+        g: TableGroup,
+        blob: jnp.ndarray,
+        state: Dict[str, jnp.ndarray],
+        optimizer: EmbeddingOptimizer,
+        acc: jnp.ndarray,
+        touched: jnp.ndarray,
+        lr=None,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """``optimizer.dense_update`` over a group's whole LOGICAL region,
+        storage-aware (pair-packed / tile-row blobs unpack the region,
+        update, and write back; the scratch tail never moves). Consumers:
+        the sharded collections' DATA_PARALLEL update after the psum."""
+        total = g.total_rows
+        if self._pack_group(g):
+            from torchrec_tpu.ops.tbe_pallas import (
+                pack_pair_blob,
+                unpack_pair_blob,
+            )
+
+            ps = (total + 1) // 2
+            region = unpack_pair_blob(blob[:ps]).astype(
+                g.data_type.as_jnp()
+            )
+            tbl_s, state = optimizer.dense_update(
+                region[:total], state, acc, touched, lr=lr
+            )
+            merged = jnp.concatenate([tbl_s, region[total:]], axis=0)
+            return (
+                jax.lax.dynamic_update_slice(
+                    blob, pack_pair_blob(merged), (0, 0)
+                ),
+                state,
+            )
+        if g.row_tiles > 1:
+            nt = g.row_tiles
+            region = blob[: total * nt].reshape(total, g.dim)
+            tbl_s, state = optimizer.dense_update(
+                region, state, acc, touched, lr=lr
+            )
+            return (
+                jax.lax.dynamic_update_slice(
+                    blob, tbl_s.reshape(total * nt, 128), (0, 0)
+                ),
+                state,
+            )
+        tbl_s, state = optimizer.dense_update(
+            blob[:total], state, acc, touched, lr=lr
+        )
+        return jax.lax.dynamic_update_slice(blob, tbl_s, (0, 0)), state
+
+    def dense_accumulators(
+        self, kjt: KeyedJaggedTensor, kt_grad: jnp.ndarray
+    ) -> Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]:
+        """:meth:`dense_grads` with the count-matmul fast path: for
+        all-small groups under the count gate, the accumulator comes from
+        ONE MXU matmul against the (forward-CSE'd) count matrix instead
+        of a slot-order [N, D] gradient expansion + scatter. Consumers:
+        the sharded collections' DATA_PARALLEL backward (accumulate ->
+        psum -> replicated dense_update, reference dp_sharding.py), where
+        small tables are best placed.
+        """
+        out: Dict[str, Tuple[jnp.ndarray, jnp.ndarray]] = {}
+        for g, ids_g, seg_g, pooled_grad, in_group, weights, ctx in (
+            self._group_pooled_grads(kjt, kt_grad)
+        ):
+            gi, slot_feature, slot_batch, b = ctx
+            small, total = g.small_rows, g.total_rows
+            use_cm = (
+                small == total
+                and ids_g.shape[0] > 0
+                and self._use_count_matmul(gi, b)
+            )
+            if not use_cm:
+                g_slots = grad_rows(
+                    pooled_grad, seg_g, pooled_grad.shape[0], weights
+                )
+                out[g.key] = accumulate_dense(
+                    ids_g, g_slots, in_group, total
+                )
+                continue
+            impl = self._cm_impl(gi, weights)
+            if impl == "v3":
+                sk, ss, sw, scol, _n_small = self._sorted_stream_v3(
+                    gi, ids_g, seg_g, in_group, weights, b,
+                    slot_feature, slot_batch,
+                )
+                fused = self._use_small_fused(gi, b)
+                C = self._count_matrix_v3(
+                    gi, sk, ss, b, sw, scol, pad_rows=fused
+                )
+                if fused:
+                    from torchrec_tpu.ops.tbe_pallas import (
+                        small_acc_from_counts,
+                    )
+
+                    meta = self._small_fused_plan(gi)
+                    acc = small_acc_from_counts(
+                        C, pooled_grad, *meta,
+                        interpret=self._CM_FORCE_V3,
+                    )[:small]
+                    touched = jnp.sum(jnp.abs(C[:small]), axis=1) > 0
+                else:
+                    acc, touched = self._small_acc_matmul_v1(
+                        gi, C, pooled_grad, b
+                    )
+            elif impl in ("v1", "v2"):
+                cm = (
+                    self._count_matrix_v2 if impl == "v2"
+                    else self._count_matrix_v1
+                )
+                C = cm(
+                    gi, ids_g, slot_feature, slot_batch, in_group,
+                    weights, b,
+                )
+                acc, touched = self._small_acc_matmul_v1(
+                    gi, C, pooled_grad, b
+                )
+            else:
+                C = self._count_tensor(
+                    gi, ids_g, slot_feature, slot_batch, in_group,
+                    weights, b,
+                )
+                acc, touched = self._small_acc_matmul(
+                    gi, C, pooled_grad, b
+                )
+            out[g.key] = (acc, touched)
+        return out
 
     def apply_gradients(
         self,

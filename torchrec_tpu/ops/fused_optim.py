@@ -194,6 +194,7 @@ class EmbeddingOptimizer:
     def segscan_update(
         self, table, state, rows_end, heads, ends, grads, old_rows,
         lr=None, interpret=False, parity=None, sorted_ids=None,
+        _chunk: int = 0,
     ):
         """Fused sorted-stream update (see tbe_pallas.row_scatter_write_
         segscan for the argument contract; ``ends`` marks real-row run-end
@@ -201,7 +202,8 @@ class EmbeddingOptimizer:
         ``rows_end`` carries pair ids, ``grads`` are half-layout and
         ``old_rows`` are u32 pair words (tbe_pallas.row_scatter_write_
         segscan_pair). Only valid when :meth:`supports_segscan_update`
-        returns True."""
+        returns True. ``_chunk``: interpret-mode test knob forwarded to
+        the kernels (shrinks the unrolled DMA chunk)."""
         raise NotImplementedError
 
     def dense_update(
@@ -279,6 +281,7 @@ class SGD(EmbeddingOptimizer):
     def segscan_update(
         self, table, state, rows_end, heads, ends, grads, old_rows,
         lr=None, interpret=False, parity=None, sorted_ids=None,
+        _chunk: int = 0,
     ):
         del sorted_ids  # stateless: only the rowwise family consumes it
         from torchrec_tpu.ops.tbe_pallas import (
@@ -299,12 +302,12 @@ class SGD(EmbeddingOptimizer):
             sr_seed, state = self._sr_seed(state)
             new_table = row_scatter_write_segscan_pair(
                 table, rows_end, heads, ends, parity, grads, old_rows,
-                scal, sr_seed, interpret=interpret,
+                scal, sr_seed, interpret=interpret, _chunk=_chunk,
             )
             return new_table, state
         new_table = row_scatter_write_segscan(
             table, rows_end, heads, ends, grads, old_rows, scal,
-            interpret=interpret,
+            interpret=interpret, _chunk=_chunk,
         )
         return new_table, state
 
@@ -443,6 +446,7 @@ class RowWiseAdagrad(EmbeddingOptimizer):
     def segscan_update(
         self, table, state, rows_end, heads, ends, grads, old_rows,
         lr=None, interpret=False, parity=None, sorted_ids=None,
+        _chunk: int = 0,
     ):
         from torchrec_tpu.ops.tbe_pallas import (
             row_scatter_write_segscan_pair_rowwise,
@@ -474,6 +478,7 @@ class RowWiseAdagrad(EmbeddingOptimizer):
             new_table, m_new = row_scatter_write_segscan_pair_rowwise(
                 table, rows_end, heads, ends, parity, grads, old_rows,
                 mom_pairs, scal, sr_seed, interpret=interpret,
+                _chunk=_chunk,
             )
             new_mom = mom_p.at[rows_end].set(
                 m_new, mode="drop", unique_indices=True
@@ -494,7 +499,7 @@ class RowWiseAdagrad(EmbeddingOptimizer):
             mom_rows = jnp.take(mom, idx, indices_are_sorted=True)
             new_table, m_new = row_scatter_write_segscan_rowwise(
                 table, rows_end, heads, ends, grads, old_rows, mom_rows,
-                scal, interpret=interpret,
+                scal, interpret=interpret, _chunk=_chunk,
             )
             new_mom = mom.at[idx].max(
                 m_new[:, 0], indices_are_sorted=True
@@ -505,7 +510,7 @@ class RowWiseAdagrad(EmbeddingOptimizer):
         mom_rows = jnp.take(mom, jnp.minimum(rows_end, mom.shape[0] - 1))
         new_table, m_new = row_scatter_write_segscan_rowwise(
             table, rows_end, heads, ends, grads, old_rows, mom_rows, scal,
-            interpret=interpret,
+            interpret=interpret, _chunk=_chunk,
         )
         new_mom = mom.at[rows_end].set(
             m_new[:, 0], mode="drop", unique_indices=True
