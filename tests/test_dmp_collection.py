@@ -257,3 +257,16 @@ def test_replicated_step_rejects_prepared_batch_with_actionable_error():
     )
     with pytest.raises(TypeError, match="input_dist='replicated'"):
         step(state, prepared)
+
+
+def test_dmp_collection_pins_replicated_at_large_world(monkeypatch):
+    """Regression: DMPCollection is replicated-only; the parent's
+    input_dist='auto' default must not resolve to bucketized at world >=
+    AUTO_BUCKETIZED_WORLD (it broke the 32-device 2D dryrun leg)."""
+    monkeypatch.setattr(DistributedModelParallel, "AUTO_BUCKETIZED_WORLD", 4)
+    model = make_model()
+    env = ShardingEnv.from_devices(jax.devices()[:8], replica_size=2)
+    dmp2 = DMPCollection(model, env, sync_interval=2, batch_size=8)
+    assert dmp2.input_dist == "replicated"
+    with pytest.raises(NotImplementedError):
+        DMPCollection(model, env, input_dist="bucketized")

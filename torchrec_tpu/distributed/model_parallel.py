@@ -685,6 +685,9 @@ class DMPCollection(DistributedModelParallel):
                 "DMPCollection supports input_dist='replicated' only (the "
                 "1D DistributedModelParallel has the bucketized a2a path)"
             )
+        # pin it: the parent's default is "auto", which resolves to
+        # bucketized at large world sizes — the 2D step is replicated-only
+        kwargs["input_dist"] = "replicated"
         self.sync_interval = sync_interval
         super().__init__(model, env, plan, **kwargs)
 

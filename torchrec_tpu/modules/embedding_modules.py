@@ -802,6 +802,147 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 )
         return pooled
 
+    def _small_pool_matmul_v1_packed(self, gi, C, blob, b):
+        """Packed-bf16 sibling of :meth:`_small_pool_matmul_v1`: pools
+        straight from the u32 PAIR blob — parity-split count rows (a
+        cheap [small, kb] -> [ps, 2, kb] reshape) matmul against the
+        contiguous-half unpacked even/odd tables, so the small region is
+        never unpacked to logical layout (the ~66 us/step
+        unpack_pair_blob this replaces was the forward's share of the
+        bf16 small-path cost)."""
+        from torchrec_tpu.ops.tbe_pallas import (
+            _half_inv_perm,
+            _unpack_pair_half,
+        )
+
+        g = self._groups[gi]
+        small = g.small_rows
+        ps = (small + 1) // 2
+        d2 = g.dim // 2
+        n_gf = len(self._group_features[gi])
+        gpos = self._group_feature_pos[gi]
+        E = _unpack_pair_half(blob[:ps, :d2])  # [ps, dim] half lanes, even
+        O = _unpack_pair_half(blob[:ps, d2:])  # odd rows
+        pad = 2 * ps - C.shape[0]
+        Cp = (
+            jnp.concatenate([C, jnp.zeros((pad, C.shape[1]), C.dtype)])
+            if pad > 0 else C[: 2 * ps]
+        )
+        Cr = Cp.reshape(ps, 2, C.shape[1])
+        Ce, Co = Cr[:, 0], Cr[:, 1]
+        inv = jnp.asarray(_half_inv_perm(g.dim))
+        pooled = jnp.zeros((n_gf * b, g.dim), jnp.float32)
+        for ti_name, off, rows in zip(
+            g.table_names, g.row_offsets, g.table_rows
+        ):
+            if off >= small:
+                continue
+            p_lo, p_hi = off // 2, (off + rows + 1) // 2
+            # mask boundary pairs' rows that belong to NEIGHBOR tables
+            # (their counts alias this table's shared kb columns)
+            r_idx = 2 * np.arange(p_lo, p_hi)
+            m_e = jnp.asarray(
+                ((r_idx >= off) & (r_idx < off + rows)).astype(np.float32)
+            )[:, None]
+            m_o = jnp.asarray(
+                (((r_idx + 1) >= off) & ((r_idx + 1) < off + rows)).astype(
+                    np.float32
+                )
+            )[:, None]
+            pool_half = jnp.dot(
+                (Ce[p_lo:p_hi] * m_e).T, E[p_lo:p_hi],
+                preferred_element_type=jnp.float32,
+            ) + jnp.dot(
+                (Co[p_lo:p_hi] * m_o).T, O[p_lo:p_hi],
+                preferred_element_type=jnp.float32,
+            )  # [k*B, dim] half lanes
+            tbl_idx = next(
+                ii for ii, t in enumerate(self._tables) if t.name == ti_name
+            )
+            for fi in [
+                ii for ii, t in enumerate(self._feature_table) if t == tbl_idx
+            ]:
+                p = int(gpos[fi])
+                j = int(self._feat_local[fi])
+                pooled = pooled.at[p * b : (p + 1) * b].set(
+                    jnp.take(
+                        pool_half[j * b : (j + 1) * b], inv, axis=1
+                    )
+                )
+        return pooled
+
+    def _small_acc_matmul_v1_packed(self, gi, C, pooled_grad, b):
+        """Packed-bf16 backward sibling: returns ``(acc_eo [2ps, dim]
+        HALF lanes — even rows then odd rows — plus touched [small])``
+        for :meth:`_packed_small_dense_update_half`; the gradient source
+        is the TINY pooled_grad permuted to half lanes once."""
+        from torchrec_tpu.ops.tbe_pallas import _half_fwd_perm
+
+        g = self._groups[gi]
+        small = g.small_rows
+        ps = (small + 1) // 2
+        k = self._max_feats_per_table
+        gpos = self._group_feature_pos[gi]
+        pg_h = jnp.take(
+            pooled_grad, jnp.asarray(_half_fwd_perm(g.dim)), axis=1
+        )
+        pad = 2 * ps - C.shape[0]
+        Cp = (
+            jnp.concatenate([C, jnp.zeros((pad, C.shape[1]), C.dtype)])
+            if pad > 0 else C[: 2 * ps]
+        )
+        Cr = Cp.reshape(ps, 2, C.shape[1])
+        Ce, Co = Cr[:, 0], Cr[:, 1]
+        acc_e = jnp.zeros((ps, g.dim), jnp.float32)
+        acc_o = jnp.zeros((ps, g.dim), jnp.float32)
+        for ti_name, off, rows in zip(
+            g.table_names, g.row_offsets, g.table_rows
+        ):
+            if off >= small:
+                continue
+            tbl_idx = next(
+                ii for ii, t in enumerate(self._tables) if t.name == ti_name
+            )
+            G_t = jnp.zeros((k * b, g.dim), jnp.float32)
+            for fi in [
+                ii for ii, t in enumerate(self._feature_table) if t == tbl_idx
+            ]:
+                p = int(gpos[fi])
+                j = int(self._feat_local[fi])
+                G_t = jax.lax.dynamic_update_slice(
+                    G_t, pg_h[p * b : (p + 1) * b], (j * b, 0)
+                )
+            p_lo, p_hi = off // 2, (off + rows + 1) // 2
+            r_idx = 2 * np.arange(p_lo, p_hi)
+            m_e = jnp.asarray(
+                ((r_idx >= off) & (r_idx < off + rows)).astype(np.float32)
+            )[:, None]
+            m_o = jnp.asarray(
+                (((r_idx + 1) >= off) & ((r_idx + 1) < off + rows)).astype(
+                    np.float32
+                )
+            )[:, None]
+            acc_e = jax.lax.dynamic_update_slice(
+                acc_e,
+                acc_e[p_lo:p_hi]
+                + m_e
+                * jnp.dot(
+                    Ce[p_lo:p_hi], G_t, preferred_element_type=jnp.float32
+                ),
+                (p_lo, 0),
+            )
+            acc_o = jax.lax.dynamic_update_slice(
+                acc_o,
+                acc_o[p_lo:p_hi]
+                + m_o
+                * jnp.dot(
+                    Co[p_lo:p_hi], G_t, preferred_element_type=jnp.float32
+                ),
+                (p_lo, 0),
+            )
+        touched = jnp.sum(jnp.abs(C[:small]), axis=1) > 0
+        return jnp.concatenate([acc_e, acc_o], axis=0), touched
+
     def _small_acc_matmul_v1(self, gi, C, pooled_grad, b):
         g = self._groups[gi]
         k = self._max_feats_per_table
@@ -856,6 +997,17 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
     # equivalence in tests/test_small_fused.py.
     _SMALL_MM_FUSED = True
     _CM_PACKED_SORT = True  # single-u32 packed sort when (key, seg) fit  # tests: run v3 with interpret kernels off-TPU
+    # A/B gates for the bf16 small-path forms (parity-split matmuls off
+    # the raw pair blob vs unpack + plain matmuls): measured separately
+    # on v5e — see CLAUDE.md perf notes
+    _PACKED_SMALL_MM = False  # measured 1.285 vs 1.241 ms/step: per-table
+    # matmul-loop overhead doubles and eats the unpack savings
+    _PACKED_SMALL_HALF_BWD = False  # measured 1.282 vs 1.241: same story
+    # ONE-launch fused small-path kernels for PAIR-PACKED bf16 blobs
+    # (in-kernel pair unpack + parity-split one-hot matmuls; the XLA
+    # forms above lost to per-table loop overhead — the kernels keep the
+    # single launch)
+    _PACKED_SMALL_FUSED = True
     # fused backward tail (run segsum + optimizer + write in ONE Pallas
     # pass, tbe_pallas.row_scatter_write_segscan[_rowwise]) when the
     # optimizer supports it (SGD and RowWiseAdagrad on lane-aligned fp32
@@ -956,6 +1108,25 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
             sk, col, g.small_rows, k * b, sorted_w=sw,
             interpret=self._CM_FORCE_V3, pad_rows=pad_rows,
         )
+
+    def _small_fused_mode(self, gi: int, b: int) -> str:
+        """Which ONE-launch fused small-path kernel applies: ``"fused"``
+        (raw fp32 rows), ``"packed"`` (pair-packed bf16 blobs — in-kernel
+        pair unpack + parity-split count matmuls), or ``"none"`` (the
+        per-table XLA matmul path)."""
+        if self._use_small_fused(gi, b):
+            return "fused"
+        g = self._groups[gi]
+        if (
+            self._pack_group(g)
+            and self._PACKED_SMALL_FUSED
+            and self._SMALL_MM_FUSED
+            and b > 0
+            and self._max_feats_per_table == 1
+            and len(self._group_features[gi]) * b * g.dim * 4 <= 4 * 2**20
+        ):
+            return "packed"
+        return "none"
 
     def _use_small_fused(self, gi: int, b: int) -> bool:
         """Gate for the ONE-launch fused small-path matmul kernels: the
@@ -1156,9 +1327,10 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                     # small-table pack): every slot pools through the
                     # count matmul below — the large-window gather would
                     # fetch u garbage rows from a sentinel-only window
-                    fused = self._use_small_fused(gi, b)
+                    sf_mode = self._small_fused_mode(gi, b)
                     C = self._count_matrix_v3(
-                        gi, sk, ss, b, sw, scol, pad_rows=fused
+                        gi, sk, ss, b, sw, scol,
+                        pad_rows=sf_mode != "none",
                     )
                     pooled = jnp.zeros((n_gf * b, g.dim), jnp.float32)
                     # falls through to the shared count-matmul pooling +
@@ -1225,9 +1397,10 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                             jnp.asarray(_half_inv_perm(g.dim)),
                             axis=1,
                         )
-                    fused = self._use_small_fused(gi, b)
+                    sf_mode = self._small_fused_mode(gi, b)
                     C = self._count_matrix_v3(
-                        gi, sk, ss, b, sw, scol, pad_rows=fused
+                        gi, sk, ss, b, sw, scol,
+                        pad_rows=sf_mode != "none",
                     )
             elif use_cm and self._max_unique is not None:
                 # COMPACT forward for the large-table slots: rank-compact
@@ -1284,7 +1457,7 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 )  # [n_gf*B, dim]
             if use_cm:
                 if C is not None:  # v3: built from the shared sort above
-                    if self._use_small_fused(gi, b):
+                    if sf_mode == "fused":
                         from torchrec_tpu.ops.tbe_pallas import (
                             small_pool_from_counts,
                         )
@@ -1293,6 +1466,24 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                         pooled = pooled + small_pool_from_counts(
                             C, params[g.key], *meta, n_gf,
                             interpret=self._CM_FORCE_V3,
+                        )
+                    elif sf_mode == "packed":
+                        # ONE-launch packed kernel: in-kernel pair unpack
+                        # + parity-split count matmuls off the u32 blob
+                        from torchrec_tpu.ops.tbe_pallas import (
+                            small_pool_from_counts_packed,
+                        )
+
+                        meta = self._small_fused_plan(gi)
+                        pooled = pooled + small_pool_from_counts_packed(
+                            C, params[g.key], *meta, n_gf,
+                            interpret=self._CM_FORCE_V3,
+                        )
+                    elif packed and self._PACKED_SMALL_MM:
+                        # parity-split count matmuls straight off the u32
+                        # pair blob — no small-region unpack
+                        pooled = pooled + self._small_pool_matmul_v1_packed(
+                            gi, C, params[g.key], b
                         )
                     else:
                         pooled = pooled + self._small_pool_matmul_v1(
@@ -1420,6 +1611,81 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                 kjt, kt_grad
             )
         }
+
+    def _packed_small_dense_update_half(
+        self,
+        g: TableGroup,
+        tbl: jnp.ndarray,
+        st: Dict[str, jnp.ndarray],
+        optimizer: EmbeddingOptimizer,
+        acc_h: jnp.ndarray,  # [small, dim] HALF-LAYOUT accumulator
+        touched: jnp.ndarray,
+        lr,
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """bf16 small-region dense update entirely in PAIR-HALF space —
+        the ~150 us/step unpack/repack trim (SURVEY round-5 queue): the
+        accumulator arrives half-layout (the caller permutes the TINY
+        pooled-grad before the acc matmul, so the MXU emits acc in half
+        lanes for free), the region unpacks with contiguous-half
+        shift+bitcast only (no lane takes, no [P,2D]->[2P,D] interleave
+        reshape), rows are processed evens-then-odds (dense_update is
+        row-independent), and the repack is two contiguous-half ORs.
+        Only valid for rowwise-state optimizers (1-D row state reorders
+        cheaply); callers gate on supports_segscan_update."""
+        from torchrec_tpu.ops.tbe_pallas import (
+            _unpack_pair_half,
+            pack_pair_half_exact,
+        )
+
+        small, dim = g.small_rows, g.dim
+        ps = (small + 1) // 2
+        d2 = dim // 2
+        pad = 2 * ps - small
+        blob_s = tbl[:ps]
+        region = jnp.concatenate(
+            [
+                _unpack_pair_half(blob_s[:, :d2]),
+                _unpack_pair_half(blob_s[:, d2:]),
+            ],
+            axis=0,
+        ).astype(g.data_type.as_jnp())  # [2ps, dim]: even rows | odd rows
+        acc_eo = acc_h  # [2ps, dim] half lanes, evens|odds (see caller)
+        if pad:
+            touched = jnp.concatenate(
+                [touched, jnp.zeros((pad,), touched.dtype)]
+            )
+        tchv = touched.reshape(ps, 2)
+        tch_eo = jnp.concatenate([tchv[:, 0], tchv[:, 1]])
+        st_eo = {}
+        row_keys = []
+        for k, v in st.items():
+            if v.ndim == 1 and v.shape[0] == g.total_rows:
+                vv = v[: 2 * ps].reshape(ps, 2)
+                st_eo[k] = jnp.concatenate([vv[:, 0], vv[:, 1]])
+                row_keys.append(k)
+            else:
+                st_eo[k] = v
+        new_region, st_eo = optimizer.dense_update(
+            region, st_eo, acc_eo, tch_eo, lr=lr
+        )
+        blob_new = jnp.concatenate(
+            [
+                pack_pair_half_exact(new_region[:ps]),
+                pack_pair_half_exact(new_region[ps:]),
+            ],
+            axis=1,
+        )
+        tbl = jax.lax.dynamic_update_slice(tbl, blob_new, (0, 0))
+        new_st = dict(st)
+        for k, v in st_eo.items():
+            if k in row_keys:
+                inter = jnp.stack([v[:ps], v[ps:]], axis=1).reshape(-1)
+                new_st[k] = jax.lax.dynamic_update_slice(
+                    st[k], inter[: 2 * ps - pad], (0,)
+                )
+            else:
+                new_st[k] = v
+        return tbl, new_st
 
     def group_dense_update(
         self,
@@ -1805,12 +2071,69 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                     )
             if small > 0 and use_cm:
                 # count-matmul fast path (C is CSE-shared with the forward)
+                half_path = False
                 if v3:
-                    fused = self._use_small_fused(gi, b)
+                    sf_mode = self._small_fused_mode(gi, b)
                     C = self._count_matrix_v3(
-                        gi, sk, ss, b, sw, scol, pad_rows=fused
+                        gi, sk, ss, b, sw, scol,
+                        pad_rows=sf_mode != "none",
                     )
-                    if fused:
+                    # bf16 pair-half dense path: the packed acc kernel
+                    # emits per-pair even/odd accumulators in half lanes
+                    # and the whole small update runs in pair-half space
+                    # — no unpack/repack of the region
+                    half_path = (
+                        sf_mode == "packed"
+                        and optimizer.supports_segscan_update(tbl)
+                    ) or (
+                        packed
+                        and self._PACKED_SMALL_HALF_BWD
+                        and optimizer.supports_segscan_update(tbl)
+                    )
+                    if sf_mode == "packed" and getattr(
+                        optimizer, "supports_dense_pair_update", False
+                    ):
+                        # fully fused pair-space small path: packed acc
+                        # kernel -> ONE-pass dense pair-update kernel
+                        from torchrec_tpu.ops.tbe_pallas import (
+                            small_acc_from_counts_packed,
+                        )
+
+                        meta = self._small_fused_plan(gi)
+                        ps_g = (small + 1) // 2
+                        acc_e, acc_o = small_acc_from_counts_packed(
+                            C, pooled_grad, *meta,
+                            interpret=self._CM_FORCE_V3,
+                        )
+                        new_small, st = optimizer.dense_pair_update(
+                            tbl[: acc_e.shape[0]], acc_e, acc_o, st,
+                            lr=lr, interpret=self._CM_FORCE_V3,
+                        )
+                        tbl = jax.lax.dynamic_update_slice(
+                            tbl, new_small[:ps_g], (0, 0)
+                        )
+                        new_params[g.key], new_states[g.key] = tbl, st
+                        continue
+                    if sf_mode == "packed" and half_path:
+                        from torchrec_tpu.ops.tbe_pallas import (
+                            small_acc_from_counts_packed,
+                        )
+
+                        meta = self._small_fused_plan(gi)
+                        ps_g = (small + 1) // 2
+                        acc_e, acc_o = small_acc_from_counts_packed(
+                            C, pooled_grad, *meta,
+                            interpret=self._CM_FORCE_V3,
+                        )
+                        acc = jnp.concatenate(
+                            [acc_e[:ps_g], acc_o[:ps_g]], axis=0
+                        )
+                        touched = jnp.sum(jnp.abs(C[:small]), axis=1) > 0
+                    elif half_path:
+                        acc, touched = self._small_acc_matmul_v1_packed(
+                            gi, C, pooled_grad, b
+                        )
+                    elif sf_mode == "fused":
                         from torchrec_tpu.ops.tbe_pallas import (
                             small_acc_from_counts,
                         )
@@ -1845,6 +2168,14 @@ class EmbeddingBagCollection(_EmbeddingCollectionBase):
                     acc, touched = self._small_acc_matmul(
                         gi, C, pooled_grad, b
                     )
+                if half_path:
+                    # acc above is HALF-LAYOUT; the whole small update
+                    # runs in pair-half space (state handled inside)
+                    tbl, st = self._packed_small_dense_update_half(
+                        g, tbl, st, optimizer, acc, touched, lr
+                    )
+                    new_params[g.key], new_states[g.key] = tbl, st
+                    continue
                 # row-shaped state slices to the small region; scalar
                 # state (e.g. the stochastic-rounding counter) passes whole
                 st_s = {

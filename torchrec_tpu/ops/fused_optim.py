@@ -278,6 +278,27 @@ class SGD(EmbeddingOptimizer):
             {**state, "sr_step": step + 1},
         )
 
+    # ONE-pass pair-packed small-region dense update (SGD only: the
+    # kernel carries no per-row state I/O — RowWiseAdagrad's accumulator
+    # would need a sub-128-lane operand). Valid only with wd == 0
+    # (callers gate): the kernel has no touched mask — zero-acc rows
+    # keep exact bits, which weight decay would break.
+    @property
+    def supports_dense_pair_update(self) -> bool:
+        return self.weight_decay == 0.0
+
+    def dense_pair_update(
+        self, blob_small, acc_e, acc_o, state, lr=None, interpret=False
+    ):
+        from torchrec_tpu.ops.tbe_pallas import dense_pair_sgd_update
+
+        sr_seed, state = self._sr_seed(state)
+        new = dense_pair_sgd_update(
+            blob_small, acc_e, acc_o, self._lr(lr), sr_seed,
+            interpret=interpret,
+        )
+        return new, state
+
     def segscan_update(
         self, table, state, rows_end, heads, ends, grads, old_rows,
         lr=None, interpret=False, parity=None, sorted_ids=None,

@@ -839,6 +839,28 @@ def _half_inv_perm(d: int):
     return inv
 
 
+def _half_fwd_perm(d: int):
+    """Inverse of :func:`_half_inv_perm`: logical -> HALF-LAYOUT columns
+    (half[:, j] = logical[:, 2j] for j < d/2; half[:, d/2+j] =
+    logical[:, 2j+1])."""
+    import numpy as np
+
+    fwd = np.empty(d, np.int32)
+    fwd[: d // 2] = 2 * np.arange(d // 2)
+    fwd[d // 2 :] = 2 * np.arange(d // 2) + 1
+    return fwd
+
+
+def pack_pair_half_exact(x: jnp.ndarray) -> jnp.ndarray:
+    """bf16-valued rows [n, D] in HALF-LAYOUT -> u32 pair words [n, D/2]
+    (exact bits; contiguous-half selects only — no strided lane access)."""
+    d2 = x.shape[1] // 2
+    u = jax.lax.bitcast_convert_type(
+        x.astype(jnp.bfloat16), jnp.uint16
+    ).astype(jnp.uint32)
+    return u[:, :d2] | (u[:, d2:] << 16)
+
+
 def unpack_pair_blob(blob: jnp.ndarray) -> jnp.ndarray:
     """u32 pair-packed [P, D] -> f32 logical [2P, D] (XLA, poison-free:
     only 2-D ops). Fallback-path converter — cost is a few full passes
@@ -2028,6 +2050,288 @@ def _small_pool_kernel(
                 preferred_element_type=jnp.float32,
             )  # [B, W]
             out_ref[pl.ds(p, 1)] = out_ref[pl.ds(p, 1)] + contrib[None]
+
+
+def _halves_from_pair_block(w_half):
+    """u32 pair words [n, d2] -> f32 [n, 2*d2] HALF-LAYOUT rows (VPU bit
+    math; the in-kernel sibling of _unpack_pair_half)."""
+    lo = jax.lax.bitcast_convert_type(w_half << 16, jnp.float32)
+    hi = jax.lax.bitcast_convert_type(
+        w_half & jnp.uint32(0xFFFF0000), jnp.float32
+    )
+    return jnp.concatenate([lo, hi], axis=1)
+
+
+def _parity_split_counts(cm, rb: int):
+    """Masked count block [RB, B] -> (cm_e, cm_o) [RB/2, B]: rows of even
+    / odd logical parity, selected by one-hot MXU matmuls (in-kernel
+    sublane-strided selects don't lower; the MXU does this in ~us)."""
+    rb2 = rb // 2
+    pair_i = jax.lax.broadcasted_iota(jnp.int32, (rb2, rb), 0)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (rb2, rb), 1)
+    sel_e = (row_i == 2 * pair_i).astype(jnp.bfloat16)
+    sel_o = (row_i == 2 * pair_i + 1).astype(jnp.bfloat16)
+    cmb = cm.astype(jnp.bfloat16)
+    cm_e = jax.lax.dot_general(
+        sel_e, cmb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    cm_o = jax.lax.dot_general(
+        sel_o, cmb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return cm_e, cm_o
+
+
+def _small_pool_kernel_packed(
+    feat_ref,  # SMEM [NB, S] int32
+    lo_ref,  # SMEM [NB, S]
+    hi_ref,  # SMEM [NB, S]
+    c_ref,  # VMEM [RB, B] f32 count block j (logical rows)
+    t_ref,  # VMEM [RB/2, W] u32 PAIR block j
+    out_ref,  # VMEM [n_gf, B, W] f32 pooled (HALF lanes)
+    *,
+    rb: int,
+    s_max: int,
+):
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    w_pair = t_ref[...]
+    d2 = w_pair.shape[1] // 2
+    e_half = _halves_from_pair_block(w_pair[:, :d2])  # [RB/2, W] even rows
+    o_half = _halves_from_pair_block(w_pair[:, d2:])  # odd rows
+    # parity-split ONCE per block; per-entry table masks apply in pair
+    # space (row masks commute with the row-selecting one-hot matmul)
+    cm_e_full, cm_o_full = _parity_split_counts(c_ref[...], rb)
+    prow = jax.lax.broadcasted_iota(jnp.int32, (rb // 2, 1), 0)
+    for s in range(s_max):
+        p = feat_ref[j, s]
+
+        @pl.when(p >= 0)
+        def _(s=s, p=p):
+            lo, hi = lo_ref[j, s], hi_ref[j, s]
+            m_e = (2 * prow >= lo) & (2 * prow < hi)
+            m_o = (2 * prow + 1 >= lo) & (2 * prow + 1 < hi)
+            contrib = jax.lax.dot_general(
+                jnp.where(m_e, cm_e_full, 0.0), e_half,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                jnp.where(m_o, cm_o_full, 0.0), o_half,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [B, W] half lanes
+            out_ref[pl.ds(p, 1)] = out_ref[pl.ds(p, 1)] + contrib[None]
+
+
+def small_pool_from_counts_packed(
+    c_pad: jnp.ndarray,  # [NB*RB, B] f32 block-padded count matrix
+    pair_blob: jnp.ndarray,  # u32 [pairs, W] pair-packed blob
+    block_feat: jnp.ndarray,
+    block_lo: jnp.ndarray,
+    block_hi: jnp.ndarray,
+    n_gf: int,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """ONE-launch forward small-table pooling for PAIR-PACKED bf16 blobs
+    (the packed sibling of :func:`small_pool_from_counts`): the kernel
+    unpacks pair words in VMEM (VPU bit math), parity-splits the count
+    block with one-hot MXU matmuls, and writes logical-lane pooled
+    contributions [n_gf * B, W] — no unpacked copy of the small region
+    ever exists."""
+    nb, s_max = block_feat.shape
+    rb = c_pad.shape[0] // nb
+    b = c_pad.shape[1]
+    w = pair_blob.shape[1]
+    rb2 = rb // 2
+    if pair_blob.shape[0] < nb * rb2:
+        pair_blob = jnp.pad(
+            pair_blob, ((0, nb * rb2 - pair_blob.shape[0]), (0, 0))
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((rb, b), lambda j, *_: (j, 0)),
+            pl.BlockSpec((rb2, w), lambda j, *_: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((n_gf, b, w), lambda j, *_: (0, 0, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_small_pool_kernel_packed, rb=rb, s_max=s_max),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_gf, b, w), jnp.float32),
+        interpret=interpret,
+    )(block_feat, block_lo, block_hi, c_pad, pair_blob)
+    # half -> logical lanes on the TINY pooled output
+    return jnp.take(
+        out.reshape(n_gf * b, w), jnp.asarray(_half_inv_perm(w)), axis=1
+    )
+
+
+def _small_acc_kernel_packed(
+    feat_ref,  # SMEM [NB, S]
+    lo_ref,
+    hi_ref,
+    c_ref,  # VMEM [RB, B] f32
+    g_ref,  # VMEM [n_gf, B, W] f32 pooled grad in HALF lanes
+    acc_e_ref,  # VMEM [RB/2, W] f32 (block j) — even-row accumulators
+    acc_o_ref,  # VMEM [RB/2, W] f32 — odd rows
+    *,
+    rb: int,
+    s_max: int,
+):
+    j = pl.program_id(0)
+    acc_e_ref[...] = jnp.zeros_like(acc_e_ref)
+    acc_o_ref[...] = jnp.zeros_like(acc_o_ref)
+    cm_e_full, cm_o_full = _parity_split_counts(c_ref[...], rb)
+    prow = jax.lax.broadcasted_iota(jnp.int32, (rb // 2, 1), 0)
+    for s in range(s_max):
+        p = feat_ref[j, s]
+
+        @pl.when(p >= 0)
+        def _(s=s, p=p):
+            lo, hi = lo_ref[j, s], hi_ref[j, s]
+            m_e = (2 * prow >= lo) & (2 * prow < hi)
+            m_o = (2 * prow + 1 >= lo) & (2 * prow + 1 < hi)
+            gp = g_ref[p]  # [B, W] half lanes
+            acc_e_ref[...] += jax.lax.dot_general(
+                jnp.where(m_e, cm_e_full, 0.0), gp,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_o_ref[...] += jax.lax.dot_general(
+                jnp.where(m_o, cm_o_full, 0.0), gp,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+
+def small_acc_from_counts_packed(
+    c_pad: jnp.ndarray,  # [NB*RB, B] f32
+    pooled_grad: jnp.ndarray,  # [n_gf * B, W] f32 LOGICAL lanes
+    block_feat: jnp.ndarray,
+    block_lo: jnp.ndarray,
+    block_hi: jnp.ndarray,
+    *,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """ONE-launch backward accumulation for PAIR-PACKED groups: returns
+    ``(acc_e, acc_o)`` — per-PAIR even/odd row accumulators
+    ``[NB*RB/2, W]`` in HALF lanes, the exact layout
+    _packed_small_dense_update_half consumes (the pooled grad is permuted
+    to half lanes once, outside)."""
+    nb, s_max = block_feat.shape
+    rb = c_pad.shape[0] // nb
+    b = c_pad.shape[1]
+    w = pooled_grad.shape[1]
+    n_gf = pooled_grad.shape[0] // b
+    pg_h = jnp.take(pooled_grad, jnp.asarray(_half_fwd_perm(w)), axis=1)
+    rb2 = rb // 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((rb, b), lambda j, *_: (j, 0)),
+            pl.BlockSpec((n_gf, b, w), lambda j, *_: (0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((rb2, w), lambda j, *_: (j, 0)),
+            pl.BlockSpec((rb2, w), lambda j, *_: (j, 0)),
+        ],
+    )
+    acc_e, acc_o = pl.pallas_call(
+        functools.partial(_small_acc_kernel_packed, rb=rb, s_max=s_max),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb * rb2, w), jnp.float32),
+            jax.ShapeDtypeStruct((nb * rb2, w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        block_feat, block_lo, block_hi, c_pad,
+        pg_h.reshape(n_gf, b, w).astype(jnp.float32),
+    )
+    return acc_e, acc_o
+
+
+def _dense_pair_sgd_kernel(
+    scal_ref,  # SMEM [1] f32: lr
+    seed_ref,  # SMEM [1] u32: SR step counter
+    blob_ref,  # VMEM [RB2, W] u32 pair block
+    acc_e_ref,  # VMEM [RB2, W] f32 (half lanes)
+    acc_o_ref,  # VMEM [RB2, W] f32
+    out_ref,  # VMEM [RB2, W] u32
+    *,
+    chunk: int,
+    sr: bool,
+):
+    lr = scal_ref[0]
+    w_pair = blob_ref[...]
+    d2 = w_pair.shape[1] // 2
+    e = _unpack_pair_half(w_pair[:, :d2]) - lr * acc_e_ref[...]
+    o = _unpack_pair_half(w_pair[:, d2:]) - lr * acc_o_ref[...]
+    seed = seed_ref[0] if sr else None
+    pe = _pack_pair_half(e, seed, 0, chunk)
+    po = _pack_pair_half(o, seed, 1, chunk)
+    out_ref[...] = jnp.concatenate([pe, po], axis=1)
+
+
+def dense_pair_sgd_update(
+    blob_small: jnp.ndarray,  # u32 [P, W] pair rows covering the region
+    acc_e: jnp.ndarray,  # [P_pad >= P, W] f32 even-row acc (HALF lanes)
+    acc_o: jnp.ndarray,
+    lr,
+    sr_seed: jnp.ndarray | None = None,
+    *,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """ONE-pass SGD dense update of a pair-packed small region:
+    ``new = round_bf16(old - lr * acc)`` for BOTH rows of every pair —
+    unpack, update, round (RN-even or SR), repack, all inside VMEM
+    blocks. Replaces the XLA unpack -> dense_update -> repack chain
+    (~86 us/step of materialized f32 intermediates at the headline
+    shapes). Rows whose acc is zero keep their exact bits (SR of a
+    bf16-exact value is exact), so no touched mask is needed;
+    weight-decay is NOT applied — callers gate on wd == 0."""
+    p_rows, w = blob_small.shape
+    nb = acc_e.shape[0] // ( _CM_RB // 2)
+    rb2 = _CM_RB // 2
+    if p_rows < nb * rb2:
+        blob_small = jnp.pad(
+            blob_small, ((0, nb * rb2 - p_rows), (0, 0))
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((rb2, w), lambda j, *_: (j, 0)),
+            pl.BlockSpec((rb2, w), lambda j, *_: (j, 0)),
+            pl.BlockSpec((rb2, w), lambda j, *_: (j, 0)),
+        ],
+        out_specs=pl.BlockSpec((rb2, w), lambda j, *_: (j, 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _dense_pair_sgd_kernel, chunk=rb2, sr=sr_seed is not None
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * rb2, w), jnp.uint32),
+        interpret=interpret,
+    )(
+        jnp.asarray(lr, jnp.float32).reshape(1),
+        (
+            jnp.zeros((1,), jnp.uint32)
+            if sr_seed is None else sr_seed.reshape(1)
+        ),
+        blob_small, acc_e, acc_o,
+    )
+    return out[:p_rows]
 
 
 def _small_acc_kernel(
