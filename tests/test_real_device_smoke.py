@@ -509,3 +509,89 @@ def test_bf16_packed_small_path_compiled(tpu):
         np.testing.assert_allclose(
             got, want_t, rtol=2e-2, atol=2e-2, err_msg=name
         )
+
+
+def test_sharded_sequence_fast_tier_compiled(tpu):
+    """ShardedEmbeddingCollection train step on a 1-chip mesh with a
+    dim-256 (tile-row) and a bf16 (pair-packed) table through the fused
+    tier, compiled on hardware (VERDICT r4 #6). Oracle: post-step
+    weights vs the plain-storage sharded module (same step, same
+    cotangent)."""
+    import jax
+    import jax.numpy as jnp
+
+    from jax import shard_map
+    from torchrec_tpu.distributed import (
+        ShardedEmbeddingCollection,
+        ShardingEnv,
+        construct_module_sharding_plan,
+        row_wise,
+    )
+    from torchrec_tpu.modules import EmbeddingCollection, EmbeddingConfig
+    from torchrec_tpu.ops import SGD
+    from torchrec_tpu.sparse import KeyedJaggedTensor
+    from torchrec_tpu.types import DataType
+
+    rng = np.random.default_rng(17)
+    for dim, dt, tol in (
+        (256, DataType.FP32, 1e-5),
+        (128, DataType.BF16, 3e-2),
+    ):
+        tables = [
+            EmbeddingConfig(name="big", num_embeddings=50000,
+                            embedding_dim=dim, feature_names=["fb"],
+                            data_type=dt),
+        ]
+        vals = rng.integers(0, 50000, size=128).astype(np.int32)
+        kjt = KeyedJaggedTensor(
+            keys=["fb"], values=jnp.asarray(vals),
+            lengths=jnp.full((1, 16), 8, np.int32),
+        )
+        env = ShardingEnv.from_devices(jax.devices()[:1])
+        plan_fn = lambda tbls, e: construct_module_sharding_plan(
+            tbls, {"big": row_wise()}, e
+        )
+        opt = SGD(learning_rate=0.1)
+        outs = {}
+        for fast in (False, True):
+            ec = EmbeddingCollection(
+                tables, max_unique_gradient_rows=2048 if fast else None
+            )
+            params = ec.init(jax.random.key(0))
+            sec = ShardedEmbeddingCollection(ec, plan_fn(tables, env), env)
+            if fast:
+                assert any(c.scratch_rows > 0 for c in sec._classes)
+            sparams = sec.shard_params(params)
+            states = sec.init_optimizer(sparams, opt)
+            kjt_mat = kjt.materialize()
+            P = jax.sharding.PartitionSpec
+            param_specs = sec._param_specs()
+            state_specs = {
+                k: jax.tree_util.tree_map(
+                    lambda v: P("shard", *([None] * (v.ndim - 1))), sub
+                )
+                for k, sub in states.items()
+            }
+
+            def local(p, s, k):
+                streams = sec.apply_local(p, k)
+                cot = {
+                    ck: jax.random.normal(
+                        jax.random.key(2), v.shape, v.dtype
+                    )
+                    for ck, v in streams.items()
+                }
+                return sec.apply_gradients_local(p, s, opt, k, cot)
+
+            fn = shard_map(
+                local, mesh=env.mesh,
+                in_specs=(param_specs, state_specs, P()),
+                out_specs=(param_specs, state_specs),
+                check_vma=False,
+            )
+            nsp, _ = jax.jit(fn)(sparams, states, kjt_mat)
+            outs[fast] = sec.unshard_params(nsp)["big"]
+        np.testing.assert_allclose(
+            outs[True], outs[False], rtol=tol, atol=tol,
+            err_msg=f"dim={dim} dt={dt}",
+        )

@@ -94,21 +94,81 @@ def restore_train_state(
     )
 
 
-def export_state_dict(sharded_ebc, sparse_params) -> Dict[str, np.ndarray]:
+# our state keys -> the reference's FBGEMM split-state names
+# (torchrec/distributed/batched_embedding_kernel.py:1215 exposes
+# momentum1/momentum2 per table)
+TORCHREC_STATE_NAMES = {"momentum": "momentum1", "m": "momentum1",
+                        "v": "momentum2"}
+
+
+def export_state_dict(
+    sharded_ebc, sparse_params, opt_states=None, optimizer=None
+) -> Dict[str, np.ndarray]:
     """Per-table FQN -> full weight arrays (the reference's state_dict
-    contract: one entry per table regardless of sharding)."""
-    return {
+    contract: one entry per table regardless of sharding). With
+    ``opt_states`` + ``optimizer``, also emits per-table optimizer state
+    under reference names (``embedding_bags.<t>.momentum1`` ...) —
+    logical views regardless of storage layout (colocated / pair-packed
+    / tile-row), via ``unshard_opt_states``."""
+    out = {
         f"embedding_bags.{name}.weight": w
         for name, w in sharded_ebc.unshard_params(sparse_params).items()
     }
+    if opt_states is not None:
+        st = sharded_ebc.unshard_opt_states(
+            opt_states, optimizer, sparse_params
+        )
+        for name, sub in st.items():
+            for k, v in sub.items():
+                out[
+                    f"embedding_bags.{name}."
+                    f"{TORCHREC_STATE_NAMES.get(k, k)}"
+                ] = v
+    return out
 
 
-def import_state_dict(sharded_ebc, state_dict: Dict[str, np.ndarray]):
+def import_state_dict(
+    sharded_ebc, state_dict: Dict[str, np.ndarray], optimizer=None
+):
     """Re-shard full per-table weights under this module's (possibly
-    different) plan/topology — live cross-topology resume."""
-    per_table = {}
+    different) plan/topology — live cross-topology resume. With
+    ``optimizer``, state entries (momentum1/...) in ``state_dict`` are
+    restored too and the return value is ``(params, opt_states)``;
+    without it, state entries are rejected (silently dropping
+    accumulators would reset them) and the return is params only."""
+    per_table: Dict[str, np.ndarray] = {}
+    per_table_state: Dict[str, Dict[str, np.ndarray]] = {}
+    rev = {}
+    if optimizer is not None:
+        import jax.numpy as jnp
+
+        proto_dt = (
+            jnp.bfloat16
+            if getattr(optimizer, "stochastic_rounding", False)
+            else jnp.float32
+        )
+        proto = optimizer.init(jnp.zeros((1, 1), proto_dt))
+        for k in proto:
+            rev[TORCHREC_STATE_NAMES.get(k, k)] = k
     for key, w in state_dict.items():
-        if not key.startswith("embedding_bags.") or not key.endswith(".weight"):
+        if not key.startswith("embedding_bags."):
             raise KeyError(f"unexpected state_dict key {key!r}")
-        per_table[key[len("embedding_bags.") : -len(".weight")]] = np.asarray(w)
-    return sharded_ebc.shard_from_tables(per_table)
+        stem = key[len("embedding_bags.") :]
+        name, _, field = stem.rpartition(".")
+        if field == "weight":
+            per_table[name] = np.asarray(w)
+        elif optimizer is not None and field in rev:
+            per_table_state.setdefault(name, {})[rev[field]] = np.asarray(w)
+        elif optimizer is None:
+            raise KeyError(
+                f"state entry {key!r} present but no optimizer given — "
+                "pass optimizer= to restore it (or strip state entries)"
+            )
+        # unknown state fields for this optimizer are ignored
+    params = sharded_ebc.shard_from_tables(per_table)
+    if optimizer is None:
+        return params
+    params, opt_states = sharded_ebc.shard_opt_states_from_tables(
+        params, optimizer, per_table_state
+    )
+    return params, opt_states

@@ -75,6 +75,10 @@ class ShardedEmbeddingCollection(ShardedCollectionBase):
         self._plan = plan
         self._env = env
         self._exchange_mode = exchange_mode
+        # fused Pallas kernel tier (segscan backward, tile-row /
+        # pair-packed storage) — shared with the EBC twin via
+        # ShardedCollectionBase; gated on the module's fast window
+        self._max_unique = getattr(ec, "_max_unique", None)
         self._all_tables = list(ec._tables)
         tables = {t.name: t for t in ec._tables}
         for name in tables:
@@ -95,7 +99,8 @@ class ShardedEmbeddingCollection(ShardedCollectionBase):
         for i, ti in enumerate(ec._feature_table):
             feat_of_table.setdefault(ec._tables[ti].name, []).append(i)
         self._classes = build_width_classes(
-            tables, plan, ec._feature_names, feat_of_table, env.world_size
+            tables, plan, ec._feature_names, feat_of_table, env.world_size,
+            fast_window=self._max_unique,
         )
         # sequence assembly requires uniform column blocks: block bi of any
         # table in a class must start at bi*width (our plan generators
@@ -154,11 +159,6 @@ class ShardedEmbeddingCollection(ShardedCollectionBase):
             vf_pos = jnp.asarray(c.vf_pos)
             blob = params[c.key]
             blob = blob.reshape(blob.shape[-2], blob.shape[-1])
-            table = (
-                blob.astype(jnp.float32)
-                if c.data_type != DataType.FP32
-                else blob
-            )
             parts = []
             for blk in range(c.max_blocks):
                 lo = jnp.take(id_lo[:, blk], slot_feature)
@@ -167,7 +167,11 @@ class ShardedEmbeddingCollection(ShardedCollectionBase):
                 pos = jnp.take(vf_pos[:, blk], slot_feature)
                 valid = (pos >= 0) & (values >= lo) & (values < hi) & valid_slot
                 local_id = jnp.clip(values - lo + off, 0, c.local_rows - 1)
-                rows = jnp.take(table, local_id, axis=0)
+                # storage-aware gather (packed rows arrive in half lanes
+                # and de-permute to logical — the stream is user-facing)
+                rows = self._depermute_pooled(
+                    c, self._class_gather(c, blob, local_id)
+                )
                 rows = jnp.where(valid[:, None], rows, 0.0)
                 parts.append(rows)
             stream = jnp.concatenate(parts, axis=1)  # [cap, MB*width]
@@ -290,23 +294,58 @@ class ShardedEmbeddingCollection(ShardedCollectionBase):
         lr=None,
     ) -> Tuple[Params, Dict[str, Dict[str, jnp.ndarray]]]:
         """Fused sparse update on local blobs (inside shard_map)."""
-        grads = self.sparse_grads_local(kjt, cot)
+        axis = self._env.shard_axis
+        d = jax.lax.axis_index(axis)
+        kjt_s, b, f, slot_feature = self._slot_arrays(kjt)
+        values = kjt_s.values()
+        valid_slot = kjt_s.valid_mask()
         new_params = dict(params)
         new_states = dict(opt_states)
         for c in self._classes:
-            uids, ugrads = grads[c.key]
+            id_lo = jnp.asarray(c.id_lo)[d]
+            id_hi = jnp.asarray(c.id_hi)[d]
+            blob_off = jnp.asarray(c.blob_off)[d]
+            vf_pos = jnp.asarray(c.vf_pos)
+            g_stream = cot[c.key]  # [cap, MB*width]
+            all_ids, all_g, all_valid = [], [], []
+            for blk in range(c.max_blocks):
+                lo = jnp.take(id_lo[:, blk], slot_feature)
+                hi = jnp.take(id_hi[:, blk], slot_feature)
+                off = jnp.take(blob_off[:, blk], slot_feature)
+                pos = jnp.take(vf_pos[:, blk], slot_feature)
+                valid = (pos >= 0) & (values >= lo) & (values < hi) & valid_slot
+                all_ids.append(jnp.clip(values - lo + off, 0, c.local_rows - 1))
+                all_g.append(g_stream[:, blk * c.width : (blk + 1) * c.width])
+                all_valid.append(valid)
+            ids_cat = jnp.concatenate(all_ids)
+            g_cat = jnp.concatenate(all_g)
+            valid_cat = jnp.concatenate(all_valid)
             blob = params[c.key]
+            blob2 = blob.reshape(blob.shape[-2], blob.shape[-1])
             state = {
                 k: v.reshape(v.shape[1:]) for k, v in opt_states[c.key].items()
             }
-            new_blob, new_state = optimizer.update(
-                blob.reshape(blob.shape[-2], blob.shape[-1]),
-                state,
-                uids,
-                ugrads,
-                lr=lr,
-                ids_sorted=False,  # position-layout dedup
+            # sequence slot grads ARE the cotangent (identity seg): the
+            # shared fast tier consumes them as the pooled-grad source
+            fast = self._class_fast_update(
+                c, blob2, state, optimizer, ids_cat,
+                jnp.arange(ids_cat.shape[0], dtype=jnp.int32), valid_cat,
+                None, g_cat, d, lr,
             )
+            if fast is None:
+                uids, ugrads = dedup_rows_from_pooled(
+                    ids_cat,
+                    jnp.arange(ids_cat.shape[0], dtype=jnp.int32),
+                    g_cat,
+                    valid_cat,
+                    c.local_rows,
+                    compact=False,
+                )
+                new_blob, new_state = self._class_generic_update(
+                    c, blob2, state, optimizer, uids, ugrads, lr
+                )
+            else:
+                new_blob, new_state = fast
             new_params[c.key] = new_blob[None]
             new_states[c.key] = {k: v[None] for k, v in new_state.items()}
         if self._dp is not None and "dp" in cot:
@@ -404,13 +443,11 @@ class ShardedEmbeddingCollection(ShardedCollectionBase):
             dropped = dropped + drp
             blob = params[c.key]
             blob = blob.reshape(blob.shape[-2], blob.shape[-1])
-            table = (
-                blob.astype(jnp.float32)
-                if c.data_type != DataType.FP32
-                else blob
-            )
-            rows = jnp.take(
-                table, jnp.clip(rows_l, 0, c.local_rows - 1), axis=0
+            rows = self._depermute_pooled(
+                c,
+                self._class_gather(
+                    c, blob, jnp.clip(rows_l, 0, c.local_rows - 1)
+                ),
             )
             rows = jnp.where(rvalid[:, None], rows, 0.0)
             back = reverse_exchange(route, rows, axis, w)  # sorted order
@@ -472,27 +509,32 @@ class ShardedEmbeddingCollection(ShardedCollectionBase):
             (g_recv,), _rv, _dr, _rt = exchange(
                 (owner, g_sorted), recv_cap, axis, w, mode
             )
-            uids, ugrads = dedup_rows_from_pooled(
-                rows_l,
-                jnp.arange(recv_cap, dtype=jnp.int32),
-                g_recv,
-                rvalid,
-                c.local_rows,
-                compact=False,
-            )
             blob = params[c.key]
+            blob2 = blob.reshape(blob.shape[-2], blob.shape[-1])
             state = {
                 k: v.reshape(v.shape[1:])
                 for k, v in opt_states[c.key].items()
             }
-            new_blob, new_state = optimizer.update(
-                blob.reshape(blob.shape[-2], blob.shape[-1]),
-                state,
-                uids,
-                ugrads,
-                lr=lr,
-                ids_sorted=False,  # position-layout dedup
+            d = jax.lax.axis_index(axis)
+            fast = self._class_fast_update(
+                c, blob2, state, optimizer, rows_l,
+                jnp.arange(recv_cap, dtype=jnp.int32), rvalid, None,
+                g_recv, d, lr,
             )
+            if fast is None:
+                uids, ugrads = dedup_rows_from_pooled(
+                    rows_l,
+                    jnp.arange(recv_cap, dtype=jnp.int32),
+                    g_recv,
+                    rvalid,
+                    c.local_rows,
+                    compact=False,
+                )
+                new_blob, new_state = self._class_generic_update(
+                    c, blob2, state, optimizer, uids, ugrads, lr
+                )
+            else:
+                new_blob, new_state = fast
             new_params[c.key] = new_blob[None]
             new_states[c.key] = {k: v[None] for k, v in new_state.items()}
         if self._dp is not None and "dp" in cot:

@@ -69,11 +69,8 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
     shard_map themselves.
     """
 
-    # interpret-mode test knob ONLY (CPU-mesh oracle tests shrink the
-    # segscan kernels' unrolled DMA chunk — the production chunk unrolls
-    # a 1024-issue loop into the traced graph, minutes of compile under
-    # an 8-device shard_map)
-    _SEGSCAN_TEST_CHUNK = 0
+    # (_class_gather/_class_fast_update/_SEGSCAN_TEST_CHUNK live on
+    # ShardedCollectionBase — shared with ShardedEmbeddingCollection)
 
     def __init__(
         self,
@@ -189,62 +186,6 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
         slot_feature = jnp.minimum(seg // b, f)
         slot_batch = seg % jnp.int32(b)
         return kjt, b, f, seg, slot_feature, slot_batch
-
-    @staticmethod
-    def _class_gather(
-        c: _WidthClass,
-        blob: jnp.ndarray,
-        ids: jnp.ndarray,
-        ids_sorted: bool = False,
-    ) -> jnp.ndarray:
-        """Gather logical rows ``[n, width]`` f32 from the class's storage
-        form at (clipped) local ids. PACKED classes return HALF-LAYOUT
-        columns (tbe_pallas._unpack_pair_half) — callers de-permute their
-        POOLED outputs once via :meth:`_depermute_pooled`."""
-        if c.packed:
-            from torchrec_tpu.ops.tbe_pallas import _unpack_pair_half
-
-            d2 = c.width // 2
-            pair = jnp.take(
-                blob, jnp.minimum(ids >> 1, blob.shape[0] - 1), axis=0,
-                indices_are_sorted=ids_sorted,
-            )
-            half = jnp.where(
-                (ids & 1)[:, None].astype(bool), pair[:, d2:], pair[:, :d2]
-            )
-            return _unpack_pair_half(half)
-        if c.row_tiles > 1:
-            nt = c.row_tiles
-            idc = jnp.minimum(ids, c.local_rows - 1)
-            return jnp.concatenate(
-                [
-                    jnp.take(
-                        blob, idc * nt + t, axis=0,
-                        indices_are_sorted=ids_sorted,
-                    )
-                    for t in range(nt)
-                ],
-                axis=1,
-            )
-        table = (
-            blob.astype(jnp.float32)
-            if c.data_type != DataType.FP32
-            else blob
-        )
-        return jnp.take(
-            table, jnp.minimum(ids, c.local_rows - 1), axis=0,
-            indices_are_sorted=ids_sorted,
-        )
-
-    @staticmethod
-    def _depermute_pooled(c: _WidthClass, pooled: jnp.ndarray) -> jnp.ndarray:
-        """Half-layout -> logical lanes for packed classes (applied to
-        the SMALL pooled output, not the row stream)."""
-        if not c.packed:
-            return pooled
-        from torchrec_tpu.ops.tbe_pallas import _half_inv_perm
-
-        return jnp.take(pooled, jnp.asarray(_half_inv_perm(c.width)), axis=1)
 
     def _class_pooled_local(
         self,
@@ -655,220 +596,6 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
         if scale is not None:
             pg = pg * scale[:, :, None]
         return pg
-
-    def _class_fast_update(
-        self,
-        c: _WidthClass,
-        blob: jnp.ndarray,  # [phys storage rows, minor] local 2-D view
-        state: Dict[str, jnp.ndarray],
-        optimizer: EmbeddingOptimizer,
-        ids: jnp.ndarray,
-        seg: jnp.ndarray,
-        valid: jnp.ndarray,
-        weights: Optional[jnp.ndarray],
-        pg_flat: jnp.ndarray,
-        d: jnp.ndarray,
-        lr,
-    ) -> Optional[Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]]:
-        """Fused backward for one width class (the sharded port of the
-        single-chip segscan tail, modules/embedding_modules.py
-        apply_gradients): ONE sort of the local slot stream; the sorted
-        prefix (small-table region, packed first per device) feeds a
-        dense-accumulator update, the windowed large region feeds the
-        fused Pallas segscan kernel (run segment-sum + optimizer + row
-        write in one pass, sentinels parked in the blob's scratch tail).
-        Returns None when the class/optimizer lacks fast-tier support —
-        the caller then takes the generic dedup + scatter path."""
-        from torchrec_tpu.modules.embedding_modules import _on_tpu
-        from torchrec_tpu.ops.lookup import sorted_window
-
-        n = ids.shape[0]
-        if c.scratch_rows == 0 or n == 0 or self._max_unique is None:
-            return None
-        if not optimizer.supports_segscan_update(blob):
-            return None
-        interpret = not _on_tpu()
-        u = min(self._max_unique, n)
-        R = c.local_rows
-        s = pg_flat.shape[0]
-        width = c.width
-        small_b = jnp.asarray(np.asarray(c.small_rows_dev, np.int32))[d]
-        small_max = c.small_rows_max
-
-        sk, ss, sw = sorted_window(
-            ids, seg, valid, R, s, None, weights
-        )  # full-length sorted stream (small ids first, sentinels last)
-        padded = jnp.concatenate(
-            [pg_flat, jnp.zeros((1, width), pg_flat.dtype)]
-        )
-
-        # ---- small-table region: sorted dense accumulator ----
-        if small_max > 0:
-            seg_all = jnp.where(sk < R, jnp.minimum(ss, s), s)
-            g_all = jnp.take(padded, seg_all, axis=0)
-            if sw is not None:
-                g_all = g_all * sw[:, None].astype(g_all.dtype)
-            tgt = jnp.where(sk < small_b, sk, small_max)  # non-decreasing
-            acc = jax.ops.segment_sum(
-                g_all, tgt, num_segments=small_max + 1,
-                indices_are_sorted=True,
-            )[:small_max]
-            touched = (
-                jax.ops.segment_sum(
-                    (sk < small_b).astype(jnp.int32), tgt,
-                    num_segments=small_max + 1, indices_are_sorted=True,
-                )[:small_max]
-                > 0
-            )
-
-        # ---- large region: run-END segscan window ----
-        if small_max == 0:
-            # STATIC head slice — the IDENTICAL expression to the fast
-            # forward's window, so XLA CSEs the sort AND the row gather
-            # below across the step (old_rows comes for free)
-            sids_u, sseg_u = sk[:u], ss[:u]
-            sw_u = None if sw is None else sw[:u]
-            in_range = sids_u < R
-        else:
-            n_small = jnp.sum(
-                (valid & (ids < small_b)).astype(jnp.int32)
-            )
-            sids_u = jax.lax.dynamic_slice(sk, (n_small,), (u,))
-            sseg_u = jax.lax.dynamic_slice(ss, (n_small,), (u,))
-            sw_u = (
-                None if sw is None
-                else jax.lax.dynamic_slice(sw, (n_small,), (u,))
-            )
-            in_range = (sids_u >= small_b) & (sids_u < R)
-        seg_m = jnp.where(in_range, jnp.minimum(sseg_u, s), s)
-        if c.packed:
-            # pair kernels take HALF-LAYOUT grads; permute the TINY
-            # pooled-grad buffer before the expand gather
-            padded_g = jnp.concatenate(
-                [padded[:, 0::2], padded[:, 1::2]], axis=1
-            )
-        else:
-            padded_g = padded
-        g_u = jnp.take(padded_g, seg_m, axis=0)
-        if sw_u is not None:
-            g_u = g_u * sw_u[:, None].astype(g_u.dtype)
-        if c.packed:
-            pp_R = R // 2  # R is 8-aligned, so even
-            key_m = jnp.where(in_range, sids_u >> 1, pp_R)
-            invalid_key = pp_R
-        else:
-            key_m = jnp.where(in_range, sids_u, R)
-            invalid_key = R
-        diff = key_m[1:] != key_m[:-1]
-        heads = jnp.concatenate(
-            [jnp.ones((1,), jnp.float32), diff.astype(jnp.float32)]
-        )[:, None]
-        is_end = jnp.concatenate([diff, jnp.ones((1,), jnp.bool_)])
-        pos = jnp.arange(u, dtype=jnp.int32)
-        real_end = is_end & in_range
-        rows_end = jnp.where(real_end, key_m, invalid_key + pos)
-        ends = real_end.astype(jnp.float32)[:, None]
-        if c.packed:
-            parity = (sids_u & 1).astype(jnp.float32)[:, None]
-            old_rows = jnp.take(
-                blob, jnp.minimum(sids_u >> 1, blob.shape[0] - 1),
-                axis=0, indices_are_sorted=True,
-            )
-        elif c.row_tiles > 1:
-            parity = None
-            old_rows = self._class_gather(
-                c, blob, jnp.minimum(sids_u, R - 1), ids_sorted=True
-            )
-        else:
-            parity = None
-            old_rows = jnp.take(
-                blob, jnp.minimum(sids_u, R - 1), axis=0,
-                indices_are_sorted=True,
-            )
-        blob, state = optimizer.segscan_update(
-            blob, state, rows_end, heads, ends, g_u, old_rows,
-            lr=lr, interpret=interpret, parity=parity, sorted_ids=sids_u,
-            _chunk=self._SEGSCAN_TEST_CHUNK,
-        )
-
-        # ---- small-table dense update on the prefix ----
-        if small_max > 0:
-            st_s = {
-                k: v[:small_max]
-                if (v.ndim and v.shape[0] == R)
-                else v
-                for k, v in state.items()
-            }
-            if c.packed:
-                from torchrec_tpu.ops.tbe_pallas import (
-                    pack_pair_blob,
-                    unpack_pair_blob,
-                )
-
-                ps = small_max // 2  # small boundary is 8-aligned
-                region = unpack_pair_blob(blob[:ps]).astype(jnp.bfloat16)
-                tbl_s, st_s = optimizer.dense_update(
-                    region, st_s, acc, touched, lr=lr
-                )
-                blob = jax.lax.dynamic_update_slice(
-                    blob, pack_pair_blob(tbl_s), (0, 0)
-                )
-            elif c.row_tiles > 1:
-                nt = c.row_tiles
-                region = blob[: small_max * nt].reshape(small_max, width)
-                tbl_s, st_s = optimizer.dense_update(
-                    region, st_s, acc, touched, lr=lr
-                )
-                blob = jax.lax.dynamic_update_slice(
-                    blob, tbl_s.reshape(small_max * nt, 128), (0, 0)
-                )
-            else:
-                tbl_s, st_s = optimizer.dense_update(
-                    blob[:small_max], st_s, acc, touched, lr=lr
-                )
-                blob = jax.lax.dynamic_update_slice(blob, tbl_s, (0, 0))
-            state = {
-                k: jax.lax.dynamic_update_slice(
-                    state[k], st_s[k], (0,) * state[k].ndim
-                )
-                for k in state
-            }
-        return blob, state
-
-    def _class_generic_update(
-        self,
-        c: _WidthClass,
-        blob: jnp.ndarray,
-        state: Dict[str, jnp.ndarray],
-        optimizer: EmbeddingOptimizer,
-        uids: jnp.ndarray,
-        ugrads: jnp.ndarray,
-        lr,
-    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-        """Position-layout dedup update with storage-aware fallbacks for
-        optimizers without a segscan kernel (mirrors the single-chip
-        packed/tile-row fallback paths)."""
-        if c.packed:
-            from torchrec_tpu.ops.tbe_pallas import (
-                pack_pair_blob,
-                unpack_pair_blob,
-            )
-
-            logical = unpack_pair_blob(blob).astype(jnp.bfloat16)
-            logical, state = optimizer.update(
-                logical, state, uids, ugrads, lr=lr, ids_sorted=False,
-            )
-            return pack_pair_blob(logical), state
-        if c.row_tiles > 1:
-            logical = blob.reshape(-1, c.width)
-            logical, state = optimizer.update(
-                logical, state, uids, ugrads, lr=lr, ids_sorted=False,
-            )
-            return logical.reshape(-1, 128), state
-        return optimizer.update(
-            blob, state, uids, ugrads, lr=lr,
-            ids_sorted=False,  # position-layout dedup
-        )
 
     def apply_gradients_local(
         self,

@@ -84,13 +84,18 @@ def from_torchrec_state_dict(
 
 
 def to_torchrec_state_dict(
-    module, params, prefix: str = "", as_torch: bool = True
+    module, params, prefix: str = "", as_torch: bool = True,
+    opt_states=None, optimizer=None,
 ) -> Dict[str, object]:
     """This module's params -> reference-FQN state_dict.
 
     EBC emits ``embedding_bags.<t>.weight``; EC ``embeddings.<t>.weight``.
     ``as_torch=True`` returns torch CPU tensors (loadable straight into a
-    reference module via ``load_state_dict``)."""
+    reference module via ``load_state_dict``). With ``opt_states`` +
+    ``optimizer``, also emits per-table fused-optimizer state under the
+    reference's split-state names (``<t>.momentum1`` ...,
+    batched_embedding_kernel.py:1215) — materialized to logical views
+    whatever the storage layout (colocated / pair-packed / tile-row)."""
     from torchrec_tpu.modules.embedding_modules import EmbeddingBagCollection
 
     marker = (
@@ -99,12 +104,26 @@ def to_torchrec_state_dict(
     )
     base = f"{prefix}.{marker}" if prefix else marker
     out: Dict[str, object] = {}
-    for name, w in module.split_params(params).items():
-        arr = np.asarray(w)
+
+    def put(key, arr):
         if as_torch:
             import torch
 
-            out[f"{base}.{name}.weight"] = torch.from_numpy(arr.copy())
+            out[key] = torch.from_numpy(np.asarray(arr).copy())
         else:
-            out[f"{base}.{name}.weight"] = arr
+            out[key] = np.asarray(arr)
+
+    for name, w in module.split_params(params).items():
+        put(f"{base}.{name}.weight", w)
+    if opt_states is not None:
+        from torchrec_tpu.checkpoint import TORCHREC_STATE_NAMES
+
+        st = module.materialize_optimizer_state(
+            params, opt_states, optimizer
+        )
+        for name, sub in st.items():
+            for k, v in sub.items():
+                put(
+                    f"{base}.{name}.{TORCHREC_STATE_NAMES.get(k, k)}", v
+                )
     return out

@@ -508,6 +508,109 @@ class _EmbeddingCollectionBase:
             for g in self._groups
         }
 
+    def materialize_optimizer_state(
+        self, params: Params, opt_states, optimizer: "EmbeddingOptimizer"
+    ) -> Dict[str, Dict[str, np.ndarray]]:
+        """Per-table LOGICAL optimizer-state views for EVERY storage
+        layout — the reference exposes each kernel's internal state as
+        KeyedOptimizer-visible views
+        (torchrec/distributed/batched_embedding_kernel.py:1215); this is
+        the export half for layouts whose state does not live in plain
+        logical arrays. Returns ``{table: {state key: np.ndarray}}``
+        covering row-shaped state; colocated layouts
+        (``colocate_rowwise_state``) read the large-region accumulator
+        from the blob's state-lane rows (stored as a delta from
+        ``initial_accumulator_value``). Scalar state (the stochastic-
+        rounding counter) is module-global and round-trips through the
+        raw pytree instead."""
+        out: Dict[str, Dict[str, np.ndarray]] = {
+            t.name: {} for t in self._tables
+        }
+        for g in self._groups:
+            st = opt_states[g.key]
+            logical: Dict[str, np.ndarray] = {}
+            for k, v in st.items():
+                v = np.asarray(jax.device_get(v))
+                if not v.ndim or v.shape[0] != g.total_rows:
+                    continue  # scalar / non-row state
+                if g.state_lanes and k == "momentum":
+                    blob = np.asarray(jax.device_get(params[g.key]))
+                    iav = float(
+                        getattr(optimizer, "initial_accumulator_value", 0.0)
+                    )
+                    large = (
+                        iav
+                        + blob[g.small_rows + 1 :: 2, 0][
+                            : g.total_rows - g.small_rows
+                        ]
+                    )
+                    v = np.concatenate([v[: g.small_rows], large])
+                logical[k] = v
+            for name, off, rows in zip(
+                g.table_names, g.row_offsets, g.table_rows
+            ):
+                for k, v in logical.items():
+                    out[name][k] = np.asarray(v[off : off + rows])
+        return out
+
+    def optimizer_state_from_tables(
+        self,
+        params: Params,
+        optimizer: "EmbeddingOptimizer",
+        per_table: Dict[str, Dict[str, np.ndarray]],
+        opt_states=None,
+    ):
+        """Inverse of :meth:`materialize_optimizer_state`: rebuild the
+        group state pytrees (AND, for colocated layouts, the blob's
+        state-lane rows) from per-table logical state arrays. Returns
+        ``(params, opt_states)`` — params change only for colocated
+        groups. Tables/keys missing from ``per_table`` keep fresh-init
+        state. This is the supported way to restore a colocated module
+        from a reference-format checkpoint: rebuilding from weights
+        alone resets every large-region accumulator to its initial
+        value."""
+        if opt_states is None:
+            opt_states = self.init_optimizer(params, optimizer)
+        new_params = dict(params)
+        new_states = {k: dict(v) for k, v in opt_states.items()}
+        for g in self._groups:
+            st = new_states[g.key]
+            keys = {
+                k
+                for k, v in st.items()
+                if getattr(v, "ndim", 0) and v.shape[0] == g.total_rows
+            }
+            for k in keys:
+                parts = []
+                for name, rows in zip(g.table_names, g.table_rows):
+                    tp = per_table.get(name, {})
+                    if k not in tp:
+                        parts = None
+                        break
+                    arr = np.asarray(tp[k])
+                    if arr.shape[0] != rows:
+                        raise ValueError(
+                            f"state {k!r} for table {name!r}: expected "
+                            f"{rows} rows, got {arr.shape[0]}"
+                        )
+                    parts.append(arr)
+                if parts is None:
+                    continue
+                full = np.concatenate(parts, axis=0)
+                if g.state_lanes and k == "momentum":
+                    iav = float(
+                        getattr(optimizer, "initial_accumulator_value", 0.0)
+                    )
+                    blob = np.array(
+                        jax.device_get(new_params[g.key]), copy=True
+                    )
+                    n_large = g.total_rows - g.small_rows
+                    idx = g.small_rows + 1 + 2 * np.arange(n_large)
+                    blob[idx, 0] = full[g.small_rows :] - iav
+                    new_params[g.key] = jnp.asarray(blob)
+                st[k] = jnp.asarray(full, st[k].dtype)
+        return new_params, new_states
+
     def _prep(self, kjt: KeyedJaggedTensor):
         """Align the KJT to this module's feature order; compute shared
         slot-level index arrays."""
@@ -2326,8 +2429,22 @@ class EmbeddingCollection(_EmbeddingCollectionBase):
     Reference: torchrec/modules/embedding_modules.py:367.
     """
 
-    def __init__(self, tables: Sequence[EmbeddingConfig]):
-        super().__init__(tables)
+    def __init__(
+        self,
+        tables: Sequence[EmbeddingConfig],
+        max_unique_gradient_rows: Optional[int] = None,
+    ):
+        """``max_unique_gradient_rows``: bound on large-table slots per
+        step — enables the fused Pallas backward tier in the SHARDED
+        collection (ShardedEmbeddingCollection: segscan backward,
+        tile-row / pair-packed storage). The single-chip EC itself keeps
+        LOGICAL blob storage regardless: its ``apply`` is differentiable
+        (consumers take gradients through the returned rows), and packed
+        u32 / tile-row leaves would break that contract — sequence
+        training at scale goes through the sharded module, reference
+        torchrec/distributed/embedding_lookup.py:209."""
+        super().__init__(tables, scratch_window=max_unique_gradient_rows)
+        self._max_unique = max_unique_gradient_rows
 
     def embedding_configs(self) -> List[EmbeddingConfig]:
         return list(self._tables)  # type: ignore[return-value]

@@ -59,6 +59,7 @@ class EmbeddingShardingPlanner:
         batch_size: int = 512,
         constraints: Optional[Dict[str, ParameterConstraints]] = None,
         optimizer: str = "rowwise_adagrad",
+        colocate_rowwise_state: bool = False,
         enumerator: Optional[EmbeddingEnumerator] = None,
         proposers: Optional[List] = None,
         partitioner=None,
@@ -77,7 +78,8 @@ class EmbeddingShardingPlanner:
             topology, batch_size, optimizer
         )
         self._storage_estimator = EmbeddingStorageEstimator(
-            topology, batch_size, optimizer
+            topology, batch_size, optimizer,
+            colocate_rowwise_state=colocate_rowwise_state,
         )
         self._proposers = proposers or [
             GreedyProposer(),

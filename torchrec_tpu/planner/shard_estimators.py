@@ -160,12 +160,25 @@ class EmbeddingStorageEstimator:
         topology: Topology,
         batch_size: int = 512,
         optimizer: str = "rowwise_adagrad",
+        colocate_rowwise_state: bool = False,
     ):
+        """``colocate_rowwise_state``: the module stores large-region
+        rowwise-Adagrad state as FULL interleaved 128-lane state rows
+        (EmbeddingBagCollection(colocate_rowwise_state=True) — Mosaic's
+        DMA slicing permits nothing narrower), so each large fp32
+        dim-128 row costs a second 512-byte row of HBM, not one scalar.
+        Plans built without this flag would overfill HBM at production
+        scale."""
         self._t = topology
         self._batch = batch_size
         self._optimizer = optimizer
+        self._colocate = colocate_rowwise_state
 
     def estimate(self, option: ShardingOption) -> None:
+        from torchrec_tpu.modules.embedding_modules import (
+            DENSE_GRAD_ROWS_THRESHOLD,
+        )
+
         ck = option.compute_kernel
         opt_mult = (
             0.0
@@ -173,9 +186,21 @@ class EmbeddingStorageEstimator:
             else constants.OPTIMIZER_STATE_MULTIPLIER.get(self._optimizer, 1.0)
         )
         elem = option.table.data_type.bytes_per_element
+        colocated = (
+            self._colocate
+            and not ck.is_quant()
+            and self._optimizer == "rowwise_adagrad"
+            and option.table.data_type.value == "FP32"
+            and option.table.num_embeddings > DENSE_GRAD_ROWS_THRESHOLD
+        )
         for s in option.shards:
             table_bytes = int(s.row_count * s.col_count * elem)
-            opt_bytes = int(s.row_count * s.col_count * 4 * opt_mult)
+            if colocated and s.col_count == 128:
+                # interleaved (weight row, state row) pairs: the state
+                # row is a full 128-lane fp32 row per large row
+                opt_bytes = int(s.row_count * s.col_count * 4)
+            else:
+                opt_bytes = int(s.row_count * s.col_count * 4 * opt_mult)
             # activations: pooled output (+ gathered grad rows when training)
             act_bytes = int(
                 self._batch * s.col_count * 4 * option.table.num_features()
