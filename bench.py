@@ -213,7 +213,7 @@ def run_scale(weighted=False, two_features=False, bf16_sr=False,
     return (time.perf_counter() - t0) / n_epochs
 
 
-def run_scale_sharded(bf16_sr=False, rowwise=False):
+def run_scale_sharded(bf16_sr=False, rowwise=False, colo=False):
     """The headline workload through the SHARDED EBC on a 1-chip mesh
     (VERDICT r4 #2 done-criterion iii): small tables DATA_PARALLEL (the
     count-matmul dense path; psum is free at world 1), large tables
@@ -236,7 +236,9 @@ def run_scale_sharded(bf16_sr=False, rowwise=False):
     )
     from torchrec_tpu.sparse import KeyedJaggedTensor
 
-    ebc, params, opt, states, rows = build(bf16_sr=bf16_sr, rowwise=rowwise)
+    ebc, params, opt, states, rows = build(
+        bf16_sr=bf16_sr, rowwise=rowwise, colo=colo
+    )
     env = ShardingEnv.from_devices(jax.devices()[:1])
     tables = ebc._tables
     per_param = {
@@ -328,6 +330,8 @@ def main(scales=None, variant=None):
             v = run_scale_sharded(bf16_sr=True)
         elif variant == "sharded_rowwise":
             v = run_scale_sharded(rowwise=True)
+        elif variant == "sharded_rowwise_colo":
+            v = run_scale_sharded(rowwise=True, colo=True)
         else:
             v = run_scale(
                 weighted=(variant == "weighted"),
@@ -399,6 +403,7 @@ if __name__ == "__main__":
     if args and args[-1] in (
         "weighted", "multifeature", "bf16sr", "rowwise", "rowwise_colo",
         "sharded", "sharded_bf16sr", "sharded_rowwise",
+        "sharded_rowwise_colo",
     ):
         variant = args.pop()
     main([int(a) for a in args] or None, variant=variant)

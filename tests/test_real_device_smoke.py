@@ -371,8 +371,14 @@ def test_sharded_fast_tier_step_compiled(tpu):
     from torchrec_tpu.ops import SGD
     from torchrec_tpu.types import DataType
 
+    from torchrec_tpu.ops import RowWiseAdagrad
+
     rng = np.random.default_rng(5)
-    for dim, dt, tol in ((256, DataType.FP32, 1e-5), (128, DataType.BF16, 3e-2)):
+    for dim, dt, tol, colo in (
+        (256, DataType.FP32, 1e-5, False),
+        (128, DataType.BF16, 3e-2, False),
+        (128, DataType.FP32, 1e-5, True),  # colocated rowwise state
+    ):
         tables = [
             EmbeddingBagConfig(
                 name="small", num_embeddings=96, embedding_dim=dim,
@@ -384,7 +390,10 @@ def test_sharded_fast_tier_step_compiled(tpu):
             ),
         ]
         ebc_ref = EmbeddingBagCollection(tables)
-        ebc = EmbeddingBagCollection(tables, max_unique_gradient_rows=2048)
+        ebc = EmbeddingBagCollection(
+            tables, max_unique_gradient_rows=2048,
+            colocate_rowwise_state=colo,
+        )
         params = ebc_ref.init(jax.random.key(0))
         env = ShardingEnv.from_devices(jax.devices()[:1])
         plan = construct_module_sharding_plan(
@@ -393,12 +402,21 @@ def test_sharded_fast_tier_step_compiled(tpu):
         sebc = ShardedEmbeddingBagCollection(ebc, plan, env)
         # the class under test must actually be on the fast tier
         assert any(c.scratch_rows > 0 for c in sebc._classes)
-        if dt == DataType.BF16:
+        if colo:
+            assert any(c.state_lanes for c in sebc._classes)
+        elif dt == DataType.BF16:
             assert any(c.packed for c in sebc._classes)
         else:
             assert any(c.row_tiles == 2 for c in sebc._classes)
-        sparams = sebc.shard_params(params)
-        opt = SGD(learning_rate=0.1)
+        per_table = {
+            t.name: np.asarray(ebc_ref.table_slice(params, t.name))
+            for t in tables
+        }
+        sparams = sebc.shard_from_tables(per_table)
+        opt = (
+            RowWiseAdagrad(learning_rate=0.1)
+            if colo else SGD(learning_rate=0.1)
+        )
         sstates = sebc.init_optimizer(sparams, opt)
 
         from torchrec_tpu.sparse import KeyedJaggedTensor

@@ -360,3 +360,106 @@ def test_fast_tier_layout_invariants():
             np.asarray(ebc_ref.table_slice(params, t.name)),
             rtol=1e-6, atol=1e-6,
         )
+
+
+def test_fast_tier_colocated_rowwise_state(monkeypatch):
+    """colocate_rowwise_state under SHARDING: the width class stores
+    flat-small + interleaved-large (accumulator delta in lane 0 of the
+    state rows) and the backward runs the colocated segscan kernel.
+    Oracle: the unsharded PLAIN module (single-chip colo already pins
+    colo==plain); state export must read the live blob lanes."""
+    monkeypatch.setattr(
+        ShardedEmbeddingBagCollection, "_SEGSCAN_TEST_CHUNK", 64
+    )
+    rng = np.random.default_rng(31)
+    rows = [64, 20000]
+    tables = [
+        EmbeddingBagConfig(name="s", num_embeddings=rows[0],
+                           embedding_dim=128, feature_names=["fs"]),
+        EmbeddingBagConfig(name="l", num_embeddings=rows[1],
+                           embedding_dim=128, feature_names=["fl"]),
+    ]
+    opt = RowWiseAdagrad(learning_rate=0.2, initial_accumulator_value=0.1)
+    ebc_ref = EmbeddingBagCollection(tables)
+    ebc = EmbeddingBagCollection(
+        tables, max_unique_gradient_rows=WINDOW,
+        colocate_rowwise_state=True,
+    )
+    params = ebc_ref.init(jax.random.key(0))
+    feat_rows = {"fs": 64, "fl": 20000}
+    nk = make_numpy_kjt(
+        rng, list(feat_rows), batch_size=WORLD * 2,
+        num_embeddings=feat_rows, max_length=5,
+    )
+    kjt = to_kjt(nk, capacity=256)
+    b = kjt.stride()
+    cot = jnp.asarray(rng.normal(size=(b, 256)).astype(np.float32))
+
+    ref_states = ebc_ref.init_optimizer(params, opt)
+    ref_params, ref_states = ebc_ref.apply_gradients(
+        params, ref_states, opt, kjt, cot
+    )
+    ref_tbl = ebc_ref.materialize_optimizer_state(
+        ref_params, ref_states, opt
+    )
+
+    e = env()
+    plan = construct_module_sharding_plan(
+        tables, {"s": row_wise(), "l": row_wise()}, e
+    )
+    sebc = ShardedEmbeddingBagCollection(ebc, plan, e)
+    colo_classes = [c for c in sebc._classes if c.state_lanes]
+    assert colo_classes, "colo class not built"
+    c = colo_classes[0]
+    per_table = {
+        t.name: np.asarray(ebc_ref.table_slice(params, t.name))
+        for t in tables
+    }
+    sparams = sebc.shard_from_tables(per_table)
+    # storage shape: flat small + interleaved large (+ scratch)
+    assert sparams[c.key].shape[1] == c.storage_rows
+    # forward equivalence through the interleaved layout
+    got = sebc.apply(sparams, kjt)
+    exp = ebc_ref.apply(params, kjt)
+    np.testing.assert_allclose(
+        np.asarray(got.values()), np.asarray(exp.values()),
+        rtol=1e-5, atol=1e-5,
+    )
+    sstates = sebc.init_optimizer(sparams, opt)
+    cot_sh = jax.device_put(
+        cot,
+        jax.sharding.NamedSharding(
+            e.mesh, jax.sharding.PartitionSpec("shard")
+        ),
+    )
+    nsp, nss = sebc.apply_gradients(sparams, sstates, opt, kjt, cot_sh)
+    got_tables = sebc.unshard_params(nsp)
+    for t in tables:
+        np.testing.assert_allclose(
+            got_tables[t.name],
+            np.asarray(ebc_ref.table_slice(ref_params, t.name)),
+            rtol=1e-4, atol=1e-5, err_msg=t.name,
+        )
+    # state export reads the LIVE blob lanes
+    got_tbl = sebc.unshard_opt_states(nss, opt, nsp)
+    for name in ("s", "l"):
+        np.testing.assert_allclose(
+            got_tbl[name]["momentum"], ref_tbl[name]["momentum"],
+            rtol=1e-4, atol=1e-5, err_msg=name,
+        )
+    # restore round trip re-interleaves the lanes
+    sp2 = sebc.shard_from_tables(per_table)
+    sp2, ss2 = sebc.shard_opt_states_from_tables(sp2, opt, got_tbl)
+    back = sebc.unshard_opt_states(ss2, opt, sp2)
+    for name in ("s", "l"):
+        np.testing.assert_allclose(
+            back[name]["momentum"], got_tbl[name]["momentum"],
+            rtol=1e-6, err_msg=name,
+        )
+
+    # SGD on colocated storage must refuse loudly (no generic fallback)
+    with pytest.raises(Exception, match="colocate"):
+        sgd_states = sebc.init_optimizer(sparams, SGD(learning_rate=0.1))
+        sebc.apply_gradients(
+            sparams, sgd_states, SGD(learning_rate=0.1), kjt, cot_sh
+        )

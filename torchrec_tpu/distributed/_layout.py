@@ -82,12 +82,32 @@ class WidthClass:
     # dense-accumulator size.
     small_rows_dev: Tuple[int, ...] = ()
     small_rows_max: int = 0
+    # colocated rowwise-optimizer state (EBC colocate_rowwise_state
+    # under sharding): nonzero means flat-small + INTERLEAVED-large
+    # storage — physical blob [W, small_rows_max + 2 * (phys_rows -
+    # small_rows_max), width]; each large logical row r lives at
+    # physical pair (base: weights, base+1: state row, accumulator
+    # delta in lane 0) with base = small_rows_max + 2*(r -
+    # small_rows_max). Mirrors TableGroup.state_lanes.
+    state_lanes: int = 0
 
     @property
     def phys_rows(self) -> int:
         """Physical LOGICAL-UNIT rows per device (logical + scratch);
-        the stored minor shape additionally depends on row_tiles/packed."""
+        the stored minor shape additionally depends on
+        row_tiles/packed/state_lanes."""
         return self.local_rows + self.scratch_rows
+
+    @property
+    def storage_rows(self) -> int:
+        """Physical stored rows per device for the plain/colocated
+        forms (packed stores storage_rows // 2 pair rows; tile-row
+        stores phys_rows * row_tiles)."""
+        if self.state_lanes:
+            return self.small_rows_max + 2 * (
+                self.phys_rows - self.small_rows_max
+            )
+        return self.phys_rows
 
 
 def class_logical_blob(c: WidthClass, blob: np.ndarray) -> np.ndarray:
@@ -102,6 +122,11 @@ def class_logical_blob(c: WidthClass, blob: np.ndarray) -> np.ndarray:
         out = out.reshape(lead + (c.phys_rows, c.width))
     elif c.row_tiles > 1:
         out = blob.reshape(lead + (c.phys_rows, c.width)).astype(np.float32)
+    elif c.state_lanes:
+        sm = c.small_rows_max
+        out = np.concatenate(
+            [blob[..., :sm, :], blob[..., sm::2, :]], axis=-2
+        ).astype(np.float32)
     else:
         out = blob.astype(np.float32)
     return out[..., : c.local_rows, :]
@@ -120,6 +145,13 @@ def class_from_logical(c: WidthClass, logical: np.ndarray) -> np.ndarray:
         return out.reshape(lead + (c.phys_rows // 2, c.width))
     if c.row_tiles > 1:
         return full.reshape(lead + (c.phys_rows * c.row_tiles, 128))
+    if c.state_lanes:
+        sm = c.small_rows_max
+        lg = full[..., sm:, :]
+        inter = np.stack([lg, np.zeros_like(lg)], axis=-2).reshape(
+            lead + (2 * lg.shape[-2], c.width)
+        )
+        return np.concatenate([full[..., :sm, :], inter], axis=-2)
     return full.astype(c.data_type.as_jnp())
 
 
@@ -133,6 +165,9 @@ def class_logical_blob_jnp(c: WidthClass, blob: jnp.ndarray) -> jnp.ndarray:
         blob = jax.vmap(unpack_pair_blob)(blob)
     elif c.row_tiles > 1:
         blob = blob.reshape(blob.shape[0], -1, c.width)
+    elif c.state_lanes:
+        sm = c.small_rows_max
+        blob = jnp.concatenate([blob[:, :sm], blob[:, sm::2]], axis=1)
     return blob[:, : c.local_rows].astype(jnp.float32)
 
 
@@ -152,6 +187,13 @@ def class_from_logical_jnp(c: WidthClass, logical: jnp.ndarray) -> jnp.ndarray:
         return jax.vmap(pack_pair_blob)(logical)
     if c.row_tiles > 1:
         return logical.reshape(w, -1, 128)
+    if c.state_lanes:
+        sm = c.small_rows_max
+        lg = logical[:, sm:]
+        inter = jnp.stack([lg, jnp.zeros_like(lg)], axis=2).reshape(
+            w, 2 * lg.shape[1], c.width
+        )
+        return jnp.concatenate([logical[:, :sm], inter], axis=1)
     return logical.astype(c.data_type.as_jnp())
 
 
@@ -181,6 +223,7 @@ def build_width_classes(
     feat_of_table: Dict[str, List[int]],
     world_size: int,
     fast_window: Optional[int] = None,
+    colocate_rowwise_state: bool = False,
 ) -> List[WidthClass]:
     """Compile plan -> width classes (skips DATA_PARALLEL tables).
 
@@ -296,9 +339,14 @@ def build_width_classes(
         scratch = 0
         tiles = 1
         packed = False
+        lanes = 0
         if fast_window is not None and has_large:
             if dt == DataType.FP32 and width == 128:
                 supported = True
+                if colocate_rowwise_state:
+                    # flat-small + interleaved-large colocated storage
+                    # (accumulator delta in lane 0 of each state row)
+                    lanes = 128
             elif dt == DataType.FP32 and width > 128 and width % 128 == 0:
                 supported = True
                 tiles = width // 128
@@ -336,6 +384,7 @@ def build_width_classes(
                 packed=packed,
                 small_rows_dev=tuple(small_rows_dev),
                 small_rows_max=max(small_rows_dev),
+                state_lanes=lanes,
             )
         )
     return classes
@@ -409,6 +458,13 @@ class ShardedCollectionBase:
                 ],
                 axis=1,
             )
+        if c.state_lanes:
+            sm = c.small_rows_max
+            idc = jnp.minimum(ids, c.local_rows - 1)
+            phys = jnp.where(idc < sm, idc, sm + 2 * (idc - sm))
+            return jnp.take(
+                blob, phys, axis=0, indices_are_sorted=ids_sorted
+            )
         table = (
             blob.astype(jnp.float32)
             if c.data_type != DataType.FP32
@@ -460,7 +516,19 @@ class ShardedCollectionBase:
         n = ids.shape[0]
         if c.scratch_rows == 0 or n == 0 or self._max_unique is None:
             return None
-        if not optimizer.supports_segscan_update(blob):
+        if c.state_lanes:
+            # colocated storage admits ONLY optimizers with a colocated
+            # kernel — no generic fallback exists for interleaved rows
+            if not (
+                getattr(optimizer, "supports_colocated_state", False)
+                and not optimizer.stochastic_rounding
+            ):
+                raise ValueError(
+                    "colocate_rowwise_state under sharding requires an "
+                    "optimizer with a colocated kernel (RowWiseAdagrad, "
+                    "fp32, no stochastic rounding)"
+                )
+        elif not optimizer.supports_segscan_update(blob):
             return None
         interpret = not _on_tpu()
         u = min(self._max_unique, n)
@@ -554,6 +622,31 @@ class ShardedCollectionBase:
             old_rows = self._class_gather(
                 c, blob, jnp.minimum(sids_u, R - 1), ids_sorted=True
             )
+        elif c.state_lanes:
+            # colocated: (weights, state) pair gather at PHYSICAL
+            # pair-base rows (two row-takes — a (2, dim)-slice gather
+            # lowers to a slow sequential form on TPU); the kernel takes
+            # physical pair-base targets
+            sm = c.small_rows_max
+            base = sm + 2 * (jnp.clip(sids_u, sm, R - 1) - sm)
+            old_w = jnp.take(
+                blob, base, axis=0, indices_are_sorted=True
+            )
+            old_s = jnp.take(
+                blob, base + 1, axis=0, indices_are_sorted=True
+            )
+            old_rows = jnp.concatenate([old_w, old_s], axis=1)
+            rows_end = sm + 2 * (rows_end - sm)
+            blob, state = optimizer.segscan_update_colocated(
+                blob, state, rows_end, heads, ends, g_u, old_rows,
+                lr=lr, interpret=interpret,
+                _chunk=self._SEGSCAN_TEST_CHUNK,
+            )
+            if small_max > 0:
+                return self._finish_fast_small(
+                    c, blob, state, optimizer, acc, touched, lr
+                )
+            return blob, state
         else:
             parity = None
             old_rows = jnp.take(
@@ -568,46 +661,61 @@ class ShardedCollectionBase:
 
         # ---- small-table dense update on the prefix ----
         if small_max > 0:
-            st_s = {
-                k: v[:small_max]
-                if (v.ndim and v.shape[0] == R)
-                else v
-                for k, v in state.items()
-            }
-            if c.packed:
-                from torchrec_tpu.ops.tbe_pallas import (
-                    pack_pair_blob,
-                    unpack_pair_blob,
-                )
+            return self._finish_fast_small(
+                c, blob, state, optimizer, acc, touched, lr
+            )
+        return blob, state
 
-                ps = small_max // 2  # small boundary is 8-aligned
-                region = unpack_pair_blob(blob[:ps]).astype(jnp.bfloat16)
-                tbl_s, st_s = optimizer.dense_update(
-                    region, st_s, acc, touched, lr=lr
-                )
-                blob = jax.lax.dynamic_update_slice(
-                    blob, pack_pair_blob(tbl_s), (0, 0)
-                )
-            elif c.row_tiles > 1:
-                nt = c.row_tiles
-                region = blob[: small_max * nt].reshape(small_max, width)
-                tbl_s, st_s = optimizer.dense_update(
-                    region, st_s, acc, touched, lr=lr
-                )
-                blob = jax.lax.dynamic_update_slice(
-                    blob, tbl_s.reshape(small_max * nt, 128), (0, 0)
-                )
-            else:
-                tbl_s, st_s = optimizer.dense_update(
-                    blob[:small_max], st_s, acc, touched, lr=lr
-                )
-                blob = jax.lax.dynamic_update_slice(blob, tbl_s, (0, 0))
-            state = {
-                k: jax.lax.dynamic_update_slice(
-                    state[k], st_s[k], (0,) * state[k].ndim
-                )
-                for k in state
-            }
+    def _finish_fast_small(
+        self, c, blob, state, optimizer, acc, touched, lr
+    ):
+        """Shared small-region dense-update tail of
+        :meth:`_class_fast_update` (small tables pack FLAT at the blob
+        head in every storage form, including colocated)."""
+        small_max = c.small_rows_max
+        width = c.width
+        R = c.local_rows
+        st_s = {
+            k: v[:small_max]
+            if (v.ndim and v.shape[0] == R)
+            else v
+            for k, v in state.items()
+        }
+        if c.packed:
+            from torchrec_tpu.ops.tbe_pallas import (
+                pack_pair_blob,
+                unpack_pair_blob,
+            )
+
+            ps = small_max // 2  # small boundary is 8-aligned
+            region = unpack_pair_blob(blob[:ps]).astype(jnp.bfloat16)
+            tbl_s, st_s = optimizer.dense_update(
+                region, st_s, acc, touched, lr=lr
+            )
+            blob = jax.lax.dynamic_update_slice(
+                blob, pack_pair_blob(tbl_s), (0, 0)
+            )
+        elif c.row_tiles > 1:
+            nt = c.row_tiles
+            region = blob[: small_max * nt].reshape(small_max, width)
+            tbl_s, st_s = optimizer.dense_update(
+                region, st_s, acc, touched, lr=lr
+            )
+            blob = jax.lax.dynamic_update_slice(
+                blob, tbl_s.reshape(small_max * nt, 128), (0, 0)
+            )
+        else:
+            # plain AND colocated layouts keep the small region FLAT
+            tbl_s, st_s = optimizer.dense_update(
+                blob[:small_max], st_s, acc, touched, lr=lr
+            )
+            blob = jax.lax.dynamic_update_slice(blob, tbl_s, (0, 0))
+        state = {
+            k: jax.lax.dynamic_update_slice(
+                state[k], st_s[k], (0,) * state[k].ndim
+            )
+            for k in state
+        }
         return blob, state
 
 
@@ -764,6 +872,28 @@ class ShardedCollectionBase:
                 v = np.asarray(jax.device_get(v))
                 if v.ndim < 2 or v.shape[1] != c.local_rows:
                     continue  # scalar state (e.g. sr_step)
+                if c.state_lanes and k == "momentum":
+                    # colocated: the live large-region accumulator sits
+                    # in lane 0 of the blob's state rows (as a delta
+                    # from initial_accumulator_value); the pytree entry
+                    # is stale past the small boundary
+                    if params is None or optimizer is None:
+                        raise ValueError(
+                            "unshard_opt_states needs `params` and "
+                            "`optimizer` for colocated layouts"
+                        )
+                    blob = np.asarray(jax.device_get(params[c.key]))
+                    sm = c.small_rows_max
+                    iav = float(
+                        getattr(
+                            optimizer, "initial_accumulator_value", 0.0
+                        )
+                    )
+                    large = iav + blob[:, sm + 1 :: 2, 0]
+                    v = np.concatenate(
+                        [v[:, :sm], large[:, : c.local_rows - sm]],
+                        axis=1,
+                    )
                 width_tail = v.ndim >= 3 and v.shape[2] == c.width
                 for d in range(self._env.world_size):
                     for name, col, row_lo, row_hi, brow in c.packing[d]:
@@ -863,6 +993,28 @@ class ShardedCollectionBase:
                             v[d, brow : brow + (row_hi - row_lo)] = src[
                                 row_lo:row_hi
                             ]
+                if c.state_lanes and k == "momentum":
+                    # re-interleave the large region into the blob's
+                    # state-lane rows (delta from the initial value)
+                    iav = float(
+                        getattr(
+                            optimizer, "initial_accumulator_value", 0.0
+                        )
+                    )
+                    blob = np.array(
+                        jax.device_get(new_params[c.key]), copy=True
+                    )
+                    sm = c.small_rows_max
+                    n_large = c.local_rows - sm
+                    blob[:, sm + 1 : sm + 1 + 2 * n_large : 2, 0] = (
+                        v[:, sm:] - iav
+                    )
+                    new_params[c.key] = device_put_global(
+                        jnp.asarray(blob),
+                        self._sharding(
+                            self._env.shard_axis, None, None
+                        ),
+                    )
                 st[k] = device_put_global(
                     jnp.asarray(v, st[k].dtype),
                     self._sharding(

@@ -144,6 +144,9 @@ class ShardedEmbeddingBagCollection(ShardedCollectionBase):
         self._classes = build_width_classes(
             tables, plan, ebc._feature_names, feat_of_table, env.world_size,
             fast_window=self._max_unique,
+            colocate_rowwise_state=getattr(
+                ebc, "_colocate_rowwise_state", False
+            ),
         )
 
         # output column offsets per logical feature

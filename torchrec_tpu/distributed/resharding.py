@@ -95,6 +95,17 @@ def reshard(
     world = old_sharded.env.world_size
     if new_sharded.env.world_size != world:
         raise ValueError("resharding across world sizes: re-plan instead")
+    if opt_states is not None and any(
+        c.state_lanes
+        for sh in (old_sharded, new_sharded)
+        for c in sh._classes
+    ):
+        raise NotImplementedError(
+            "reshard with colocate_rowwise_state: the live accumulator "
+            "rides the blob's state lanes (the pytree entry is stale) — "
+            "materialize via unshard_opt_states / "
+            "shard_opt_states_from_tables instead"
+        )
     plans = _run_schedule(
         old_sharded._classes, new_sharded._classes, world
     )

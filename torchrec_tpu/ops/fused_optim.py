@@ -434,7 +434,7 @@ class RowWiseAdagrad(EmbeddingOptimizer):
 
     def segscan_update_colocated(
         self, table, state, rows_end, heads, ends, grads, old_rows,
-        lr=None, interpret=False,
+        lr=None, interpret=False, _chunk: int = 0,
     ):
         """Fused tail on a state-lane blob ``[R, D + 128]``: weights AND
         accumulator update in one pass; the state pytree passes through
@@ -460,7 +460,7 @@ class RowWiseAdagrad(EmbeddingOptimizer):
         )
         new_table = row_scatter_write_segscan_rowwise_colocated(
             table, rows_end, heads, ends, grads, old_rows, scal,
-            interpret=interpret,
+            interpret=interpret, _chunk=_chunk,
         )
         return new_table, state
 
