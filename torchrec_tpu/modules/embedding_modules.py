@@ -491,19 +491,14 @@ class _EmbeddingCollectionBase:
         batched_embedding_kernel.py:1215). State covers LOGICAL rows only —
         the write-kernel scratch tail carries no optimizer state (sentinel
         scatters drop against the logical bound)."""
+        # every optimizer init reads only shape/dtype, so a LOGICAL dummy
+        # serves every storage layout (pair-packed u32 rows would halve
+        # row counts and break the bf16 stochastic-rounding dtype check;
+        # compile-only AOT clients hand in ShapeDtypeStructs that cannot
+        # be sliced)
         return {
             g.key: optimizer.init(
-                # pair-packed groups: state is sized/typed off the LOGICAL
-                # table (u32 pair rows would halve row counts and break
-                # the bf16 stochastic-rounding dtype check)
                 jnp.zeros((g.total_rows, g.dim), g.data_type.as_jnp())
-                if self._pack_group(g)
-                else (
-                    # restructured layouts size state off a logical dummy
-                    jnp.zeros((g.total_rows, g.dim), g.data_type.as_jnp())
-                    if g.state_lanes or g.row_tiles > 1
-                    else params[g.key][: g.total_rows]
-                )
             )
             for g in self._groups
         }

@@ -417,6 +417,41 @@ class RowWiseAdagrad(EmbeddingOptimizer):
         )
 
     _sr_seed = SGD._sr_seed
+
+    # ONE-pass pair-packed small-region dense update (see SGD's — the
+    # rowwise form carries the accumulator as a [P, 2] operand like the
+    # pair-rowwise segscan kernel). wd == 0 gate: no touched mask in the
+    # kernel, and zero-acc rows leave weights AND accumulators unchanged.
+    @property
+    def supports_dense_pair_update(self) -> bool:
+        return self.weight_decay == 0.0
+
+    def dense_pair_update(
+        self, blob_small, acc_e, acc_o, state, lr=None, interpret=False
+    ):
+        from torchrec_tpu.ops.tbe_pallas import dense_pair_rowwise_update
+
+        mom = state["momentum"]
+        n_pairs = acc_e.shape[0]
+        need = 2 * n_pairs
+        mom_head = mom[: min(need, mom.shape[0])]
+        if mom_head.shape[0] < need:
+            mom_head = jnp.concatenate(
+                [
+                    mom_head,
+                    jnp.zeros((need - mom_head.shape[0],), mom.dtype),
+                ]
+            )
+        sr_seed, state = self._sr_seed(state)
+        new_blob, m_new = dense_pair_rowwise_update(
+            blob_small, acc_e, acc_o, mom_head.reshape(n_pairs, 2),
+            self._lr(lr), self.eps, sr_seed, interpret=interpret,
+        )
+        # zero-acc rows return their unchanged accumulator, so writing
+        # the whole head back (clipped to real rows) is exact
+        flat = m_new.reshape(-1)[: min(need, mom.shape[0])]
+        new_mom = jax.lax.dynamic_update_slice(mom, flat, (0,))
+        return new_blob, {**state, "momentum": new_mom}
     # A/B gate: monotonic-index accumulator passes (sorted-hint gather +
     # sorted scatter-max) — valid because the accumulator never
     # decreases, but measured SLOWER on v5e at the headline shapes

@@ -2212,6 +2212,99 @@ def _small_acc_kernel_packed(
             )
 
 
+def _dense_pair_rowwise_kernel(
+    scal_ref,  # SMEM [2] f32: (lr, eps)
+    seed_ref,  # SMEM [1] u32: SR step counter
+    blob_ref,  # VMEM [RB2, W] u32 pair block
+    acc_e_ref,  # VMEM [RB2, W] f32 (half lanes)
+    acc_o_ref,  # VMEM [RB2, W] f32
+    mom_ref,  # VMEM [RB2, 2] f32: (even, odd) row accumulators
+    out_ref,  # VMEM [RB2, W] u32
+    m_new_ref,  # VMEM [RB2, 2] f32
+    *,
+    chunk: int,
+    sr: bool,
+):
+    lr, eps = scal_ref[0], scal_ref[1]
+    w_pair = blob_ref[...]
+    d2 = w_pair.shape[1] // 2
+    g_e = acc_e_ref[...]
+    g_o = acc_o_ref[...]
+    m_e = mom_ref[:, 0:1] + jnp.mean(g_e * g_e, axis=1, keepdims=True)
+    m_o = mom_ref[:, 1:2] + jnp.mean(g_o * g_o, axis=1, keepdims=True)
+    e = _unpack_pair_half(w_pair[:, :d2]) - lr * g_e / (
+        jnp.sqrt(m_e) + eps
+    )
+    o = _unpack_pair_half(w_pair[:, d2:]) - lr * g_o / (
+        jnp.sqrt(m_o) + eps
+    )
+    seed = seed_ref[0] if sr else None
+    pe = _pack_pair_half(e, seed, 0, chunk)
+    po = _pack_pair_half(o, seed, 1, chunk)
+    out_ref[...] = jnp.concatenate([pe, po], axis=1)
+    m_new_ref[...] = jnp.concatenate([m_e, m_o], axis=1)
+
+
+def dense_pair_rowwise_update(
+    blob_small: jnp.ndarray,  # u32 [P, W]
+    acc_e: jnp.ndarray,  # [P_pad >= P, W] f32 (HALF lanes)
+    acc_o: jnp.ndarray,
+    mom_pairs: jnp.ndarray,  # [P_pad, 2] f32 (even, odd) accumulators
+    lr,
+    eps,
+    sr_seed: jnp.ndarray | None = None,
+    *,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """RowWiseAdagrad sibling of :func:`dense_pair_sgd_update` (same
+    one-VMEM-pass contract; momentum rides a [P, 2] operand like the
+    pair-rowwise segscan kernel). Zero-acc rows keep exact weight bits
+    AND unchanged accumulators, so no touched mask; wd == 0 gate.
+    Returns ``(new_blob [P, W], m_new [P_pad, 2])``."""
+    p_rows, w = blob_small.shape
+    rb2 = _CM_RB // 2
+    nb = acc_e.shape[0] // rb2
+    if p_rows < nb * rb2:
+        blob_small = jnp.pad(
+            blob_small, ((0, nb * rb2 - p_rows), (0, 0))
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((rb2, w), lambda j, *_: (j, 0)),
+            pl.BlockSpec((rb2, w), lambda j, *_: (j, 0)),
+            pl.BlockSpec((rb2, w), lambda j, *_: (j, 0)),
+            pl.BlockSpec((rb2, 2), lambda j, *_: (j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((rb2, w), lambda j, *_: (j, 0)),
+            pl.BlockSpec((rb2, 2), lambda j, *_: (j, 0)),
+        ],
+    )
+    out, m_new = pl.pallas_call(
+        functools.partial(
+            _dense_pair_rowwise_kernel, chunk=rb2, sr=sr_seed is not None
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((nb * rb2, w), jnp.uint32),
+            jax.ShapeDtypeStruct((nb * rb2, 2), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        jnp.stack(
+            [jnp.asarray(lr, jnp.float32), jnp.asarray(eps, jnp.float32)]
+        ),
+        (
+            jnp.zeros((1,), jnp.uint32)
+            if sr_seed is None else sr_seed.reshape(1)
+        ),
+        blob_small, acc_e, acc_o, mom_pairs.astype(jnp.float32),
+    )
+    return out[:p_rows], m_new
+
+
 def small_acc_from_counts_packed(
     c_pad: jnp.ndarray,  # [NB*RB, B] f32
     pooled_grad: jnp.ndarray,  # [n_gf * B, W] f32 LOGICAL lanes
